@@ -8,7 +8,10 @@ path). This must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the session environment pins a TPU platform (axon);
+# set TFKALDI_TEST_TPU=1 to run the suite on the real chip instead
+if not os.environ.get("TFKALDI_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,151 @@
+"""Golden parity tests: TPU-batched frontend vs float64 reference semantics.
+
+BASELINE.md target: features within 1e-4 of the reference.
+"""
+
+import numpy as np
+import pytest
+
+from tests import ref_frontend as ref
+from tfkaldi_tpu.frontend import FeatureExtractor, FeatureOpts, apply_cmvn, cmvn_stats, splice
+
+RATE = 16000
+
+
+def _conf(**over):
+    conf = {
+        "type": "fbank",
+        "dynamic": "nodelta",
+        "winlen": "0.025",
+        "winstep": "0.01",
+        "nfilt": "40",
+        "nfft": "512",
+        "lowfreq": "0",
+        "highfreq": "-1",
+        "preemph": "0.97",
+        "include_energy": "False",
+        "snip_edges": "True",
+        "numcep": "13",
+        "ceplifter": "22",
+    }
+    conf.update({k: str(v) for k, v in over.items()})
+    return conf
+
+
+def _signals(rng, n, min_len=3000, max_len=18000):
+    lens = rng.integers(min_len, max_len, size=n)
+    return [
+        (rng.standard_normal(l) * 8000).astype(np.int16).astype(np.float64) for l in lens
+    ]
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {},  # AURORA4 dnn-features: 40-fbank
+        {"type": "mfcc", "nfilt": 23, "numcep": 13},  # AURORA4 gmm-features
+        {"type": "fbank", "include_energy": True},
+        {"type": "mfcc", "include_energy": True, "ceplifter": 0},
+        {"type": "fbank", "dynamic": "delta"},
+        {"type": "fbank", "dynamic": "ddelta", "include_energy": True},
+        {"type": "mfcc", "dynamic": "ddelta"},
+        {"type": "ssc", "nfilt": 20},
+        {"snip_edges": False},
+        {"type": "fbank", "lowfreq": 100, "highfreq": 7000},
+    ],
+)
+def test_feature_parity(over):
+    conf = _conf(**over)
+    rng = np.random.default_rng(7)
+    sigs = _signals(rng, 6)
+    opts = FeatureOpts.from_config(conf)
+    fx = FeatureExtractor(opts, RATE)
+
+    s_max = max(len(s) for s in sigs)
+    batch = np.zeros((len(sigs), s_max), dtype=np.float32)
+    for i, s in enumerate(sigs):
+        batch[i, : len(s)] = s
+    feats, nframes = fx(batch, np.asarray([len(s) for s in sigs]))
+    feats = np.asarray(feats)
+
+    for i, sig in enumerate(sigs):
+        golden = ref.ref_compute(sig, RATE, conf)
+        assert int(nframes[i]) == golden.shape[0], f"frame count mismatch utt {i}"
+        got = feats[i, : golden.shape[0]]
+        assert got.shape == golden.shape
+        np.testing.assert_allclose(got, golden, atol=1e-4, rtol=1e-4)
+        # padding frames are zeroed
+        assert np.all(feats[i, golden.shape[0] :] == 0)
+
+
+def test_feature_dim_property():
+    for over, expected in [
+        ({}, 40),
+        ({"include_energy": True}, 41),
+        ({"type": "mfcc", "numcep": 13}, 13),
+        ({"dynamic": "delta"}, 80),
+        ({"dynamic": "ddelta", "include_energy": True}, 123),
+    ]:
+        assert FeatureOpts.from_config(_conf(**over)).dim == expected
+
+
+def test_single_utt_compute_matches_batch():
+    conf = _conf(dynamic="delta", include_energy=True)
+    rng = np.random.default_rng(3)
+    sig = (rng.standard_normal(9000) * 5000).astype(np.int16).astype(np.float64)
+    fx = FeatureExtractor(FeatureOpts.from_config(conf), RATE)
+    single = fx.compute(sig)
+    golden = ref.ref_compute(sig, RATE, conf)
+    np.testing.assert_allclose(single, golden, atol=1e-4, rtol=1e-4)
+
+
+def test_short_utterance_edge_cases():
+    """Signals shorter than one window still produce one (zero-padded) frame."""
+    conf = _conf()
+    fx = FeatureExtractor(FeatureOpts.from_config(conf), RATE)
+    for length in [100, 399, 400, 401, 560, 561]:
+        sig = np.linspace(-1000, 1000, length)
+        golden = ref.ref_compute(sig, RATE, conf)
+        got = fx.compute(sig)
+        assert got.shape == golden.shape, f"len={length}"
+        np.testing.assert_allclose(got, golden, atol=1e-4, rtol=1e-4)
+
+
+def test_cmvn_parity():
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((50, 13)) * 4 + 2
+    stats = cmvn_stats(feats)
+    # layout: row0 = [Σx, N], row1 = [Σx², 0]  (prepare_data.py:113-118)
+    np.testing.assert_allclose(stats[0, :-1], feats.sum(0))
+    np.testing.assert_allclose(stats[1, :-1], np.square(feats).sum(0))
+    assert stats[0, -1] == 50 and stats[1, -1] == 0
+    got = np.asarray(apply_cmvn(feats.astype(np.float32), stats))
+    golden = ref.ref_apply_cmvn(feats, stats)
+    np.testing.assert_allclose(got, golden, atol=1e-4)
+
+
+def test_cmvn_stats_batched_equals_concat():
+    rng = np.random.default_rng(6)
+    a, b = rng.standard_normal((10, 5)), rng.standard_normal((7, 5))
+    batch = np.zeros((2, 10, 5))
+    batch[0] = a
+    batch[1, :7] = b
+    stats = cmvn_stats(batch, num_frames=[10, 7])
+    np.testing.assert_allclose(stats, cmvn_stats(np.concatenate([a, b])), atol=1e-10)
+
+
+def test_splice_parity():
+    rng = np.random.default_rng(8)
+    utt = rng.standard_normal((20, 4)).astype(np.float32)
+    for c in [0, 1, 2, 5]:
+        got = np.asarray(splice(utt, c))
+        golden = ref.ref_splice(utt, c) if c > 0 else utt
+        np.testing.assert_allclose(got, golden, atol=0)
+
+
+def test_splice_batched_matches_single():
+    rng = np.random.default_rng(9)
+    batch = rng.standard_normal((3, 12, 5)).astype(np.float32)
+    got = np.asarray(splice(batch, 2))
+    for i in range(3):
+        np.testing.assert_allclose(got[i], np.asarray(splice(batch[i], 2)))

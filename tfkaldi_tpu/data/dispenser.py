@@ -1,0 +1,134 @@
+"""Batch dispensers: pair features with encoded targets.
+
+Equivalents of the reference processing/batchdispenser.py:12-223 with the
+same cursor semantics (``get_batch`` skips target-less / too-short
+utterances with warnings, ``skip_batch``/``return_batch`` fast-forward and
+rewind for resume & validation rollback, ``split`` carves off what has been
+read). Output stays host-side ragged; ``DeviceBatcher`` turns it into
+static-shape padded device arrays.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+
+import numpy as np
+
+from tfkaldi_tpu.data.feature_reader import FeatureReader
+from tfkaldi_tpu.data.target_coder import TargetCoder
+
+log = logging.getLogger(__name__)
+
+
+class BatchDispenser:
+    """Base dispenser; subclasses define how the target file is read."""
+
+    def read_target_file(self, target_path: str) -> dict[str, str]:
+        raise NotImplementedError
+
+    def __init__(
+        self,
+        feature_reader: FeatureReader,
+        target_coder: TargetCoder,
+        size: int,
+        target_path: str,
+    ):
+        self.feature_reader = feature_reader
+        self.target_coder = target_coder
+        self.size = int(size)
+        self.target_dict = self.read_target_file(target_path)
+        # encode every target once: reused by max_target_length and prior
+        # counting (the reference re-encodes each time, batchdispenser.py:51)
+        self._encoded = {
+            utt: target_coder.encode(targets) for utt, targets in self.target_dict.items()
+        }
+        self.max_target_length = max((t.size for t in self._encoded.values()), default=0)
+
+    def get_batch(self):
+        """Collect ``size`` usable utterances (batchdispenser.py:60-91).
+
+        Returns (inputs, targets): lists of [T_i, F] float32 matrices and
+        [L_i] int32 vectors.
+        """
+        batch_inputs: list[np.ndarray] = []
+        batch_targets: list[np.ndarray] = []
+        while len(batch_inputs) < self.size:
+            utt_id, utt_mat, _ = self.feature_reader.get_utt()
+            if utt_id in self._encoded and utt_mat is not None:
+                batch_inputs.append(utt_mat)
+                batch_targets.append(self._encoded[utt_id])
+            else:
+                if utt_id not in self._encoded:
+                    log.warning("no targets for %s", utt_id)
+                if utt_mat is None:
+                    log.warning("%s is too short to splice", utt_id)
+        return batch_inputs, batch_targets
+
+    def split(self) -> None:
+        self.feature_reader.split()
+
+    def skip_batch(self) -> None:
+        """Advance the cursor by one batch without reading data
+        (batchdispenser.py:103-113)."""
+        skipped = 0
+        while skipped < self.size:
+            utt_id = self.feature_reader.next_id()
+            if utt_id in self.target_dict:
+                skipped += 1
+
+    def return_batch(self) -> None:
+        """Rewind the cursor by one batch (batchdispenser.py:115-126)."""
+        skipped = 0
+        while skipped < self.size:
+            utt_id = self.feature_reader.prev_id()
+            if utt_id in self.target_dict:
+                skipped += 1
+
+    def compute_target_count(self) -> np.ndarray:
+        """Bincount over all encoded targets → class prior numerator
+        (batchdispenser.py:128-145)."""
+        encoded = np.concatenate(list(self._encoded.values()))
+        return np.bincount(encoded, minlength=self.target_coder.num_labels)
+
+    @property
+    def num_batches(self) -> float:
+        """May be fractional (batchdispenser.py:147-155)."""
+        return self.num_utt / self.size
+
+    @property
+    def num_utt(self) -> int:
+        return len(self.target_dict)
+
+    @property
+    def num_labels(self) -> int:
+        return self.target_coder.num_labels
+
+    @property
+    def max_input_length(self) -> int:
+        return self.feature_reader.max_input_length
+
+
+class TextBatchDispenser(BatchDispenser):
+    """Targets from a Kaldi ``text`` file (batchdispenser.py:175-198)."""
+
+    def read_target_file(self, target_path: str) -> dict[str, str]:
+        target_dict: dict[str, str] = {}
+        with open(target_path, "r") as fid:
+            for line in fid:
+                parts = line.strip().split(" ")
+                target_dict[parts[0]] = " ".join(parts[1:])
+        return target_dict
+
+
+class AlignmentBatchDispenser(BatchDispenser):
+    """Targets from a gzipped pdf-alignment archive
+    (batchdispenser.py:200-223)."""
+
+    def read_target_file(self, target_path: str) -> dict[str, str]:
+        target_dict: dict[str, str] = {}
+        with gzip.open(target_path, "rt") as fid:
+            for line in fid:
+                parts = line.strip().split(" ")
+                target_dict[parts[0]] = " ".join(parts[1:])
+        return target_dict

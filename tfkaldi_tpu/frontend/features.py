@@ -1,0 +1,344 @@
+"""Batched, jit-compiled acoustic feature extraction.
+
+One call processes a padded batch ``signals[B, S]`` + ``lengths[B]`` into
+``feats[B, T_max, D]`` + ``num_frames[B]`` entirely on device. This
+replaces the reference's per-utterance numpy loop
+(processing/prepare_data.py:55-68 → feat.py:42-69 → base.py/sigproc.py)
+with MXU-batched math; numerics match the reference to ≤1e-4 (see
+tests/test_features.py golden tests against a float64 re-derivation).
+
+Pipeline (reference call chain in parentheses):
+
+1. ``snip_edges`` frame-count arithmetic (feat.py:71-90)
+2. preemphasis ``y[n] = x[n] - a·x[n-1]``, ``y[0] = x[0]`` (sigproc.py:180-191)
+3. zero out samples past the (snipped) utterance end — equivalent to the
+   reference's drop-edges + zero-pad-to-whole-frames (sigproc.py:57-60)
+4. overlapping frames, rectangular window (sigproc.py:33-68)
+5. ``|rfft|²/nfft`` power spectrum (sigproc.py:119-153)
+6. frame energy with eps floor (base.py:84-87)
+7. mel filterbank matmul with eps floor (base.py:89-96)
+8. fbank→log (base.py:100-115) / mfcc: log→DCT→lifter (base.py:37-57) /
+   ssc: centroid ratio (base.py:117-154)
+9. optional log-energy column (feat.py:63-64)
+10. delta/ddelta: reflect-boundary ``[2,1,0,-1,-2]`` correlation per
+    utterance (base.py:249-284)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfkaldi_tpu.frontend import mel
+
+# np.finfo(float).eps — the reference's flooring constant (base.py:87,96)
+_EPS = float(np.finfo(np.float64).eps)
+# scipy.ndimage.convolve1d(features, [2,1,0,-1,-2], axis=0) computes the
+# correlation with the reversed kernel: out[t] = 2f[t+2]+f[t+1]-f[t-1]-2f[t-2]
+_DERIV_TAPS = (-2.0, -1.0, 0.0, 1.0, 2.0)  # weight for offset d = -2..2
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureOpts:
+    """Feature configuration; field names/defaults mirror the reference
+    ``[gmm-features]``/``[dnn-features]`` config sections
+    (config/config_AURORA4.cfg:26-80)."""
+
+    feature_type: str = "fbank"  # fbank | mfcc | ssc
+    dynamic: str = "nodelta"  # nodelta | delta | ddelta
+    winlen: float = 0.025
+    winstep: float = 0.01
+    nfilt: int = 23
+    nfft: int = 512
+    lowfreq: float = 0.0
+    highfreq: float = -1.0
+    preemph: float = 0.97
+    include_energy: bool = False
+    snip_edges: bool = True
+    numcep: int = 13
+    ceplifter: float = 22.0
+
+    @classmethod
+    def from_config(cls, conf: dict) -> "FeatureOpts":
+        """Build from a reference-style string-valued config dict."""
+        return cls(
+            feature_type=conf.get("type", conf.get("feature_type", "fbank")),
+            dynamic=conf.get("dynamic", "nodelta"),
+            winlen=float(conf.get("winlen", 0.025)),
+            winstep=float(conf.get("winstep", 0.01)),
+            nfilt=int(conf.get("nfilt", 23)),
+            nfft=int(conf.get("nfft", 512)),
+            lowfreq=float(conf.get("lowfreq", 0)),
+            highfreq=float(conf.get("highfreq", -1)),
+            preemph=float(conf.get("preemph", 0.97)),
+            include_energy=str(conf.get("include_energy", "False")) == "True",
+            snip_edges=str(conf.get("snip_edges", "True")) == "True",
+            numcep=int(conf.get("numcep", 13)),
+            ceplifter=float(conf.get("ceplifter", 22)),
+        )
+
+    @property
+    def base_dim(self) -> int:
+        dim = self.numcep if self.feature_type == "mfcc" else self.nfilt
+        return dim + (1 if self.include_energy else 0)
+
+    @property
+    def dim(self) -> int:
+        """Final feature dimension including dynamics."""
+        mult = {"nodelta": 1, "delta": 2, "ddelta": 3}[self.dynamic]
+        return self.base_dim * mult
+
+
+class FeatureExtractor:
+    """Jit-compiled batched feature computer for a fixed sample rate.
+
+    Equivalent of the reference ``FeatureComputer`` (feat.py:7-69) but
+    operating on padded batches. Compilation is cached per padded signal
+    length ``S``; callers should bucket signal lengths (e.g. pad to a
+    multiple of one second) to bound recompiles.
+    """
+
+    def __init__(self, opts: FeatureOpts, samplerate: int, spectrum_precision: str = "high"):
+        """Args:
+            spectrum_precision: ``"high"`` (default) computes preemphasis,
+                framing and the DFT in float64 (TPU: XLA's software-emulated
+                f64 matmul against precomputed cos/sin bases — measured
+                ~5e4 frames/s/chip, ≈500× real time, max relative spectrum
+                error ~1e-10). ``"fast"`` uses the f32 FFT, whose summation
+                cancellation costs ~1e-4 relative on small bins — fine for
+                fbank training features, but lifted MFCCs then miss the
+                ≤1e-4 reference-parity gate.
+        """
+        if spectrum_precision not in ("high", "fast"):
+            raise ValueError("spectrum_precision must be 'high' or 'fast'")
+        self.opts = opts
+        self.rate = int(samplerate)
+        self.spectrum_precision = spectrum_precision
+        self.frame_len = int(round(opts.winlen * self.rate))
+        self.frame_step = int(round(opts.winstep * self.rate))
+        highfreq = opts.highfreq if opts.highfreq >= 0 else self.rate / 2
+
+        # constants kept in float64; cast to the working dtype at trace time
+        self._fbank = mel.mel_filterbank(
+            opts.nfilt, opts.nfft, self.rate, opts.lowfreq, highfreq
+        )
+        if opts.feature_type == "mfcc":
+            self._dct = mel.dct_ortho_matrix(opts.nfilt, opts.numcep)
+            self._lift = mel.lifter_vector(opts.numcep, opts.ceplifter)
+        if opts.feature_type == "ssc":
+            nbins = opts.nfft // 2 + 1
+            self._tiles = np.linspace(1, self.rate / 2, nbins)
+        if spectrum_precision == "high":
+            # real-DFT bases over the (un-padded) window; zero-padding to
+            # nfft is implicit in truncating the bases to wl rows
+            nbins = opts.nfft // 2 + 1
+            n = np.arange(self.frame_len, dtype=np.float64)[:, None]
+            k = np.arange(nbins, dtype=np.float64)[None, :]
+            ang = 2.0 * np.pi * n * k / opts.nfft
+            self._dft_cos = np.cos(ang)
+            self._dft_sin = -np.sin(ang)
+        self._batch_fn = jax.jit(self._compute_batch, static_argnames=("padded_len",))
+
+    # ------------------------------------------------------------------
+    # frame geometry — host-side float64, replicating the reference's float
+    # arithmetic exactly (``winlen*rate`` is a *float* in feat.py:86 and
+    # sigproc.py:50-55; truncations/ceils must see the same values)
+    # ------------------------------------------------------------------
+
+    def frame_geometry(self, lengths) -> tuple[np.ndarray, np.ndarray]:
+        """Per-utterance ``(num_frames, effective_len)``.
+
+        ``effective_len`` is the number of real samples that reach the
+        framer: the snipped length (feat.py:86-88) when ``snip_edges``,
+        otherwise the full length. ``num_frames`` is the count framesig
+        then produces (sigproc.py:52-55): 1 if the signal fits one window,
+        else ``1 + ceil((eff - frame_len)/frame_step)``.
+        """
+        lengths = np.asarray(lengths, dtype=np.int64)
+        wl_f = self.opts.winlen * self.rate
+        ws_f = self.opts.winstep * self.rate
+        if self.opts.snip_edges:
+            nfull = ((lengths - wl_f) / ws_f).astype(np.int64)  # trunc toward 0
+            eff = np.minimum(lengths, (nfull * ws_f + wl_f).astype(np.int64))
+        else:
+            eff = lengths
+        num_frames = np.where(
+            eff <= self.frame_len,
+            1,
+            1 + np.ceil((eff.astype(np.float64) - self.frame_len) / self.frame_step),
+        ).astype(np.int32)
+        return num_frames, eff.astype(np.int32)
+
+    def num_frames_np(self, lengths) -> np.ndarray:
+        """Frame count per utterance (host-side)."""
+        return self.frame_geometry(lengths)[0]
+
+    def max_frames(self, padded_len: int) -> int:
+        """Static frame capacity for signals padded to ``padded_len``."""
+        return int(self.num_frames_np(np.asarray([padded_len]))[0])
+
+    # ------------------------------------------------------------------
+    # the traced pipeline
+    # ------------------------------------------------------------------
+
+    def _compute_batch(self, signals, num_frames, eff_len, *, padded_len):
+        opts = self.opts
+        wl, ws = self.frame_len, self.frame_step
+
+        high = self.spectrum_precision == "high"
+        work_dtype = jnp.float64 if high else jnp.float32
+
+        x = signals.astype(work_dtype)
+        # preemphasis first, then mask: the reference preemphasizes the real
+        # samples and framesig pads literal zeros after them (sigproc.py:57-60)
+        prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+        y = x - opts.preemph * prev
+        sample_idx = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
+        y = jnp.where(sample_idx < eff_len[:, None], y, 0.0)
+
+        # frame capacity for this padded length; pad so every gather is valid
+        t_max = self.max_frames(padded_len)
+        needed = (t_max - 1) * ws + wl
+        if needed > padded_len:
+            y = jnp.pad(y, ((0, 0), (0, needed - padded_len)))
+        idx = (
+            jnp.arange(t_max, dtype=jnp.int32)[:, None] * ws
+            + jnp.arange(wl, dtype=jnp.int32)[None, :]
+        )
+        frames = y[:, idx]  # [B, T, wl] — rectangular window (sigproc.py:33)
+
+        if high:
+            # f64 real DFT as two matmuls (TPU: emulated-f64 matmul; the f32
+            # FFT's summation cancellation would cost ~1e-4 relative error)
+            xr = jnp.einsum("btn,nk->btk", frames, jnp.asarray(self._dft_cos))
+            xi = jnp.einsum("btn,nk->btk", frames, jnp.asarray(self._dft_sin))
+            pspec = (xr * xr + xi * xi) * (1.0 / opts.nfft)
+        else:
+            spec = jnp.fft.rfft(frames, n=opts.nfft, axis=-1)
+            pspec = (spec.real**2 + spec.imag**2) * (1.0 / opts.nfft)  # sigproc.py:153
+
+        energy = jnp.sum(pspec, axis=-1)
+        energy = jnp.where(energy == 0, _EPS, energy)  # base.py:87
+        log_energy = jnp.log(energy)
+
+        # mel / DCT / log chain stays in work_dtype: XLA's f32 log is only
+        # ~1e-4-accurate, which alone would blow the ≤1e-4 parity budget
+        fb = jnp.asarray(self._fbank).astype(work_dtype)  # [nfilt, nbins]
+        mm = dict(preferred_element_type=work_dtype, precision=jax.lax.Precision.HIGHEST)
+        feat_raw = jax.lax.dot_general(
+            pspec, fb.T, dimension_numbers=(((2,), (0,)), ((), ())), **mm
+        )  # [B, T, nfilt]
+
+        if opts.feature_type == "fbank":
+            feat = jnp.log(jnp.where(feat_raw == 0, _EPS, feat_raw))  # base.py:96,115
+        elif opts.feature_type == "mfcc":
+            logfeat = jnp.log(jnp.where(feat_raw == 0, _EPS, feat_raw))
+            feat = jax.lax.dot_general(
+                logfeat,
+                jnp.asarray(self._dct).astype(work_dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                **mm,
+            )
+            feat = feat * jnp.asarray(self._lift).astype(work_dtype)[None, None, :]
+        elif opts.feature_type == "ssc":
+            weighted = pspec * jnp.asarray(self._tiles).astype(work_dtype)[None, None, :]
+            num = jax.lax.dot_general(
+                weighted, fb.T, dimension_numbers=(((2,), (0,)), ((), ())), **mm
+            )
+            # the reference divides by the *unfloored* filterbank energies
+            # (base.py:150-154)
+            feat = num / feat_raw
+        else:
+            raise ValueError(f"unknown feature type {opts.feature_type!r}")
+
+        if opts.include_energy:
+            feat = jnp.concatenate([feat, log_energy[..., None]], axis=-1)
+
+        if opts.dynamic != "nodelta":
+            d1 = _reflect_deriv(feat, num_frames)
+            if opts.dynamic == "delta":
+                feat = jnp.concatenate([feat, d1], axis=-1)
+            elif opts.dynamic == "ddelta":
+                d2 = _reflect_deriv(d1, num_frames)
+                feat = jnp.concatenate([feat, d1, d2], axis=-1)
+            else:
+                raise ValueError(f"unknown dynamic type {opts.dynamic!r}")
+
+        frame_ok = jnp.arange(t_max)[None, :] < num_frames[:, None]
+        feat = jnp.where(frame_ok[..., None], feat.astype(jnp.float32), 0.0)
+        return feat, num_frames
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def __call__(self, signals, lengths):
+        """Compute features for a padded batch.
+
+        Args:
+            signals: ``[B, S]`` array (any real dtype; int16 wav data is fine).
+            lengths: ``[B]`` true sample counts.
+
+        Returns:
+            ``(feats, num_frames)``: ``[B, T_max, dim]`` float32 with padding
+            frames zeroed, and ``[B]`` int32 valid frame counts.
+        """
+        signals = jnp.asarray(signals)
+        if signals.ndim != 2:
+            raise ValueError("signals must be [batch, samples]")
+        num_frames, eff_len = self.frame_geometry(np.asarray(lengths))
+        if self.spectrum_precision == "high":
+            # scoped x64 so the f64 DFT stage traces/executes in real float64
+            # without flipping process-global precision semantics
+            with jax.enable_x64():
+                return self._batch_fn(
+                    signals,
+                    jnp.asarray(num_frames),
+                    jnp.asarray(eff_len),
+                    padded_len=signals.shape[1],
+                )
+        return self._batch_fn(
+            signals,
+            jnp.asarray(num_frames),
+            jnp.asarray(eff_len),
+            padded_len=signals.shape[1],
+        )
+
+    def compute(self, signal) -> np.ndarray:
+        """Single-utterance convenience matching the reference
+        ``FeatureComputer.__call__`` output (feat.py:42-69): returns the
+        ``[num_frames, dim]`` trimmed feature matrix."""
+        signal = np.asarray(signal)
+        feats, nframes = self(signal[None, :], np.asarray([signal.shape[0]]))
+        return np.asarray(feats[0, : int(nframes[0])])
+
+
+def _reflect_deriv(feat: jnp.ndarray, num_frames: jnp.ndarray) -> jnp.ndarray:
+    """First-order derivative filter with per-utterance reflect boundaries.
+
+    Matches ``scipy.ndimage.convolve1d(x, [2,1,0,-1,-2], axis=0)`` (mode
+    'reflect') applied to each utterance's valid frames (base.py:249-259):
+    ``out[t] = 2x[t+2] + x[t+1] - x[t-1] - 2x[t-2]`` with indices mirrored
+    at 0 and ``n-1`` (edge-inclusive reflection).
+    """
+    b, t_max, _ = feat.shape
+    t = jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [1, T]
+    n = jnp.maximum(num_frames, 1)[:, None]  # [B, 1]
+    out = jnp.zeros_like(feat)
+    for d, w in zip(range(-2, 3), _DERIV_TAPS):
+        if w == 0.0:
+            continue
+        i = t + d
+        i = jnp.where(i < 0, -i - 1, i)
+        i = jnp.where(i >= n, 2 * n - 1 - i, i)
+        # second pass for pathologically short utterances (n <= 2)
+        i = jnp.where(i < 0, -i - 1, i)
+        i = jnp.clip(i, 0, t_max - 1)
+        gathered = jnp.take_along_axis(feat, i[:, :, None], axis=1)
+        out = out + w * gathered
+    return out
