@@ -12,9 +12,11 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import numpy as np
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PaddedBatch:
     """One device-ready batch.

@@ -1,0 +1,11 @@
+"""Neural network classifiers (layer L3).
+
+TPU-first re-design of the reference's neuralNetworks/classifiers/*: pure
+functional param pytrees + jit-compiled forwards over padded ``[B, T, F]``
+batches with frame masks, instead of TF variable scopes over time-major
+tensor lists with gather-based un-padding (seq_convertors.py).
+"""
+
+from tfkaldi_tpu.models.dnn import DNN, DNNConfig
+
+__all__ = ["DNN", "DNNConfig"]

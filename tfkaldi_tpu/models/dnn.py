@@ -1,0 +1,232 @@
+"""Fully-connected DNN acoustic model.
+
+Functional re-design of the reference DNN classifier
+(neuralNetworks/classifiers/dnn.py, layer.py, activation.py):
+
+- per-layer affine → activation chain in the reference's fixed order
+  batchnorm → nonlinearity → l2-norm → dropout (nnet.py:42-72)
+- frame masking replaces the seq2nonseq/nonseq2seq gather sandwich
+  (seq_convertors.py): compute runs over the padded ``[B·T, F]`` block and
+  losses/statistics mask padding frames — static shapes for XLA
+- batchnorm uses *masked* moments so padding frames don't pollute the
+  statistics (the reference's BN only ever saw real frames because of the
+  gather; tf.contrib.layers.batch_norm defaults: center, no scale,
+  eps=1e-3, decay=0.999)
+- layerwise initialisation (dnn.py:81-122): all layers always exist; a
+  ``depth`` counter selects which hidden activation feeds the zero-init
+  output layer, `add` increments it, `init` re-zeroes the output layer
+- weights ~ N(0, 1/sqrt(fan_in)), zero biases (layer.py:39-48); output
+  layer weights zero-init (dnn.py:67-68)
+
+Matmuls run in a configurable ``compute_dtype`` (bfloat16 on the MXU for
+speed; float32 master params) with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any  # nested dict pytree
+
+
+@dataclasses.dataclass(frozen=True)
+class DNNConfig:
+    input_dim: int
+    num_labels: int
+    num_hidden_layers: int = 6
+    num_hidden_units: int = 2048
+    nonlin: str = "relu"  # relu | sigmoid | tanh | linear
+    batch_norm: bool = False
+    l2_norm: bool = False
+    dropout: float = 1.0  # keep probability, reference semantics (nnet.py:70)
+    layerwise_init: bool = False
+    compute_dtype: Any = jnp.float32
+    bn_eps: float = 1e-3
+    bn_decay: float = 0.999
+
+    @classmethod
+    def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "DNNConfig":
+        """Build from a reference-style ``[nnet]`` section dict
+        (config_AURORA4.cfg:102-153)."""
+        return cls(
+            input_dim=input_dim,
+            num_labels=num_labels,
+            num_hidden_layers=int(conf.get("num_hidden_layers", 6)),
+            num_hidden_units=int(conf.get("num_hidden_units", 2048)),
+            nonlin=conf.get("nonlin", "relu"),
+            batch_norm=str(conf.get("batch_norm", "False")) == "True",
+            l2_norm=str(conf.get("l2_norm", "False")) == "True",
+            dropout=float(conf.get("dropout", 1)),
+            layerwise_init=int(conf.get("add_layer_period", 0)) > 0,
+        )
+
+
+class DNN:
+    """Stateless model object: owns the config, provides init/apply."""
+
+    def __init__(self, config: DNNConfig):
+        self.config = config
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array) -> tuple[Params, Params]:
+        """Returns ``(params, state)``.
+
+        ``params`` are trainable; ``state`` holds batchnorm moving stats and
+        the layerwise ``depth`` counter.
+        """
+        cfg = self.config
+        keys = jax.random.split(rng, cfg.num_hidden_layers)
+        layers = []
+        fan_in = cfg.input_dim
+        for l in range(cfg.num_hidden_layers):
+            std = 1.0 / np.sqrt(fan_in)
+            layer = {
+                "w": (jax.random.normal(keys[l], (fan_in, cfg.num_hidden_units)) * std).astype(
+                    jnp.float32
+                ),
+                "b": jnp.zeros((cfg.num_hidden_units,), jnp.float32),
+            }
+            if cfg.batch_norm:
+                layer["beta"] = jnp.zeros((cfg.num_hidden_units,), jnp.float32)
+            layers.append(layer)
+            fan_in = cfg.num_hidden_units
+        params = {
+            "hidden": layers,
+            "out": {
+                "w": jnp.zeros((cfg.num_hidden_units, cfg.num_labels), jnp.float32),
+                "b": jnp.zeros((cfg.num_labels,), jnp.float32),
+            },
+        }
+        state: dict[str, Any] = {"depth": jnp.asarray(0, jnp.int32)}
+        if cfg.batch_norm:
+            state["bn_mean"] = jnp.zeros((cfg.num_hidden_layers, cfg.num_hidden_units), jnp.float32)
+            state["bn_var"] = jnp.ones((cfg.num_hidden_layers, cfg.num_hidden_units), jnp.float32)
+        return params, state
+
+    def reinit_output_layer(self, params: Params) -> Params:
+        """The layerwise `init` control op (dnn.py:112-122): re-zero the
+        output layer (its init is all-zeros, so re-init == zeroing)."""
+        out = {
+            "w": jnp.zeros_like(params["out"]["w"]),
+            "b": jnp.zeros_like(params["out"]["b"]),
+        }
+        return {**params, "out": out}
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+
+    def apply(
+        self,
+        params: Params,
+        state: Params,
+        inputs: jnp.ndarray,  # [B, T, F] float32
+        seq_lengths: jnp.ndarray,  # [B] int32
+        *,
+        train: bool,
+        dropout_rng: jax.Array | None = None,
+    ) -> tuple[jnp.ndarray, Params]:
+        """Returns ``(logits [B, T, num_labels] float32, new_state)``."""
+        cfg = self.config
+        b, t, f = inputs.shape
+        x = inputs.reshape(b * t, f)
+        mask = (jnp.arange(t)[None, :] < seq_lengths[:, None]).reshape(b * t, 1)
+        mask = mask.astype(jnp.float32)
+
+        new_state = dict(state)
+        activations = []
+        h = x
+        for l, layer in enumerate(params["hidden"]):
+            z = _affine(h, layer["w"], layer["b"], cfg.compute_dtype)
+            if cfg.batch_norm:
+                z, new_mean, new_var = _masked_batchnorm(
+                    z,
+                    mask,
+                    layer["beta"],
+                    state["bn_mean"][l],
+                    state["bn_var"][l],
+                    train=train,
+                    eps=cfg.bn_eps,
+                    decay=cfg.bn_decay,
+                )
+                if train:
+                    new_state["bn_mean"] = new_state["bn_mean"].at[l].set(new_mean)
+                    new_state["bn_var"] = new_state["bn_var"].at[l].set(new_var)
+            z = _nonlin(z, cfg.nonlin)
+            if cfg.l2_norm:
+                z = _l2_norm(z)
+            if train and cfg.dropout < 1:
+                if dropout_rng is None:
+                    raise ValueError("dropout requires dropout_rng in training mode")
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, l), cfg.dropout, z.shape
+                )
+                z = jnp.where(keep, z / cfg.dropout, 0.0)
+            activations.append(z)
+            h = z
+
+        if cfg.layerwise_init:
+            stacked = jnp.stack(activations)  # [L, N, H]
+            depth = jnp.clip(state["depth"], 0, cfg.num_hidden_layers - 1)
+            h = jnp.take(stacked, depth, axis=0)
+
+        logits = _affine(h, params["out"]["w"], params["out"]["b"], cfg.compute_dtype)
+        logits = logits.reshape(b, t, cfg.num_labels)
+        return logits, new_state
+
+
+def _affine(x, w, b, compute_dtype):
+    y = jax.lax.dot_general(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _nonlin(z, kind: str):
+    if kind == "relu":
+        return jax.nn.relu(z)
+    if kind == "sigmoid":
+        return jax.nn.sigmoid(z)
+    if kind == "tanh":
+        return jnp.tanh(z)
+    if kind == "linear":
+        return z
+    raise ValueError(f"unknown nonlinearity {kind!r}")
+
+
+def _l2_norm(z):
+    """Divide by the per-frame mean-square where it exceeds 1
+    (activation.py:87-111 — note: mean square, not RMS)."""
+    sig = jnp.mean(jnp.square(z), axis=1, keepdims=True)
+    return jnp.where(sig > 1, z / sig, z)
+
+
+def _masked_batchnorm(z, mask, beta, moving_mean, moving_var, *, train, eps, decay):
+    """Center-only batchnorm over real (unmasked) frames.
+
+    Training uses batch moments of the masked frames and returns updated
+    moving averages ``moving·decay + batch·(1-decay)``; eval uses the
+    moving stats (tf.contrib.layers.batch_norm semantics, activation.py:145-161).
+    """
+    if train:
+        count = jnp.maximum(jnp.sum(mask), 1.0)
+        mean = jnp.sum(z * mask, axis=0) / count
+        var = jnp.sum(jnp.square(z) * mask, axis=0) / count - jnp.square(mean)
+        new_mean = moving_mean * decay + mean * (1.0 - decay)
+        new_var = moving_var * decay + var * (1.0 - decay)
+    else:
+        mean, var = moving_mean, moving_var
+        new_mean, new_var = moving_mean, moving_var
+    out = (z - mean) * jax.lax.rsqrt(var + eps) + beta
+    return out, new_mean, new_var

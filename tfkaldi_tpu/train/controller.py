@@ -1,0 +1,193 @@
+"""Training controller: the reference ``Nnet.train`` state machine
+(neuralNetworks/nnet.py:80-244) in functional-JAX form.
+
+Responsibilities:
+
+- carve off the validation set (first ``valid_batches`` batches, then
+  ``dispenser.split()``; nnet.py:88-96)
+- resume from the checkpoint nearest ``starting_step`` and fast-forward
+  the dispenser (nnet.py:101-108)
+- the training loop: batch → train step → periodic validation; on a
+  validation regression (with ``valid_adapt``) rewind the dispenser,
+  restore the last validated state, halve the learning rate, and retry up
+  to ``valid_retries`` times before terminating (nnet.py:167-207)
+- layerwise growth every ``add_layer_period`` steps (nnet.py:209-229)
+- checkpoints every ``check_freq`` steps, a 'validated' snapshot after
+  every successful validation, 'final' at the end (nnet.py:231-238)
+- the state prior = normalized target bincount → prior.npy (nnet.py:240-244)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from tfkaldi_tpu.data.batching import DeviceBatcher, PaddedBatch
+from tfkaldi_tpu.data.dispenser import BatchDispenser
+from tfkaldi_tpu.train import checkpoint as ckpt
+from tfkaldi_tpu.train.trainer import Trainer, TrainState
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class NnetTrainOptions:
+    """The ``[nnet]`` training-control knobs (config_AURORA4.cfg:102-153)."""
+
+    savedir: str
+    num_epochs: int = 10
+    batch_size: int = 128
+    valid_batches: int = 2
+    valid_frequency: int = 10
+    valid_adapt: bool = True
+    valid_retries: int = 3
+    check_freq: int = 10
+    add_layer_period: int = 0
+    num_hidden_layers: int = 6
+    starting_step: int = 0
+    seed: int = 0
+
+    @classmethod
+    def from_config(cls, conf: dict, savedir: str) -> "NnetTrainOptions":
+        return cls(
+            savedir=savedir,
+            num_epochs=int(conf.get("num_epochs", 10)),
+            batch_size=int(conf.get("batch_size", 128)),
+            valid_batches=int(conf.get("valid_batches", 2)),
+            valid_frequency=int(conf.get("valid_frequency", 10)),
+            valid_adapt=str(conf.get("valid_adapt", "True")) == "True",
+            valid_retries=int(conf.get("valid_retries", 3)),
+            check_freq=int(conf.get("check_freq", 10)),
+            add_layer_period=int(conf.get("add_layer_period", 0)),
+            num_hidden_layers=int(conf.get("num_hidden_layers", 6)),
+            starting_step=0
+            if conf.get("starting_step", "0") == "final"
+            else int(conf.get("starting_step", 0)),
+        )
+
+
+class TrainingController:
+    def __init__(
+        self,
+        trainer: Trainer,
+        dispenser: BatchDispenser,
+        batcher: DeviceBatcher,
+        options: NnetTrainOptions,
+        metrics_hook=None,
+    ):
+        self.trainer = trainer
+        self.dispenser = dispenser
+        self.batcher = batcher
+        self.opt = options
+        self.metrics_hook = metrics_hook or (lambda **kw: None)
+
+    def _to_batch(self, inputs, targets) -> PaddedBatch:
+        return self.batcher(inputs, targets)
+
+    def train(self, state: TrainState | None = None) -> TrainState:
+        opt = self.opt
+        os.makedirs(os.path.join(opt.savedir, "training"), exist_ok=True)
+
+        # validation split (nnet.py:88-96)
+        val_batches: list[PaddedBatch] = []
+        for _ in range(opt.valid_batches):
+            val_batches.append(self._to_batch(*self.dispenser.get_batch()))
+        self.dispenser.split()
+
+        num_steps = int(self.dispenser.num_batches * opt.num_epochs)
+
+        # resume: round starting_step down to a checkpoint and fast-forward
+        step = opt.starting_step - opt.starting_step % opt.check_freq
+        for _ in range(step):
+            self.dispenser.skip_batch()
+
+        if state is None:
+            state = self.trainer.init_state(jax.random.PRNGKey(opt.seed))
+        if step > 0:
+            state = ckpt.restore_state(
+                os.path.join(opt.savedir, "training", f"step{step}"), state
+            )
+
+        rng = jax.random.PRNGKey(opt.seed + 1)
+
+        num_retries = 0
+        validation_loss = None
+        validation_step = step
+        if val_batches:
+            validation_loss = self.trainer.evaluate(state, val_batches)
+            log.info("validation loss at step %d: %f", step, validation_loss)
+            validated = ckpt.device_snapshot(state)
+
+        while step < num_steps:
+            t0 = time.perf_counter()
+            batch = self._to_batch(*self.dispenser.get_batch())
+            state, loss = self.trainer.update(state, batch, jax.random.fold_in(rng, step))
+            loss = float(loss)
+            step_time = time.perf_counter() - t0
+            log.info("step %d/%d loss: %f (%.3fs)", step, num_steps, loss, step_time)
+            self.metrics_hook(
+                step=step, loss=loss, step_time=step_time, num_frames=batch.num_frames
+            )
+            step += 1
+
+            # periodic validation with rollback (nnet.py:167-207)
+            if val_batches and step % opt.valid_frequency == 0:
+                current_loss = self.trainer.evaluate(state, val_batches)
+                log.info("validation loss at step %d: %f", step, current_loss)
+                if opt.valid_adapt:
+                    if current_loss > validation_loss:
+                        for _ in range(step - validation_step):
+                            self.dispenser.return_batch()
+                        state = ckpt.device_snapshot(validated)
+                        state = self.trainer.halve_learning_rate(state)
+                        step = validation_step
+                        if num_retries == opt.valid_retries:
+                            log.info("validation loss is worse, terminating training")
+                            break
+                        log.info(
+                            "validation loss is worse, returning to the previously "
+                            "validated model with halved learning rate"
+                        )
+                        num_retries += 1
+                        continue
+                    validation_loss = current_loss
+                    validation_step = step
+                    num_retries = 0
+                    validated = ckpt.device_snapshot(state)
+                else:
+                    validation_loss = current_loss
+
+            # layerwise growth (nnet.py:209-229)
+            if opt.add_layer_period > 0:
+                if (
+                    step % opt.add_layer_period == 0
+                    and step // opt.add_layer_period < opt.num_hidden_layers
+                ):
+                    log.info(
+                        "adding layer, the model now holds %d/%d layers",
+                        step // opt.add_layer_period + 1,
+                        opt.num_hidden_layers,
+                    )
+                    state = self.trainer.add_layer(state)
+                    if val_batches:
+                        validation_loss = self.trainer.evaluate(state, val_batches)
+                        log.info("validation loss at step %d: %f", step, validation_loss)
+                        validation_step = step
+                        validated = ckpt.device_snapshot(state)
+                        num_retries = 0
+
+            if step % opt.check_freq == 0:
+                ckpt.save_state(os.path.join(opt.savedir, "training", f"step{step}"), state)
+
+        ckpt.save_state(os.path.join(opt.savedir, "final"), state)
+
+        # state prior (nnet.py:240-244)
+        prior = self.dispenser.compute_target_count().astype(np.float32)
+        prior = prior / prior.sum()
+        ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
+        return state
