@@ -70,8 +70,17 @@ class Nnet:
             micro_batches=self._micro_batches(opts.batch_size),
         )
         trainer = Trainer(self.model, trainer_cfg)
-        controller = TrainingController(trainer, dispenser, DeviceBatcher(), opts)
-        return controller.train()
+        from tfkaldi_tpu.utils import MetricsLogger
+
+        metrics = MetricsLogger(os.path.join(self.savedir, "metrics.jsonl"))
+        controller = TrainingController(
+            trainer, dispenser, DeviceBatcher(), opts, metrics_hook=metrics
+        )
+        try:
+            return controller.train()
+        finally:
+            log.info("avg training throughput: %.0f frames/sec", metrics.avg_frames_per_sec)
+            metrics.close()
 
     def decode(self, reader: FeatureReader, writer: ArkWriter) -> int:
         """Emit prior-normalized log pseudo-likelihoods for a test set

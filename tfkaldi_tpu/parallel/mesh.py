@@ -1,0 +1,98 @@
+"""Mesh construction and sharding rules for DNN training.
+
+Layout:
+
+- ``data`` axis: batch dimension of inputs/targets/lengths; gradients are
+  psum-reduced across it by GSPMD (the TPU-native replacement for the
+  reference's microbatch accumulation loop, trainer.py:310-332).
+- ``model`` axis: hidden dimension of the MLP stack. Hidden weights
+  ``[in, H]`` are column-sharded ``P(None, 'model')``, biases/BN state
+  ``P('model')``, the output layer ``[H, O]`` row-sharded
+  ``P('model', None)`` so its matmul reduces over the sharded hidden dim
+  with one psum per step.
+
+Replicated scalars (step, lr_fact) use ``P()``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tfkaldi_tpu.train.trainer import TrainState
+
+
+def make_mesh(devices=None, data: int | None = None, model: int = 1) -> Mesh:
+    """Build a ``(data, model)`` mesh over ``devices``.
+
+    Defaults: all devices on the data axis. ``data=None`` infers
+    ``len(devices)//model``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    if data * model != len(devices):
+        raise ValueError(f"{data}x{model} mesh != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs/targets/lengths: batch dim over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _param_shardings(params: Any, mesh: Mesh) -> Any:
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    hidden = []
+    for _ in params["hidden"]:
+        layer = {"w": ns(P(None, "model")), "b": ns(P("model"))}
+        if "beta" in params["hidden"][0]:
+            layer["beta"] = ns(P("model"))
+        hidden.append(layer)
+    return {
+        "hidden": hidden,
+        "out": {"w": ns(P("model", None)), "b": ns(P())},
+    }
+
+
+def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """A TrainState-shaped pytree of NamedShardings."""
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    params_sh = _param_shardings(state.params, mesh)
+    model_state_sh = {}
+    for key in state.model_state:
+        if key == "depth":
+            model_state_sh[key] = ns(P())
+        else:  # bn_mean / bn_var: [L, H] over model
+            model_state_sh[key] = ns(P(None, "model"))
+    return TrainState(
+        step=ns(P()),
+        lr_fact=ns(P()),
+        params=params_sh,
+        model_state=model_state_sh,
+        adam_m=params_sh,
+        adam_v=params_sh,
+        adam_t=ns(P()),
+    )
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState onto the mesh with the standard shardings."""
+    shardings = state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a PaddedBatch onto the mesh, batch dim over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)
