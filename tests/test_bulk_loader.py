@@ -1,0 +1,75 @@
+"""Bulk native batch source vs the Python dispenser path."""
+
+import numpy as np
+import pytest
+
+from tests.synthetic import make_featdir
+from tfkaldi_tpu.io import native, read_alignments
+from tfkaldi_tpu.data import (
+    AlignmentBatchDispenser,
+    AlignmentCoder,
+    DeviceBatcher,
+    FeatureReader,
+    identity_normalizer,
+)
+from tfkaldi_tpu.data.bulk_loader import BulkAlignmentBatchSource
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+def _both(tmp_path, batch=4, context=2, bucket=16):
+    featdir, alifile, info = make_featdir(tmp_path, num_speakers=2, utts_per_speaker=6)
+    reader = FeatureReader(
+        f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", context, 60
+    )
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    disp = AlignmentBatchDispenser(reader, coder, batch, alifile)
+    batcher = DeviceBatcher(bucket_multiple=bucket)
+
+    bulk = BulkAlignmentBatchSource(
+        f"{featdir}/feats.scp",
+        f"{featdir}/cmvn.scp",
+        f"{featdir}/utt2spk",
+        context,
+        read_alignments(alifile),
+        batch,
+        bucket_multiple=bucket,
+    )
+    return disp, batcher, bulk
+
+
+def test_bulk_matches_python_dispenser(tmp_path):
+    disp, batcher, bulk = _both(tmp_path)
+    for _ in range(3):
+        py_batch = batcher(*disp.get_batch())
+        nat_batch = bulk.get_batch()
+        np.testing.assert_array_equal(py_batch.input_lengths, nat_batch.input_lengths)
+        np.testing.assert_array_equal(py_batch.targets, nat_batch.targets)
+        assert py_batch.inputs.shape == nat_batch.inputs.shape
+        np.testing.assert_allclose(py_batch.inputs, nat_batch.inputs, atol=1e-5)
+
+
+def test_bulk_cursor_semantics(tmp_path):
+    _, _, bulk = _both(tmp_path)
+    b0 = bulk.get_batch()
+    bulk.return_batch()
+    b0_again = bulk.get_batch()
+    np.testing.assert_array_equal(np.asarray(b0.inputs), np.asarray(b0_again.inputs))
+    bulk.skip_batch()
+    b2 = bulk.get_batch()
+    assert not np.array_equal(np.asarray(b0.inputs), np.asarray(b2.inputs))
+
+
+def test_bulk_split(tmp_path):
+    _, _, bulk = _both(tmp_path)
+    assert bulk.num_utt == 12
+    bulk.get_batch()
+    bulk.split()
+    assert bulk.num_utt == 8
+
+
+def test_bulk_prior_counts(tmp_path):
+    disp, _, bulk = _both(tmp_path)
+    np.testing.assert_array_equal(
+        bulk.compute_target_count(), disp.compute_target_count()
+    )

@@ -79,12 +79,14 @@ class TrainingController:
         batcher: DeviceBatcher,
         options: NnetTrainOptions,
         metrics_hook=None,
+        prefetch_depth: int = 2,
     ):
         self.trainer = trainer
         self.dispenser = dispenser
         self.batcher = batcher
         self.opt = options
         self.metrics_hook = metrics_hook or (lambda **kw: None)
+        self.prefetch_depth = prefetch_depth
 
     def _to_batch(self, inputs, targets) -> PaddedBatch:
         return self.batcher(inputs, targets)
@@ -123,9 +125,46 @@ class TrainingController:
             log.info("validation loss at step %d: %f", step, validation_loss)
             validated = ckpt.device_snapshot(state)
 
+        # async host→device staging, `prefetch_depth` batches ahead
+        from tfkaldi_tpu.data.prefetch import PrefetchingBatchSource
+
+        source = PrefetchingBatchSource(
+            self.dispenser, self.batcher, depth=self.prefetch_depth
+        )
+        try:
+            state = self._train_loop(
+                state, source, rng, step, num_steps, val_batches,
+                validation_loss, validation_step, num_retries,
+                validated if val_batches else None,
+            )
+        finally:
+            source.close()
+
+        ckpt.save_state(os.path.join(opt.savedir, "final"), state)
+
+        # state prior (nnet.py:240-244)
+        prior = self.dispenser.compute_target_count().astype(np.float32)
+        prior = prior / prior.sum()
+        ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
+        return state
+
+    def _train_loop(
+        self,
+        state,
+        source,
+        rng,
+        step,
+        num_steps,
+        val_batches,
+        validation_loss,
+        validation_step,
+        num_retries,
+        validated,
+    ):
+        opt = self.opt
         while step < num_steps:
             t0 = time.perf_counter()
-            batch = self._to_batch(*self.dispenser.get_batch())
+            batch = source.next()
             state, loss = self.trainer.update(state, batch, jax.random.fold_in(rng, step))
             loss = float(loss)
             step_time = time.perf_counter() - t0
@@ -141,8 +180,8 @@ class TrainingController:
                 log.info("validation loss at step %d: %f", step, current_loss)
                 if opt.valid_adapt:
                     if current_loss > validation_loss:
-                        for _ in range(step - validation_step):
-                            self.dispenser.return_batch()
+                        # rewind consumed + prefetched batches (nnet.py:179-181)
+                        source.rewind(step - validation_step)
                         state = ckpt.device_snapshot(validated)
                         state = self.trainer.halve_learning_rate(state)
                         step = validation_step
@@ -184,10 +223,4 @@ class TrainingController:
             if step % opt.check_freq == 0:
                 ckpt.save_state(os.path.join(opt.savedir, "training", f"step{step}"), state)
 
-        ckpt.save_state(os.path.join(opt.savedir, "final"), state)
-
-        # state prior (nnet.py:240-244)
-        prior = self.dispenser.compute_target_count().astype(np.float32)
-        prior = prior / prior.sum()
-        ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
         return state
