@@ -211,3 +211,24 @@ def test_cli_train_and_likelihoods(workspace):
     likes = ArkReader(str(decodedir / "feats.scp"))
     mat = likes.read_utt(likes.utt_ids[0])
     assert mat.shape[1] == num_labels and np.all(np.isfinite(mat))
+
+
+def test_cli_ctc_train_and_decode(workspace):
+    """`loss = ctc` in [nnet] switches the driver to the character-CTC
+    pipeline: TextBatchDispenser training + greedy text decode."""
+    tmp, cfg, _ = workspace
+    ctc_cfg = tmp / "config_ctc.cfg"
+    text = cfg.read_text().replace("name = cli_nnet", "name = cli_ctc_nnet")
+    text = text.replace("[nnet]", "[nnet]\nloss = ctc\nnormalizer = aurora4")
+    ctc_cfg.write_text(text)
+
+    rc = main(["--config", str(ctc_cfg), "--steps", "train_nnet"])
+    assert rc == 0
+    assert (tmp / "expdir" / "cli_ctc_nnet" / "final").is_dir()
+
+    rc = main(["--config", str(ctc_cfg), "--steps", "test_nnet"])
+    assert rc == 0
+    out = tmp / "expdir" / "cli_ctc_nnet" / "decode" / "text"
+    lines = out.read_text().splitlines()
+    assert len(lines) == 6
+    assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)

@@ -138,8 +138,14 @@ def main(argv=None) -> int:
         return 0
 
     # ---- DNN stages (main.py:117-201) ----
-    from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
-    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+    from tfkaldi_tpu.data import (
+        AlignmentBatchDispenser,
+        AlignmentCoder,
+        FeatureReader,
+        TextBatchDispenser,
+        TextCoder,
+    )
+    from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer, identity_normalizer
     from tfkaldi_tpu.io import ArkReader, ArkWriter
     from tfkaldi_tpu.nnet import Nnet
 
@@ -150,13 +156,26 @@ def main(argv=None) -> int:
     input_dim = features.shape[1]
     reader.close()
 
-    # number of output labels from the graph's num_pdfs (main.py:123-126)
-    gmm_name = config.get("nnet", "gmm_name")
-    numpdfs_file = os.path.join(
-        config.get("directories", "expdir"), gmm_name, "graph", "num_pdfs"
+    # character-CTC variant: labels come from the TextCoder alphabet, not
+    # the GMM tree (the reference's CTC path was never finished)
+    ctc = config.has_option("nnet", "loss") and config.get("nnet", "loss") == "ctc"
+    normalizer = (
+        aurora4_normalizer
+        if config.has_option("nnet", "normalizer")
+        and config.get("nnet", "normalizer") == "aurora4"
+        else identity_normalizer
     )
-    with open(numpdfs_file) as fid:
-        num_labels = int(fid.read().strip())
+    gmm_name = config.get("nnet", "gmm_name") if not ctc else None
+    if ctc:
+        text_coder = TextCoder(normalizer)
+        num_labels = text_coder.num_labels
+    else:
+        # number of output labels from the graph's num_pdfs (main.py:123-126)
+        numpdfs_file = os.path.join(
+            config.get("directories", "expdir"), gmm_name, "graph", "num_pdfs"
+        )
+        with open(numpdfs_file) as fid:
+            num_labels = int(fid.read().strip())
 
     nnet = Nnet(config, input_dim, num_labels)
 
@@ -164,18 +183,6 @@ def main(argv=None) -> int:
         if config.get("nnet", "starting_step") == "0":
             log.info("------- shuffling examples ----------")
             shuffle_examples(train_featdir)
-
-        # merge per-job alignments (main.py:139-142)
-        gmm = {"mono_gmm": MonoGmm, "tri_gmm": TriGmm}.get(gmm_name)
-        expdir = os.path.join(config.get("directories", "expdir"), gmm_name)
-        alifile = os.path.join(expdir, "ali", "pdf.all.gz")
-        if not os.path.isfile(alifile):
-            import gzip
-
-            with gzip.open(alifile, "wt") as out:
-                for i in range(1, int(config.get("general", "num_jobs")) + 1):
-                    with gzip.open(os.path.join(expdir, "ali", f"pdf.{i}.gz"), "rt") as p:
-                        out.write(p.read())
 
         with open(os.path.join(train_featdir, "maxlength")) as fid:
             max_input_length = int(fid.read())
@@ -186,10 +193,27 @@ def main(argv=None) -> int:
             int(config.get("nnet", "context_width")),
             max_input_length,
         )
-        coder = AlignmentCoder(identity_normalizer, num_labels)
-        dispenser = AlignmentBatchDispenser(
-            featreader, coder, int(config.get("nnet", "batch_size")), alifile
-        )
+        batch_size = int(config.get("nnet", "batch_size"))
+        if ctc:
+            dispenser = TextBatchDispenser(
+                featreader, text_coder, batch_size,
+                os.path.join(train_featdir, "text"),
+            )
+        else:
+            # merge per-job alignments (main.py:139-142)
+            expdir = os.path.join(config.get("directories", "expdir"), gmm_name)
+            alifile = os.path.join(expdir, "ali", "pdf.all.gz")
+            if not os.path.isfile(alifile):
+                import gzip
+
+                with gzip.open(alifile, "wt") as out:
+                    for i in range(1, int(config.get("general", "num_jobs")) + 1):
+                        with gzip.open(
+                            os.path.join(expdir, "ali", f"pdf.{i}.gz"), "rt"
+                        ) as p:
+                            out.write(p.read())
+            coder = AlignmentCoder(identity_normalizer, num_labels)
+            dispenser = AlignmentBatchDispenser(featreader, coder, batch_size, alifile)
         log.info("------- training neural net ----------")
         nnet.train(dispenser)
 
@@ -209,6 +233,11 @@ def main(argv=None) -> int:
             int(config.get("nnet", "context_width")),
             max_length,
         )
+        if ctc:
+            out = os.path.join(decodedir, "text")
+            nnet.decode_text(featreader, text_coder, out)
+            log.info("wrote CTC transcriptions to %s", out)
+            return 0
         like_path = os.path.join(decodedir, "likelihoods.ark")
         if os.path.isfile(like_path):
             os.remove(like_path)

@@ -44,7 +44,14 @@ class Nnet:
         # spliced input dimension (nnet.py:39-40)
         self.input_dim = input_dim * (2 * context_width + 1)
         self.num_labels = num_labels
-        self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, num_labels))
+        # loss selector — the reference hardcodes CrossEnthropyTrainer and
+        # ships a broken CTCTrainer (trainer.py:533-570); here `loss = ctc`
+        # in [nnet] enables the working character-CTC path (blank = extra
+        # final class)
+        self.loss_type = self.conf.get("loss", "cross_entropy")
+        output_dim = num_labels + 1 if self.loss_type == "ctc" else num_labels
+        self.blank_id = num_labels if self.loss_type == "ctc" else None
+        self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))
 
     def _micro_batches(self, batch_size: int) -> int:
         """Map ``numutterances_per_minibatch`` (microbatch SIZE, -1 = whole
@@ -67,7 +74,9 @@ class Nnet:
             init_learning_rate=float(self.conf.get("initial_learning_rate", 1e-3)),
             learning_rate_decay=float(self.conf.get("learning_rate_decay", 1)),
             num_steps=num_steps,
+            loss_type=self.loss_type,
             micro_batches=self._micro_batches(opts.batch_size),
+            ctc_blank_id=self.blank_id if self.blank_id is not None else 0,
         )
         trainer = Trainer(self.model, trainer_cfg)
         from tfkaldi_tpu.utils import MetricsLogger
@@ -92,5 +101,24 @@ class Nnet:
         decoder = Decoder(self.model, state.params, state.model_state, prior)
         count = decoder.decode_to_writer(reader, writer)
         writer.close()
+        log.info("decoded %d utterances", count)
+        return count
+
+    def decode_text(self, reader: FeatureReader, coder, outfile: str) -> int:
+        """Greedy-CTC decode a test set to a Kaldi-style ``text`` file.
+
+        Only valid for a net trained with ``loss = ctc`` (the reference has
+        no working CTC decode at all)."""
+        if self.loss_type != "ctc":
+            raise ValueError("decode_text requires a CTC-trained net (loss = ctc)")
+        from tfkaldi_tpu.decode.ctc import CTCDecoder
+
+        trainer = Trainer(self.model, TrainerConfig())
+        template = trainer.init_state(jax.random.PRNGKey(0))
+        state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
+        decoder = CTCDecoder(
+            self.model, state.params, state.model_state, coder, self.blank_id
+        )
+        count = decoder.decode_to_file(reader, outfile)
         log.info("decoded %d utterances", count)
         return count

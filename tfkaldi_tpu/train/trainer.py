@@ -126,7 +126,12 @@ class Trainer:
             loss = jnp.sum(per_seq)
         else:
             raise ValueError(f"unknown loss {self.config.loss_type!r}")
-        num_frames = jnp.sum(batch.target_lengths).astype(jnp.float32)
+        # frame-weighted divisor (trainer.py:130-133): for frame targets the
+        # two lengths coincide; CTC normalizes by real *input* frames
+        if self.config.loss_type == "ctc":
+            num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
+        else:
+            num_frames = jnp.sum(batch.target_lengths).astype(jnp.float32)
         return loss, (new_state, num_frames)
 
     # ------------------------------------------------------------------
