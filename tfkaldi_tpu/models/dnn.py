@@ -179,18 +179,21 @@ class DNN:
             h = jnp.take(stacked, depth, axis=0)
 
         logits = _affine(h, params["out"]["w"], params["out"]["b"], cfg.compute_dtype)
-        logits = logits.reshape(b, t, cfg.num_labels)
+        logits = logits.astype(jnp.float32).reshape(b, t, cfg.num_labels)
         return logits, new_state
 
 
 def _affine(x, w, b, compute_dtype):
+    """Matmul on the MXU in ``compute_dtype`` with f32 accumulation; the
+    result is stored back in ``compute_dtype`` so the elementwise chain
+    (bn/nonlin/l2norm/dropout) rides HBM at half width when bf16."""
     y = jax.lax.dot_general(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return y + b.astype(jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(compute_dtype)
 
 
 def _nonlin(z, kind: str):
@@ -208,8 +211,8 @@ def _nonlin(z, kind: str):
 def _l2_norm(z):
     """Divide by the per-frame mean-square where it exceeds 1
     (activation.py:87-111 — note: mean square, not RMS)."""
-    sig = jnp.mean(jnp.square(z), axis=1, keepdims=True)
-    return jnp.where(sig > 1, z / sig, z)
+    sig = jnp.mean(jnp.square(z.astype(jnp.float32)), axis=1, keepdims=True)
+    return jnp.where(sig > 1, z / sig.astype(z.dtype), z)
 
 
 def _masked_batchnorm(z, mask, beta, moving_mean, moving_var, *, train, eps, decay):
@@ -219,14 +222,15 @@ def _masked_batchnorm(z, mask, beta, moving_mean, moving_var, *, train, eps, dec
     moving averages ``moving·decay + batch·(1-decay)``; eval uses the
     moving stats (tf.contrib.layers.batch_norm semantics, activation.py:145-161).
     """
+    zf = z.astype(jnp.float32)  # f32 statistics even for bf16 activations
     if train:
         count = jnp.maximum(jnp.sum(mask), 1.0)
-        mean = jnp.sum(z * mask, axis=0) / count
-        var = jnp.sum(jnp.square(z) * mask, axis=0) / count - jnp.square(mean)
+        mean = jnp.sum(zf * mask, axis=0) / count
+        var = jnp.sum(jnp.square(zf) * mask, axis=0) / count - jnp.square(mean)
         new_mean = moving_mean * decay + mean * (1.0 - decay)
         new_var = moving_var * decay + var * (1.0 - decay)
     else:
         mean, var = moving_mean, moving_var
         new_mean, new_var = moving_mean, moving_var
-    out = (z - mean) * jax.lax.rsqrt(var + eps) + beta
+    out = ((zf - mean) * jax.lax.rsqrt(var + eps) + beta).astype(z.dtype)
     return out, new_mean, new_var
