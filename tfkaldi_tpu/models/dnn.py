@@ -48,6 +48,10 @@ class DNNConfig:
     compute_dtype: Any = jnp.float32
     bn_eps: float = 1e-3
     bn_decay: float = 0.999
+    # inference-mode hidden layers through the fused Pallas kernel
+    # (ops/fused_mlp.py): matmul + bias + BN affine + relu in one VMEM pass.
+    # Training mode always stays in XLA (batch moments need all-N reductions).
+    use_pallas_ffn: bool = False
 
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "DNNConfig":
@@ -144,6 +148,44 @@ class DNN:
         new_state = dict(state)
         activations = []
         h = x
+
+        # fused inference path: relu((h @ w + b) · scale + shift) per layer
+        # in one Pallas kernel. Only when the elementwise chain matches the
+        # kernel epilogue (no l2norm; eval-mode BN affine; relu/linear).
+        use_fused = (
+            cfg.use_pallas_ffn
+            and not train
+            and not cfg.l2_norm
+            and cfg.nonlin in ("relu", "linear")
+            and x.shape[0] % 512 == 0
+            and cfg.num_hidden_units % 512 == 0
+        )
+        if use_fused:
+            from tfkaldi_tpu.ops import fused_ffn_block
+
+            for l, layer in enumerate(params["hidden"]):
+                if cfg.batch_norm:
+                    scale = jax.lax.rsqrt(state["bn_var"][l] + cfg.bn_eps)
+                    shift = layer["beta"] - state["bn_mean"][l] * scale
+                else:
+                    scale = shift = None
+                h = fused_ffn_block(
+                    h.astype(cfg.compute_dtype),
+                    layer["w"].astype(cfg.compute_dtype),
+                    layer["b"],
+                    scale,
+                    shift,
+                    relu=cfg.nonlin == "relu",
+                )
+                activations.append(h)
+            if cfg.layerwise_init:
+                stacked = jnp.stack(activations)
+                depth = jnp.clip(state["depth"], 0, cfg.num_hidden_layers - 1)
+                h = jnp.take(stacked, depth, axis=0)
+            logits = _affine(h, params["out"]["w"], params["out"]["b"], cfg.compute_dtype)
+            logits = logits.astype(jnp.float32).reshape(b, t, cfg.num_labels)
+            return logits, new_state
+
         for l, layer in enumerate(params["hidden"]):
             z = _affine(h, layer["w"], layer["b"], cfg.compute_dtype)
             if cfg.batch_norm:

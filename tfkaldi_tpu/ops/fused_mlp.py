@@ -5,14 +5,21 @@ cheap elementwise work (bias, inference-mode batchnorm affine, relu;
 models/dnn.py). XLA fuses the elementwise tail into the matmul epilogue
 already; this kernel exists to (a) pin the fusion guarantee, (b) control
 the VMEM tiling explicitly, and (c) serve as the template for further
-cross-layer fusion. ``tfkaldi_tpu.models.dnn`` uses it when
-``DNNConfig.use_pallas_ffn`` is on and falls back to jnp otherwise (the
+cross-layer fusion. ``tfkaldi_tpu.models.dnn`` routes inference-mode hidden
+layers through it when ``DNNConfig.use_pallas_ffn`` is on and the layer's
+elementwise chain matches the epilogue, falling back to jnp otherwise (the
 numerics match to f32 accumulation order).
 
 The batchnorm here is the *inference* form: a precomputed per-channel
 affine ``scale = rsqrt(var+eps)``, ``shift = beta - mean*scale`` folded
 into the epilogue. Training-mode BN needs batch moments over all N and
 stays in XLA.
+
+Measured on v5e (flagship 6x2048 eval forward, bf16): XLA 4.7 ms vs this
+kernel 6.0 ms with bit-identical outputs — XLA's epilogue fusion already
+covers this pattern, so ``use_pallas_ffn`` stays **off by default** and the
+kernel serves as the verified template for fusions XLA can't do (e.g.
+cross-layer chaining), not as a drop-in speedup.
 """
 
 from __future__ import annotations
@@ -46,10 +53,34 @@ def _ffn_kernel(x_ref, w_ref, b_ref, scale_ref, shift_ref, o_ref, acc_ref, *, n_
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+def fused_ffn_block(
+    x,
+    w,
+    b,
+    scale=None,
+    shift=None,
+    *,
+    relu: bool = True,
+    tile_n: int = 512,
+    tile_m: int = 512,
+    tile_k: int = 512,
+    interpret: bool | None = None,
+):
+    """See :func:`_fused_ffn_block`. ``interpret=None`` auto-selects the
+    Pallas interpreter off-TPU (CPU test meshes)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_ffn_block(
+        x, w, b, scale, shift,
+        relu=relu, tile_n=tile_n, tile_m=tile_m, tile_k=tile_k,
+        interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("relu", "tile_n", "tile_m", "tile_k", "interpret")
 )
-def fused_ffn_block(
+def _fused_ffn_block(
     x,
     w,
     b,
