@@ -81,9 +81,26 @@ class Nnet:
         trainer = Trainer(self.model, trainer_cfg)
         from tfkaldi_tpu.utils import MetricsLogger
 
+        # multi-chip: all local devices on the data axis; GSPMD psums the
+        # grads over ICI (config key `model_parallel` adds a model axis)
+        mesh = None
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            model_axis = int(self.conf.get("model_parallel", 1))
+            if opts.batch_size % max(n_dev // model_axis, 1) == 0:
+                from tfkaldi_tpu.parallel import make_mesh
+
+                mesh = make_mesh(model=model_axis)
+                log.info("training on %s mesh", dict(zip(mesh.axis_names, mesh.devices.shape)))
+            else:
+                log.warning(
+                    "batch_size %d not divisible by %d devices; training single-device",
+                    opts.batch_size, n_dev,
+                )
+
         metrics = MetricsLogger(os.path.join(self.savedir, "metrics.jsonl"))
         controller = TrainingController(
-            trainer, dispenser, DeviceBatcher(), opts, metrics_hook=metrics
+            trainer, dispenser, DeviceBatcher(), opts, metrics_hook=metrics, mesh=mesh
         )
         try:
             return controller.train()

@@ -80,16 +80,31 @@ class TrainingController:
         options: NnetTrainOptions,
         metrics_hook=None,
         prefetch_depth: int = 2,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — training state is
+        sharded per ``parallel.mesh.state_shardings`` and every batch is
+        placed batch-dim-over-'data' so GSPMD runs the step SPMD with grad
+        psums over ICI (the TPU-native replacement for the reference's
+        in-graph accumulation loop, trainer.py:310-354)."""
         self.trainer = trainer
         self.dispenser = dispenser
         self.batcher = batcher
         self.opt = options
         self.metrics_hook = metrics_hook or (lambda **kw: None)
         self.prefetch_depth = prefetch_depth
+        self.mesh = mesh
 
     def _to_batch(self, inputs, targets) -> PaddedBatch:
-        return self.batcher(inputs, targets)
+        batch = self.batcher(inputs, targets)
+        return self._place(batch)
+
+    def _place(self, batch: PaddedBatch) -> PaddedBatch:
+        if self.mesh is not None:
+            from tfkaldi_tpu.parallel import shard_batch
+
+            return shard_batch(batch, self.mesh)
+        return batch
 
     def train(self, state: TrainState | None = None) -> TrainState:
         opt = self.opt
@@ -110,6 +125,10 @@ class TrainingController:
 
         if state is None:
             state = self.trainer.init_state(jax.random.PRNGKey(opt.seed))
+            if self.mesh is not None:
+                from tfkaldi_tpu.parallel import shard_state
+
+                state = shard_state(state, self.mesh)
         if step > 0:
             state = ckpt.restore_state(
                 os.path.join(opt.savedir, "training", f"step{step}"), state
@@ -129,7 +148,10 @@ class TrainingController:
         from tfkaldi_tpu.data.prefetch import PrefetchingBatchSource
 
         source = PrefetchingBatchSource(
-            self.dispenser, self.batcher, depth=self.prefetch_depth
+            self.dispenser,
+            self.batcher,
+            depth=self.prefetch_depth,
+            device_put=self._place if self.mesh is not None else None,
         )
         try:
             state = self._train_loop(
