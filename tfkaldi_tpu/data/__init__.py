@@ -16,8 +16,11 @@ from tfkaldi_tpu.data.dispenser import (
     TextBatchDispenser,
 )
 from tfkaldi_tpu.data.batching import DeviceBatcher, PaddedBatch
+from tfkaldi_tpu.data.sharding import shard_scp, shard_scp_lines
 
 __all__ = [
+    "shard_scp",
+    "shard_scp_lines",
     "AlignmentCoder",
     "TargetCoder",
     "TextCoder",

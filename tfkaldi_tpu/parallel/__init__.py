@@ -16,6 +16,7 @@ from tfkaldi_tpu.parallel.mesh import (
     shard_state,
     state_shardings,
 )
+from tfkaldi_tpu.parallel.multihost import global_batch_from_local, initialize
 
 __all__ = [
     "make_mesh",
@@ -23,4 +24,6 @@ __all__ = [
     "state_shardings",
     "shard_batch",
     "shard_state",
+    "global_batch_from_local",
+    "initialize",
 ]
