@@ -99,14 +99,41 @@ class Nnet:
                 )
 
         metrics = MetricsLogger(os.path.join(self.savedir, "metrics.jsonl"))
+
+        # TensorBoard summaries (reference trainer.py:207-211, 249-258)
+        viz = None
+        metrics_hook = metrics
+        validation_hook = None
+        if str(self.conf.get("visualise", "False")) == "True":
+            from tfkaldi_tpu.utils.visualize import TensorBoardVisualizer
+
+            viz = TensorBoardVisualizer(os.path.join(self.savedir, "logdir"))
+
+            def metrics_hook(**kw):
+                metrics(**kw)
+                viz(**kw)
+
+            validation_hook = viz.validation
+
         controller = TrainingController(
-            trainer, dispenser, DeviceBatcher(), opts, metrics_hook=metrics, mesh=mesh
+            trainer,
+            dispenser,
+            DeviceBatcher(),
+            opts,
+            metrics_hook=metrics_hook,
+            mesh=mesh,
+            validation_hook=validation_hook,
         )
         try:
-            return controller.train()
+            state = controller.train()
+            if viz is not None:
+                viz.params(int(state.step), state.params)
+            return state
         finally:
             log.info("avg training throughput: %.0f frames/sec", metrics.avg_frames_per_sec)
             metrics.close()
+            if viz is not None:
+                viz.close()
 
     def decode(self, reader: FeatureReader, writer: ArkWriter) -> int:
         """Emit prior-normalized log pseudo-likelihoods for a test set

@@ -81,6 +81,7 @@ class TrainingController:
         metrics_hook=None,
         prefetch_depth: int = 2,
         mesh=None,
+        validation_hook=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — training state is
         sharded per ``parallel.mesh.state_shardings`` and every batch is
@@ -92,6 +93,7 @@ class TrainingController:
         self.batcher = batcher
         self.opt = options
         self.metrics_hook = metrics_hook or (lambda **kw: None)
+        self.validation_hook = validation_hook or (lambda step, loss: None)
         self.prefetch_depth = prefetch_depth
         self.mesh = mesh
 
@@ -200,6 +202,7 @@ class TrainingController:
             if val_batches and step % opt.valid_frequency == 0:
                 current_loss = self.trainer.evaluate(state, val_batches)
                 log.info("validation loss at step %d: %f", step, current_loss)
+                self.validation_hook(step, current_loss)
                 if opt.valid_adapt:
                     if current_loss > validation_loss:
                         # rewind consumed + prefetched batches (nnet.py:179-181)
