@@ -57,3 +57,23 @@ def test_prefetch_partial_rewind(tmp_path):
         again = source.next()
     np.testing.assert_array_equal(np.asarray(b1.inputs), np.asarray(again.inputs))
     assert not np.array_equal(np.asarray(b0.inputs), np.asarray(again.inputs))
+
+
+def test_worker_failure_raises_in_next():
+    """A dispenser exception on the worker thread surfaces in next()
+    instead of deadlocking the training loop."""
+    import pytest
+
+    from tfkaldi_tpu.data.batching import DeviceBatcher
+    from tfkaldi_tpu.data.prefetch import PrefetchingBatchSource
+
+    class BoomDispenser:
+        def get_batch(self):
+            raise ValueError("boom")
+
+    src = PrefetchingBatchSource(BoomDispenser(), DeviceBatcher(), depth=1)
+    try:
+        with pytest.raises(RuntimeError, match="prefetch worker failed"):
+            src.next()
+    finally:
+        src.close()

@@ -24,6 +24,8 @@ import jax
 from tfkaldi_tpu.data.batching import DeviceBatcher, PaddedBatch
 from tfkaldi_tpu.data.dispenser import BatchDispenser
 
+_WORKER_FAILED = object()  # queue sentinel: worker thread died, see _error
+
 
 class PrefetchingBatchSource:
     """Pulls batches from a dispenser on a worker thread, device-staged."""
@@ -44,6 +46,7 @@ class PrefetchingBatchSource:
         self._lock = threading.Lock()  # guards dispenser cursor + _in_flight
         self._in_flight = 0  # batches read from the dispenser, not yet consumed
         self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
         self._start_worker()
 
     # ------------------------------------------------------------------
@@ -54,16 +57,25 @@ class PrefetchingBatchSource:
         self._thread.start()
 
     def _worker(self) -> None:
-        while not self._stop.is_set():
-            with self._lock:
-                if self._stop.is_set():
-                    return
-                inputs, targets = self.dispenser.get_batch()
-                self._in_flight += 1
-            batch = self.device_put(self.batcher(inputs, targets))
+        try:
+            while not self._stop.is_set():
+                with self._lock:
+                    if self._stop.is_set():
+                        return
+                    inputs, targets = self.dispenser.get_batch()
+                    self._in_flight += 1
+                batch = self.device_put(self.batcher(inputs, targets))
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface in next() instead of hanging it
+            self._error = e
             while not self._stop.is_set():
                 try:
-                    self._queue.put(batch, timeout=0.1)
+                    self._queue.put(_WORKER_FAILED, timeout=0.1)
                     break
                 except queue.Full:
                     continue
@@ -71,8 +83,11 @@ class PrefetchingBatchSource:
     # ------------------------------------------------------------------
 
     def next(self) -> PaddedBatch:
-        """Blocking fetch of the next device-resident batch."""
+        """Blocking fetch of the next device-resident batch. Re-raises any
+        exception the worker thread died on."""
         batch = self._queue.get()
+        if batch is _WORKER_FAILED:
+            raise RuntimeError("prefetch worker failed") from self._error
         with self._lock:
             self._in_flight -= 1
         return batch
