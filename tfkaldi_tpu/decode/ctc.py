@@ -35,33 +35,71 @@ def collapse_ctc_path(path: np.ndarray, blank_id: int) -> np.ndarray:
 
 
 class CTCDecoder:
-    """Batched greedy CTC decoder emitting text transcriptions."""
+    """Batched CTC decoder emitting text transcriptions.
 
-    def __init__(self, model: DNN, params, model_state, coder: TargetCoder, blank_id: int):
+    ``beam_width=1`` is best-path (greedy): the device argmaxes the whole
+    batch in one dispatch. ``beam_width>1`` runs prefix beam search on the
+    host over device-computed log-posteriors — native C++
+    (native/ctc_beam.cpp) when available, pure Python otherwise.
+    """
+
+    def __init__(
+        self,
+        model: DNN,
+        params,
+        model_state,
+        coder: TargetCoder,
+        blank_id: int,
+        beam_width: int = 1,
+    ):
         self.model = model
         self.params = params
         self.model_state = model_state
         self.coder = coder
         self.blank_id = int(blank_id)
-        self._fn = jax.jit(self._compute)
+        self.beam_width = int(beam_width)
+        self._fn = jax.jit(self._compute_argmax)
+        self._logprob_fn = jax.jit(self._compute_logprobs)
 
-    def _compute(self, inputs, lengths, params, model_state):
+    def _forward(self, inputs, lengths, params, model_state):
         logits, _ = self.model.apply(params, model_state, inputs, lengths, train=False)
+        return logits
+
+    def _compute_argmax(self, inputs, lengths, params, model_state):
+        logits = self._forward(inputs, lengths, params, model_state)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _compute_logprobs(self, inputs, lengths, params, model_state):
+        logits = self._forward(inputs, lengths, params, model_state)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
         """``[B, T, F]`` padded features → list of collapsed label-id arrays."""
-        paths = np.asarray(
-            self._fn(
-                jnp.asarray(inputs),
-                jnp.asarray(lengths, jnp.int32),
-                self.params,
-                self.model_state,
-            )
+        args = (
+            jnp.asarray(inputs),
+            jnp.asarray(lengths, jnp.int32),
+            self.params,
+            self.model_state,
         )
+        if self.beam_width <= 1:
+            paths = np.asarray(self._fn(*args))
+            return [
+                collapse_ctc_path(paths[i, : int(lengths[i])], self.blank_id)
+                for i in range(paths.shape[0])
+            ]
+
+        log_probs = np.asarray(self._logprob_fn(*args))
+        from tfkaldi_tpu.decode import native_beam
+
+        if native_beam.available():
+            return native_beam.ctc_beam_search_batch_native(
+                log_probs, lengths, self.blank_id, self.beam_width
+            )
+        from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
+
         return [
-            collapse_ctc_path(paths[i, : int(lengths[i])], self.blank_id)
-            for i in range(paths.shape[0])
+            ctc_beam_search_py(log_probs[i, : int(lengths[i])], self.blank_id, self.beam_width)
+            for i in range(log_probs.shape[0])
         ]
 
     def decode_to_file(

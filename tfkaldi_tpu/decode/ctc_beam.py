@@ -1,0 +1,86 @@
+"""CTC prefix beam search (Hannun et al. 2014-style) over log posteriors.
+
+The TPU computes the frame log-posteriors for a whole batch in one
+dispatch (decode/ctc.py); the sequential prefix search runs on the host,
+where its dynamic prefix set is cheap (V≈36 characters, beam≈32) and
+hostile to XLA's static shapes. A C++ implementation (native/ctc_beam.cpp,
+via tfkaldi_tpu.io.native) is used when available; this module is the
+pure-Python reference and fallback.
+
+The reference framework has no CTC decoding at all (its CTCTrainer never
+worked, trainer.py:533-570); both best-path (greedy) and this beam search
+are new capabilities.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_NEG_INF = -math.inf
+
+
+def _logsumexp2(a: float, b: float) -> float:
+    if a == _NEG_INF:
+        return b
+    if b == _NEG_INF:
+        return a
+    m = a if a > b else b
+    return m + math.log1p(math.exp(-abs(a - b)))
+
+
+def ctc_beam_search_py(
+    log_probs: np.ndarray, blank_id: int, beam_width: int = 16
+) -> np.ndarray:
+    """Most probable label sequence under the CTC marginal.
+
+    Args:
+        log_probs: ``[T, V]`` frame log-posteriors (already length-trimmed).
+        blank_id: blank class index.
+        beam_width: number of prefixes kept per frame.
+
+    Returns:
+        1-D int32 array of label ids (collapsed; no blanks).
+    """
+    log_probs = np.asarray(log_probs, dtype=np.float64)
+    t_len, _v = log_probs.shape
+    # beams: prefix tuple -> [log P(prefix ends in blank), ends in non-blank]
+    beams: dict[tuple, list[float]] = {(): [0.0, _NEG_INF]}
+    for t in range(t_len):
+        frame = log_probs[t]
+        # prune the vocabulary to labels that could matter this frame
+        order = np.argsort(frame)[::-1]
+        cand = order[: max(beam_width, 8)]
+        nxt: dict[tuple, list[float]] = {}
+
+        def acc(prefix, idx, val):
+            slot = nxt.get(prefix)
+            if slot is None:
+                slot = [_NEG_INF, _NEG_INF]
+                nxt[prefix] = slot
+            slot[idx] = _logsumexp2(slot[idx], val)
+
+        for prefix, (p_b, p_nb) in beams.items():
+            p_tot = _logsumexp2(p_b, p_nb)
+            last = prefix[-1] if prefix else None
+            for v in cand:
+                p = float(frame[v])
+                if v == blank_id:
+                    acc(prefix, 0, p_tot + p)
+                elif v == last:
+                    # repeat without separator extends the SAME prefix...
+                    acc(prefix, 1, p_nb + p)
+                    # ...and extends it only from the blank-ended mass
+                    acc(prefix + (v,), 1, p_b + p)
+                else:
+                    acc(prefix + (v,), 1, p_tot + p)
+        beams = dict(
+            sorted(
+                nxt.items(),
+                key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]),
+                reverse=True,
+            )[:beam_width]
+        )
+    best = max(beams.items(), key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]))[0]
+    return np.asarray(best, dtype=np.int32)

@@ -161,7 +161,12 @@ class Nnet:
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
         decoder = CTCDecoder(
-            self.model, state.params, state.model_state, coder, self.blank_id
+            self.model,
+            state.params,
+            state.model_state,
+            coder,
+            self.blank_id,
+            beam_width=int(self.conf.get("beam_width", 1)),
         )
         count = decoder.decode_to_file(reader, outfile)
         log.info("decoded %d utterances", count)
