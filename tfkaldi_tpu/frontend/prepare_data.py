@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import logging
 import os
+import queue
 import random
 import shutil
+import threading
 
 import numpy as np
 
@@ -74,9 +76,12 @@ def prepare_data(
     extractor: FeatureExtractor | None = None
     max_length = 0
     pending: list[tuple[str, np.ndarray]] = []
+    # device results awaiting materialization: overlap the (async) device
+    # compute of batch k+1 with the host-side ark write of batch k
+    in_flight: list[tuple[list[str], object, object]] = []
 
-    def flush(writer):
-        nonlocal max_length, extractor
+    def dispatch():
+        nonlocal extractor
         if not pending:
             return
         rate = extractor.rate
@@ -87,16 +92,44 @@ def prepare_data(
         for i, (_, sig) in enumerate(pending):
             batch[i, : len(sig)] = sig
             lengths[i] = len(sig)
-        feats, num_frames = extractor(batch, lengths)
-        feats = np.asarray(feats)
-        for i, (utt_id, _) in enumerate(pending):
-            n = int(num_frames[i])
-            writer.write_next_utt(utt_id, feats[i, :n])
-            max_length = max(max_length, n)
+        feats, num_frames = extractor(batch, lengths)  # async dispatch
+        in_flight.append(([u for u, _ in pending], feats, num_frames))
         pending.clear()
 
+    def drain(writer, keep: int = 0):
+        nonlocal max_length
+        while len(in_flight) > keep:
+            utt_ids, feats, num_frames = in_flight.pop(0)
+            feats = np.asarray(feats)  # sync point
+            num_frames = np.asarray(num_frames)
+            for i, utt_id in enumerate(utt_ids):
+                n = int(num_frames[i])
+                writer.write_next_utt(utt_id, feats[i, :n])
+                max_length = max(max_length, n)
+
+    # background wav reading: IO overlaps device compute
+    jobs: queue.Queue = queue.Queue(maxsize=2 * batch_size)
+    _END = object()
+    reader_error: list[BaseException] = []
+
+    def read_all():
+        try:
+            for job in _signal_jobs(datadir):
+                jobs.put(job)
+        except BaseException as e:
+            reader_error.append(e)
+        finally:
+            jobs.put(_END)
+
+    reader = threading.Thread(target=read_all, daemon=True)
+    reader.start()
+
     with ArkWriter(os.path.join(featdir, "feats.scp"), ark_path) as writer:
-        for utt_id, rate, sig in _signal_jobs(datadir):
+        while True:
+            job = jobs.get()
+            if job is _END:
+                break
+            utt_id, rate, sig = job
             if extractor is None:
                 extractor = FeatureExtractor(opts, rate, spectrum_precision)
             elif rate != extractor.rate:
@@ -105,8 +138,13 @@ def prepare_data(
                 sig = sig[:, 0]
             pending.append((utt_id, np.asarray(sig, dtype=np.float32)))
             if len(pending) >= batch_size:
-                flush(writer)
-        flush(writer)
+                dispatch()
+                drain(writer, keep=1)
+        dispatch()
+        drain(writer, keep=0)
+    reader.join()
+    if reader_error:
+        raise reader_error[0]
 
     # copy metadata into the featdir (prepare_data.py:72-76)
     for name in ("utt2spk", "spk2utt", "text", "wav.scp"):
