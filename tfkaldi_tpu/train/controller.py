@@ -164,7 +164,7 @@ class TrainingController:
         finally:
             source.close()
 
-        ckpt.save_state(os.path.join(opt.savedir, "final"), state)
+        ckpt.save_state(os.path.join(opt.savedir, "final"), state, block=True)
 
         # state prior (nnet.py:240-244)
         prior = self.dispenser.compute_target_count().astype(np.float32)
