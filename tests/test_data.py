@@ -129,3 +129,19 @@ def test_device_batcher_fixed_length():
     assert batch.inputs.shape == (1, 40, 2)
     with pytest.raises(ValueError):
         batcher([np.ones((50, 2), np.float32)], [np.ones(50, np.int32)])
+
+
+def test_feature_reader_without_cmvn(tmp_path):
+    """cmvnfile=None disables CMVN (the apply_cmvn key the reference's CGN
+    config carries but never reads, config_CGN.cfg:54)."""
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.data import FeatureReader
+    from tfkaldi_tpu.io import ArkReader
+
+    featdir, _, info = make_featdir(tmp_path)
+    r = FeatureReader(
+        f"{featdir}/feats.scp", None, f"{featdir}/utt2spk", 0, 60
+    )
+    utt_id, mat, _ = r.get_utt()
+    raw = ArkReader(f"{featdir}/feats.scp").read_utt(utt_id)
+    np.testing.assert_array_equal(mat, raw)  # untouched, unspliced (c=0)

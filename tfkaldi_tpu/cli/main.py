@@ -55,6 +55,18 @@ DEFAULT_STEPS = [
 ]
 
 
+def _cmvn_path(config, featdir: str) -> str | None:
+    """CMVN scp for a featdir, honoring the ``apply_cmvn`` key of
+    [dnn-features] (present in the reference's CGN recipe but silently
+    ignored by its code; here it works)."""
+    if (
+        config.has_option("dnn-features", "apply_cmvn")
+        and config.get("dnn-features", "apply_cmvn") == "False"
+    ):
+        return None
+    return os.path.join(featdir, "cmvn.scp")
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True, help="path to the .cfg file")
@@ -188,7 +200,7 @@ def main(argv=None) -> int:
             max_input_length = int(fid.read())
         featreader = FeatureReader(
             os.path.join(train_featdir, "feats_shuffled.scp"),
-            os.path.join(train_featdir, "cmvn.scp"),
+            _cmvn_path(config, train_featdir),
             os.path.join(train_featdir, "utt2spk"),
             int(config.get("nnet", "context_width")),
             max_input_length,
@@ -228,7 +240,7 @@ def main(argv=None) -> int:
             max_length = int(fid.read())
         featreader = FeatureReader(
             os.path.join(test_featdir, "feats.scp"),
-            os.path.join(test_featdir, "cmvn.scp"),
+            _cmvn_path(config, test_featdir),
             os.path.join(test_featdir, "utt2spk"),
             int(config.get("nnet", "context_width")),
             max_length,

@@ -43,13 +43,16 @@ class FeatureReader:
     def __init__(
         self,
         scpfile: str,
-        cmvnfile: str,
+        cmvnfile: str | None,
         utt2spkfile: str,
         context_width: int,
         max_input_length: int,
     ):
+        """``cmvnfile=None`` disables CMVN (the ``apply_cmvn`` config key
+        the reference's CGN recipe carries but its code never reads,
+        config_CGN.cfg:54)."""
         self.reader = ArkReader(scpfile)
-        self.reader_cmvn = ArkReader(cmvnfile)
+        self.reader_cmvn = ArkReader(cmvnfile) if cmvnfile else None
         self.utt2spk = read_utt2spk(utt2spkfile)
         self.context_width = int(context_width)
         # corpus-wide max frame count (from the featdir 'maxlength' file)
@@ -59,12 +62,13 @@ class FeatureReader:
     def get_utt(self):
         """Next (utt_id, spliced_features_or_None, looped)."""
         utt_id, utt_mat, looped = self.reader.read_next_utt()
-        speaker = self.utt2spk[utt_id]
-        stats = self._cmvn_cache.get(speaker)
-        if stats is None:
-            stats = self.reader_cmvn.read_utt(speaker)
-            self._cmvn_cache[speaker] = stats
-        utt_mat = apply_cmvn_np(utt_mat, stats)
+        if self.reader_cmvn is not None:
+            speaker = self.utt2spk[utt_id]
+            stats = self._cmvn_cache.get(speaker)
+            if stats is None:
+                stats = self.reader_cmvn.read_utt(speaker)
+                self._cmvn_cache[speaker] = stats
+            utt_mat = apply_cmvn_np(utt_mat, stats)
         return utt_id, splice_np(utt_mat, self.context_width), looped
 
     def next_id(self) -> str:
