@@ -56,7 +56,9 @@ class DNNConfig:
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "DNNConfig":
         """Build from a reference-style ``[nnet]`` section dict
-        (config_AURORA4.cfg:102-153)."""
+        (config_AURORA4.cfg:102-153). Extra keys beyond the reference:
+        ``compute_dtype`` (bfloat16|float32; bfloat16 runs the MXU at full
+        rate with f32 accumulation/statistics) and ``use_pallas_ffn``."""
         return cls(
             input_dim=input_dim,
             num_labels=num_labels,
@@ -67,6 +69,8 @@ class DNNConfig:
             l2_norm=str(conf.get("l2_norm", "False")) == "True",
             dropout=float(conf.get("dropout", 1)),
             layerwise_init=int(conf.get("add_layer_period", 0)) > 0,
+            compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
+            use_pallas_ffn=str(conf.get("use_pallas_ffn", "False")) == "True",
         )
 
 
