@@ -145,3 +145,21 @@ def test_feature_reader_without_cmvn(tmp_path):
     utt_id, mat, _ = r.get_utt()
     raw = ArkReader(f"{featdir}/feats.scp").read_utt(utt_id)
     np.testing.assert_array_equal(mat, raw)  # untouched, unspliced (c=0)
+
+
+def test_dispenser_raises_when_nothing_usable(tmp_path):
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
+    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+    import gzip
+
+    featdir, _, info = make_featdir(tmp_path)
+    empty_ali = str(tmp_path / "empty.gz")
+    with gzip.open(empty_ali, "wt") as f:
+        f.write("")
+    r = FeatureReader(f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60)
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    d = AlignmentBatchDispenser(r, coder, 4, empty_ali)
+    import pytest
+    with pytest.raises(RuntimeError, match="no usable utterances"):
+        d.get_batch()

@@ -53,6 +53,7 @@ class BatchDispenser:
         """
         batch_inputs: list[np.ndarray] = []
         batch_targets: list[np.ndarray] = []
+        skipped = 0
         while len(batch_inputs) < self.size:
             utt_id, utt_mat, _ = self.feature_reader.get_utt()
             if utt_id in self._encoded and utt_mat is not None:
@@ -63,6 +64,14 @@ class BatchDispenser:
                     log.warning("no targets for %s", utt_id)
                 if utt_mat is None:
                     log.warning("%s is too short to splice", utt_id)
+                skipped += 1
+                # a full scp pass with zero usable utterances would loop
+                # forever (latent in the reference, batchdispenser.py:60-91)
+                if not batch_inputs and skipped > self.feature_reader.num_utt:
+                    raise RuntimeError(
+                        "no usable utterances: every scp entry lacks targets "
+                        "or is too short to splice"
+                    )
         return batch_inputs, batch_targets
 
     def split(self) -> None:
