@@ -19,5 +19,27 @@ energy and filterbank outputs (base.py:87,96), mel bin edges
 
 from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
 from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats, splice
+from tfkaldi_tpu.frontend.functional import (
+    fbank,
+    logfbank,
+    mfcc,
+    ssc,
+    deriv,
+    delta,
+    ddelta,
+)
 
-__all__ = ["FeatureExtractor", "FeatureOpts", "apply_cmvn", "cmvn_stats", "splice"]
+__all__ = [
+    "FeatureExtractor",
+    "FeatureOpts",
+    "apply_cmvn",
+    "cmvn_stats",
+    "splice",
+    "fbank",
+    "logfbank",
+    "mfcc",
+    "ssc",
+    "deriv",
+    "delta",
+    "ddelta",
+]
