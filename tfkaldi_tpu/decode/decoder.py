@@ -27,10 +27,24 @@ _EPS = float(np.finfo(np.float64).eps)
 
 
 class Decoder:
-    """Batched posterior → log pseudo-likelihood computer."""
+    """Batched posterior → log pseudo-likelihood computer.
 
-    def __init__(self, model: DNN, params, model_state, prior: np.ndarray):
+    ``mesh``: optional ``jax.sharding.Mesh`` — batches are sharded over the
+    'data' axis (the final partial batch is padded up to ``batch_size`` so
+    shapes stay divisible) and the forward runs SPMD.
+    """
+
+    def __init__(self, model: DNN, params, model_state, prior: np.ndarray, mesh=None):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # replicate weights across the mesh (checkpoint restore commits
+            # them to one device, which would conflict with sharded inputs)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+            model_state = jax.tree.map(lambda x: jax.device_put(x, rep), model_state)
         self.params = params
         self.model_state = model_state
         self.prior = np.asarray(prior, dtype=np.float32)
@@ -45,6 +59,13 @@ class Decoder:
 
     def compute_batch(self, inputs, lengths):
         """``[B, T, F]`` padded features → ``[B, T, O]`` log pseudo-likelihoods."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("data"))
+            inputs = jax.device_put(np.asarray(inputs, np.float32), sh)
+            lengths = jax.device_put(np.asarray(lengths, np.int32), sh)
+            return self._fn(inputs, lengths, self.params, self.model_state)
         return self._fn(
             jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32), self.params, self.model_state
         )
@@ -66,13 +87,17 @@ class Decoder:
             nonlocal count
             if not pending:
                 return
+            # under a mesh, pad the (final) partial batch so the batch dim
+            # stays divisible by the data axis
+            b = batch_size if self.mesh is not None else len(pending)
             t_pad = -(-max(u.shape[0] for _, u in pending) // bucket_multiple) * bucket_multiple
             dim = pending[0][1].shape[1]
-            batch = np.zeros((len(pending), t_pad, dim), np.float32)
-            lengths = np.zeros(len(pending), np.int32)
+            batch = np.zeros((b, t_pad, dim), np.float32)
+            lengths = np.zeros(b, np.int32)
             for i, (_, u) in enumerate(pending):
                 batch[i, : u.shape[0]] = u
                 lengths[i] = u.shape[0]
+            lengths[len(pending) :] = 1  # filler rows; outputs discarded
             out = np.asarray(self.compute_batch(batch, lengths))
             for i, (utt_id, _) in enumerate(pending):
                 writer.write_next_utt(utt_id, out[i, : lengths[i]])

@@ -142,8 +142,14 @@ class Nnet:
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
         prior = np.load(os.path.join(self.savedir, "prior.npy"))
-        decoder = Decoder(self.model, state.params, state.model_state, prior)
-        count = decoder.decode_to_writer(reader, writer)
+        mesh = None
+        batch_size = 16
+        if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+            from tfkaldi_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
+        decoder = Decoder(self.model, state.params, state.model_state, prior, mesh=mesh)
+        count = decoder.decode_to_writer(reader, writer, batch_size=batch_size)
         writer.close()
         log.info("decoded %d utterances", count)
         return count
