@@ -125,3 +125,40 @@ def test_visualise_writes_event_file(tmp_path):
     logdir = os.path.join(net.savedir, "logdir")
     assert os.path.isdir(logdir)
     assert any(f.startswith("events.out") for f in os.listdir(logdir))
+
+
+def test_profile_steps_writes_trace(tmp_path):
+    """profile_steps > 0 captures a jax.profiler trace under savedir/profile."""
+    import os
+    from configparser import ConfigParser
+
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
+    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+    from tfkaldi_tpu.nnet import Nnet
+
+    featdir, alifile, info = make_featdir(tmp_path)
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": str(tmp_path / "exp")}
+    cfg["nnet"] = {
+        "name": "profnet", "context_width": "1", "num_hidden_units": "16",
+        "num_hidden_layers": "1", "add_layer_period": "0", "starting_step": "0",
+        "nonlin": "relu", "l2_norm": "False", "dropout": "1", "batch_norm": "False",
+        "num_epochs": "2", "initial_learning_rate": "0.01", "learning_rate_decay": "1",
+        "batch_size": "4", "numutterances_per_minibatch": "-1", "valid_batches": "0",
+        "valid_frequency": "100", "valid_adapt": "False", "valid_retries": "0",
+        "check_freq": "100", "visualise": "False", "profile_steps": "1",
+    }
+    reader = FeatureReader(
+        f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60
+    )
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    disp = AlignmentBatchDispenser(reader, coder, 4, alifile)
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=info["num_labels"])
+    net.train(disp)
+    profile_dir = os.path.join(net.savedir, "profile")
+    assert os.path.isdir(profile_dir)
+    found = []
+    for root, _dirs, files in os.walk(profile_dir):
+        found.extend(files)
+    assert found  # some trace artifact was written

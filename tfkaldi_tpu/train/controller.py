@@ -51,6 +51,10 @@ class NnetTrainOptions:
     num_hidden_layers: int = 6
     starting_step: int = 0
     seed: int = 0
+    # capture a jax.profiler trace of steps [profile_start, profile_start+
+    # profile_steps) into <savedir>/profile when profile_steps > 0
+    profile_steps: int = 0
+    profile_start: int = 2
 
     @classmethod
     def from_config(cls, conf: dict, savedir: str) -> "NnetTrainOptions":
@@ -68,6 +72,7 @@ class NnetTrainOptions:
             starting_step=0
             if conf.get("starting_step", "0") == "final"
             else int(conf.get("starting_step", 0)),
+            profile_steps=int(conf.get("profile_steps", 0)),
         )
 
 
@@ -186,7 +191,17 @@ class TrainingController:
         validated,
     ):
         opt = self.opt
+        profiling = False
         while step < num_steps:
+            # optional jax.profiler capture window (SURVEY §5: the reference
+            # has no tracing at all)
+            if opt.profile_steps > 0:
+                if step == opt.profile_start and not profiling:
+                    jax.profiler.start_trace(os.path.join(opt.savedir, "profile"))
+                    profiling = True
+                elif profiling and step >= opt.profile_start + opt.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
             t0 = time.perf_counter()
             batch = source.next()
             state, loss = self.trainer.update(state, batch, jax.random.fold_in(rng, step))
@@ -248,4 +263,6 @@ class TrainingController:
             if step % opt.check_freq == 0:
                 ckpt.save_state(os.path.join(opt.savedir, "training", f"step{step}"), state)
 
+        if profiling:
+            jax.profiler.stop_trace()
         return state
