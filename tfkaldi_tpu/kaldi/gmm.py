@@ -23,9 +23,16 @@ log = logging.getLogger(__name__)
 
 
 def run_checked(cmd: str, cwd: str | None = None) -> None:
-    """Run a shell command, raising on failure (unlike os.system)."""
+    """Run a shell command, raising on failure (unlike os.system).
+
+    Runs under bash with ``pipefail`` so a failure anywhere in a pipeline
+    (e.g. ``gunzip | ali-to-pdf | gzip``) is not masked by the last stage
+    exiting 0 — without it the alignment conversion can silently truncate
+    its output."""
     log.info("running: %s", cmd)
-    subprocess.run(cmd, shell=True, cwd=cwd, check=True)
+    subprocess.run(
+        ["/bin/bash", "-o", "pipefail", "-c", cmd], cwd=cwd, check=True
+    )
 
 
 class GMM:
