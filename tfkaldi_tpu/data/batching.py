@@ -35,9 +35,11 @@ class PaddedBatch:
 
     @property
     def num_frames(self) -> int:
-        """Total real frames — the reference's frame-weighted loss divisor
-        (trainer.py:130-133)."""
-        return int(self.target_lengths.sum())
+        """Total real input frames (throughput accounting). For frame-level
+        targets this equals the reference's frame-weighted loss divisor
+        (trainer.py:130-133); for CTC the target lengths are label counts,
+        so input lengths are the meaningful frame count either way."""
+        return int(self.input_lengths.sum())
 
 
 def round_up(value: int, multiple: int) -> int:

@@ -39,7 +39,12 @@ class BulkAlignmentBatchSource:
         alignments: dict[str, np.ndarray],
         batch_size: int,
         bucket_multiple: int = 128,
+        num_labels: int | None = None,
     ):
+        """``num_labels``: total pdf classes — sizes the prior exactly like
+        AlignmentBatchDispenser.compute_target_count (a label that never
+        occurs in training must still get a prior slot, or the decoder's
+        posterior/prior division shape-mismatches)."""
         if not native.available():
             raise RuntimeError("native arkio unavailable")
         self.reader = ArkReader(scpfile)
@@ -49,6 +54,7 @@ class BulkAlignmentBatchSource:
         self.batch_size = int(batch_size)
         self.bucket_multiple = int(bucket_multiple)
         self.alignments = alignments
+        self.num_labels = int(num_labels) if num_labels else None
 
         # usable utterances in scp order: have targets; frame counts read
         # from the alignments (frame-level targets ⇒ len == num frames)
@@ -125,6 +131,8 @@ class BulkAlignmentBatchSource:
         return PaddedBatch(feats, targets, lengths, lengths)
 
     def compute_target_count(self) -> np.ndarray:
-        num_labels = int(max(a.max() for a in self.alignments.values())) + 1
+        minlength = self.num_labels or (
+            int(max(a.max() for a in self.alignments.values())) + 1
+        )
         encoded = np.concatenate(list(self.alignments.values()))
-        return np.bincount(encoded, minlength=num_labels)
+        return np.bincount(encoded, minlength=minlength)

@@ -112,38 +112,14 @@ class CTCDecoder:
     ) -> int:
         """Stream the test set and write a Kaldi-style ``text`` file
         (``utt_id transcription`` per line). Returns #utterances."""
+        from tfkaldi_tpu.decode.streaming import stream_padded_batches
+
         count = 0
-        pending: list[tuple[str, np.ndarray]] = []
-
         with open(outfile, "w") as fid:
-
-            def flush():
-                nonlocal count
-                if not pending:
-                    return
-                t_pad = (
-                    -(-max(u.shape[0] for _, u in pending) // bucket_multiple)
-                    * bucket_multiple
-                )
-                dim = pending[0][1].shape[1]
-                batch = np.zeros((len(pending), t_pad, dim), np.float32)
-                lengths = np.zeros(len(pending), np.int32)
-                for i, (_, u) in enumerate(pending):
-                    batch[i, : u.shape[0]] = u
-                    lengths[i] = u.shape[0]
-                for (utt_id, _), ids in zip(pending, self.decode_batch(batch, lengths)):
+            for utt_ids, inputs, lengths in stream_padded_batches(
+                reader, batch_size=batch_size, bucket_multiple=bucket_multiple
+            ):
+                for utt_id, ids in zip(utt_ids, self.decode_batch(inputs, lengths)):
                     fid.write(f"{utt_id} {self.coder.decode(ids)}\n")
                     count += 1
-                pending.clear()
-
-            while True:
-                utt_id, utt_mat, looped = reader.get_utt()
-                if looped:
-                    break
-                if utt_mat is None:
-                    continue  # too short to splice
-                pending.append((utt_id, utt_mat))
-                if len(pending) >= batch_size:
-                    flush()
-            flush()
         return count

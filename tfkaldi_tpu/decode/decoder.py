@@ -80,38 +80,18 @@ class Decoder:
     ) -> int:
         """Stream the whole test set: read+CMVN+splice per utterance, batch,
         compute, write ark records (nnet.py:270-286). Returns #utterances."""
-        count = 0
-        pending: list[tuple[str, np.ndarray]] = []
+        from tfkaldi_tpu.decode.streaming import stream_padded_batches
 
-        def flush():
-            nonlocal count
-            if not pending:
-                return
-            # under a mesh, pad the (final) partial batch so the batch dim
-            # stays divisible by the data axis
-            b = batch_size if self.mesh is not None else len(pending)
-            t_pad = -(-max(u.shape[0] for _, u in pending) // bucket_multiple) * bucket_multiple
-            dim = pending[0][1].shape[1]
-            batch = np.zeros((b, t_pad, dim), np.float32)
-            lengths = np.zeros(b, np.int32)
-            for i, (_, u) in enumerate(pending):
-                batch[i, : u.shape[0]] = u
-                lengths[i] = u.shape[0]
-            lengths[len(pending) :] = 1  # filler rows; outputs discarded
-            out = np.asarray(self.compute_batch(batch, lengths))
-            for i, (utt_id, _) in enumerate(pending):
+        count = 0
+        for utt_ids, inputs, lengths in stream_padded_batches(
+            reader,
+            batch_size=batch_size,
+            bucket_multiple=bucket_multiple,
+            # under a mesh the batch dim must stay divisible by the data axis
+            pad_to_batch=self.mesh is not None,
+        ):
+            out = np.asarray(self.compute_batch(inputs, lengths))
+            for i, utt_id in enumerate(utt_ids):
                 writer.write_next_utt(utt_id, out[i, : lengths[i]])
                 count += 1
-            pending.clear()
-
-        while True:
-            utt_id, utt_mat, looped = reader.get_utt()
-            if looped:
-                break
-            if utt_mat is None:
-                continue  # too short to splice
-            pending.append((utt_id, utt_mat))
-            if len(pending) >= batch_size:
-                flush()
-        flush()
         return count

@@ -5,83 +5,43 @@
 from __future__ import annotations
 
 import ctypes
-import logging
-import os
-import subprocess
-import threading
 
 import numpy as np
 
-log = logging.getLogger(__name__)
-
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libctcbeam.so")
-_lock = threading.Lock()
-_lib = None
-_tried = False
+from tfkaldi_tpu.io.native import NativeLibrary
 
 
-def _build() -> bool:
-    src = os.path.join(_NATIVE_DIR, "ctc_beam.cpp")
-    if not os.path.isfile(src):
-        return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _LIB_PATH, src],
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        log.warning("native ctc_beam build failed: %s", e)
-        return False
+def _bind(lib) -> None:
+    lib.ctc_beam_search.restype = ctypes.c_int32
+    lib.ctc_beam_search.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+    ]
+    lib.ctc_beam_search_batch.restype = ctypes.c_int32
+    lib.ctc_beam_search_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
 
 
-def _load():
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not os.path.isfile(_LIB_PATH) and not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError as e:
-            log.warning("native ctc_beam load failed: %s", e)
-            return None
-        lib.ctc_beam_search.restype = ctypes.c_int32
-        lib.ctc_beam_search.argtypes = [
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-        ]
-        lib.ctc_beam_search_batch.restype = ctypes.c_int32
-        lib.ctc_beam_search_batch.argtypes = [
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ]
-        _lib = lib
-        return _lib
+_CTCBEAM = NativeLibrary("libctcbeam.so", "ctc_beam.cpp", _bind)
 
 
 def available() -> bool:
-    return _load() is not None
+    return _CTCBEAM.available()
 
 
 def ctc_beam_search_native(
@@ -89,7 +49,7 @@ def ctc_beam_search_native(
 ) -> np.ndarray:
     """Native single-utterance prefix beam search; same contract as
     :func:`tfkaldi_tpu.decode.ctc_beam.ctc_beam_search_py`."""
-    lib = _load()
+    lib = _CTCBEAM.load()
     if lib is None:
         raise RuntimeError("native ctc_beam unavailable")
     lp = np.ascontiguousarray(log_probs, dtype=np.float32)
@@ -105,7 +65,7 @@ def ctc_beam_search_batch_native(
     log_probs: np.ndarray, lengths, blank_id: int, beam_width: int = 16
 ) -> list[np.ndarray]:
     """Batched native search over a padded ``[B, T, V]`` block."""
-    lib = _load()
+    lib = _CTCBEAM.load()
     if lib is None:
         raise RuntimeError("native ctc_beam unavailable")
     lp = np.ascontiguousarray(log_probs, dtype=np.float32)

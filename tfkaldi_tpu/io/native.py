@@ -18,70 +18,100 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libarkio.so")
-_lock = threading.Lock()
-_lib = None
-_tried = False
+NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+)
 
 
-def _build() -> bool:
-    src = os.path.join(_NATIVE_DIR, "arkio.cpp")
-    if not os.path.isfile(src):
-        return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _LIB_PATH, src],
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        log.warning("native arkio build failed: %s", e)
-        return False
+class NativeLibrary:
+    """Build-on-first-use ctypes loader for a native/ shared library.
+
+    Shared scaffolding for every first-party native component (arkio, CTC
+    beam search): compile ``native/<source>`` to ``native/<libname>`` with
+    g++ if the .so is missing, load it, run ``bind(lib)`` once to declare
+    the ctypes signatures. Thread-safe; failures degrade to ``None`` so
+    callers fall back to their pure-Python paths.
+    """
+
+    def __init__(self, libname: str, source: str, bind):
+        self.lib_path = os.path.join(NATIVE_DIR, libname)
+        self.src_path = os.path.join(NATIVE_DIR, source)
+        self._bind = bind
+        self._lock = threading.Lock()
+        self._lib = None
+        self._tried = False
+
+    def _build(self) -> bool:
+        if not os.path.isfile(self.src_path):
+            return False
+        try:
+            subprocess.run(
+                [
+                    "g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+                    "-o", self.lib_path, self.src_path,
+                ],
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            log.warning("native build of %s failed: %s", self.src_path, e)
+            return False
+
+    def load(self):
+        with self._lock:
+            if self._lib is not None or self._tried:
+                return self._lib
+            self._tried = True
+            if not os.path.isfile(self.lib_path) and not self._build():
+                return None
+            try:
+                lib = ctypes.CDLL(self.lib_path)
+            except OSError as e:
+                log.warning("native load of %s failed: %s", self.lib_path, e)
+                return None
+            self._bind(lib)
+            self._lib = lib
+            return self._lib
+
+    def available(self) -> bool:
+        return self.load() is not None
+
+
+def _bind_arkio(lib) -> None:
+    lib.ark_read_batch.restype = ctypes.c_int
+    lib.ark_read_batch.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.ark_read_cmvn_splice_batch.restype = ctypes.c_int
+    lib.ark_read_cmvn_splice_batch.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+
+
+_ARKIO = NativeLibrary("libarkio.so", "arkio.cpp", _bind_arkio)
 
 
 def _load():
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not os.path.isfile(_LIB_PATH) and not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError as e:
-            log.warning("native arkio load failed: %s", e)
-            return None
-        lib.ark_read_batch.restype = ctypes.c_int
-        lib.ark_read_batch.argtypes = [
-            ctypes.c_char_p,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ]
-        lib.ark_read_cmvn_splice_batch.restype = ctypes.c_int
-        lib.ark_read_cmvn_splice_batch.argtypes = [
-            ctypes.c_char_p,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            ctypes.c_int32,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ]
-        _lib = lib
-        return _lib
+    return _ARKIO.load()
 
 
 def available() -> bool:
-    return _load() is not None
+    return _ARKIO.available()
 
 
 def read_batch(ark_path: str, offsets, max_rows: int, cols: int):

@@ -156,6 +156,10 @@ class DNN:
         # fused inference path: relu((h @ w + b) · scale + shift) per layer
         # in one Pallas kernel. Only when the elementwise chain matches the
         # kernel epilogue (no l2norm; eval-mode BN affine; relu/linear).
+        def _tileable(k: int) -> bool:
+            # kernel constraint: k % min(512, k) == 0
+            return k <= 512 or k % 512 == 0
+
         use_fused = (
             cfg.use_pallas_ffn
             and not train
@@ -163,6 +167,7 @@ class DNN:
             and cfg.nonlin in ("relu", "linear")
             and x.shape[0] % 512 == 0
             and cfg.num_hidden_units % 512 == 0
+            and _tileable(x.shape[1])
         )
         if use_fused:
             from tfkaldi_tpu.ops import fused_ffn_block

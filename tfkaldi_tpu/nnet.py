@@ -86,16 +86,18 @@ class Nnet:
         mesh = None
         n_dev = jax.device_count()
         if n_dev > 1:
-            model_axis = int(self.conf.get("model_parallel", 1))
-            if opts.batch_size % max(n_dev // model_axis, 1) == 0:
+            model_axis = max(int(self.conf.get("model_parallel", 1)), 1)
+            data_axis = n_dev // model_axis if n_dev % model_axis == 0 else 0
+            if data_axis and opts.batch_size % data_axis == 0:
                 from tfkaldi_tpu.parallel import make_mesh
 
                 mesh = make_mesh(model=model_axis)
                 log.info("training on %s mesh", dict(zip(mesh.axis_names, mesh.devices.shape)))
             else:
                 log.warning(
-                    "batch_size %d not divisible by %d devices; training single-device",
-                    opts.batch_size, n_dev,
+                    "cannot mesh %d devices as data=%s x model=%d with batch_size %d; "
+                    "training single-device",
+                    n_dev, data_axis or "?", model_axis, opts.batch_size,
                 )
 
         metrics = MetricsLogger(os.path.join(self.savedir, "metrics.jsonl"))

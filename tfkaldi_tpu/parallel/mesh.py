@@ -93,6 +93,16 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a PaddedBatch onto the mesh, batch dim over ``data``."""
+    """Place a PaddedBatch onto the mesh, batch dim over ``data``.
+
+    Multi-process: each host's batch is its *local* shard, so assembly
+    goes through ``jax.make_array_from_process_local_data`` (device_put of
+    differing per-host arrays onto a global sharding would silently build
+    an inconsistent global batch). Single-process: plain device_put.
+    """
+    if jax.process_count() > 1:
+        from tfkaldi_tpu.parallel.multihost import global_batch_from_local
+
+        return global_batch_from_local(batch, mesh)
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sh), batch)

@@ -10,6 +10,7 @@ GSPMD then runs the train step SPMD with gradient psums over ICI/DCN.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import jax
@@ -18,26 +19,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tfkaldi_tpu.data.batching import PaddedBatch
 
+log = logging.getLogger(__name__)
+
 
 def initialize(coordinator_address: str | None = None) -> None:
-    """Bring up the jax.distributed runtime if running multi-process.
+    """Bring up the jax.distributed runtime for a manual multi-process
+    cluster (TPU pods auto-configure; there this is a no-op).
 
-    No-op single-process or when already initialized. On TPU pods the
-    coordinator/process env comes from the TPU metadata, so bare
-    ``initialize()`` is enough; explicit args are for manual clusters.
+    MUST be called before any other JAX API — touching the backend first
+    (even ``jax.process_count()``) makes ``jax.distributed.initialize``
+    raise. Reads ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` when args are not given; without them it does
+    nothing (single host).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     num = os.environ.get("JAX_NUM_PROCESSES")
-    if coord and num:
+    if not (coord and num):
+        return
+    try:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(num),
             process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
         )
-    # else: single host, or TPU pod auto-config via jax.distributed.initialize()
-    # at program start — nothing to do here.
+    except RuntimeError as e:
+        # backend already initialized (or double-call): surface, don't die
+        log.warning("jax.distributed.initialize skipped: %s", e)
 
 
 def global_batch_from_local(batch: PaddedBatch, mesh: Mesh) -> PaddedBatch:
