@@ -73,3 +73,41 @@ def test_bulk_prior_counts(tmp_path):
     np.testing.assert_array_equal(
         bulk.compute_target_count(), disp.compute_target_count()
     )
+
+
+def test_prior_sized_by_num_labels(tmp_path):
+    """compute_target_count must size the prior by num_labels even when the
+    top label never occurs (matches AlignmentBatchDispenser)."""
+    import gzip
+
+    import numpy as np
+
+    from tfkaldi_tpu.data.bulk_loader import BulkAlignmentBatchSource
+    from tfkaldi_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native unavailable")
+    featdir, alifile, info = make_featdir(tmp_path)
+    alignments = {}
+    with gzip.open(alifile, "rt") as f:
+        for line in f:
+            parts = line.split()
+            # clamp labels so the top class never occurs
+            alignments[parts[0]] = np.minimum(
+                np.array([int(x) for x in parts[1:]], dtype=np.int32),
+                info["num_labels"] - 2,
+            )
+    src = BulkAlignmentBatchSource(
+        f"{featdir}/feats.scp",
+        f"{featdir}/cmvn.scp",
+        f"{featdir}/utt2spk",
+        1,
+        alignments,
+        4,
+        num_labels=info["num_labels"],
+    )
+    counts = src.compute_target_count()
+    assert counts.shape == (info["num_labels"],)
+    assert counts[-1] == 0

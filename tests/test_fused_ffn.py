@@ -62,3 +62,24 @@ def test_dnn_inference_fused_matches_xla():
         np.testing.assert_allclose(
             _outputs(True, bn), _outputs(False, bn), rtol=2e-5, atol=2e-5
         )
+
+
+def test_untileable_input_dim_falls_back():
+    """Spliced input dims >512 that aren't multiples of 512 must take the
+    XLA path instead of crashing the Pallas kernel."""
+    cfg = DNNConfig(
+        input_dim=600,
+        num_labels=8,
+        num_hidden_layers=1,
+        num_hidden_units=512,
+        nonlin="relu",
+        use_pallas_ffn=True,
+    )
+    model = DNN(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.standard_normal((4, 128, 600)).astype(np.float32))
+    logits, _ = model.apply(
+        params, state, inputs, jnp.full(4, 128, jnp.int32), train=False
+    )
+    assert logits.shape == (4, 128, 8)
