@@ -162,3 +162,42 @@ def test_profile_steps_writes_trace(tmp_path):
     for root, _dirs, files in os.walk(profile_dir):
         found.extend(files)
     assert found  # some trace artifact was written
+
+
+def test_resume_is_bit_exact(tmp_path):
+    """Straight-through training and checkpoint-restart training produce
+    identical final parameters (orbax restores the full TrainState; the
+    dispenser fast-forward and fold_in(step) rng make the data/rng streams
+    deterministic — reference resume semantics, nnet.py:101-141)."""
+    import dataclasses
+
+    # run A: straight through
+    ctrl_a, _, _ = _pipeline(
+        tmp_path / "a", lr=0.01, valid_retries=0, num_epochs=2, check_freq=2,
+        valid_adapt=False,
+    )
+    state_a = ctrl_a.train()
+
+    # run B: same corpus/seed, train fully once (writing step checkpoints),
+    # then a FRESH controller resuming from step 2
+    ctrl_b1, _, opts_b = _pipeline(
+        tmp_path / "b", lr=0.01, valid_retries=0, num_epochs=2, check_freq=2,
+        valid_adapt=False, seed=0,
+    )
+    ctrl_b1.train()
+    ctrl_b2, _, _ = _pipeline(
+        tmp_path / "b2", lr=0.01, valid_retries=0, num_epochs=2, check_freq=2,
+        valid_adapt=False, seed=0,
+    )
+    # point the resuming controller at run-B's checkpoints
+    ctrl_b2.opt = dataclasses.replace(
+        ctrl_b2.opt, starting_step=2, savedir=opts_b.savedir
+    )
+    state_b = ctrl_b2.train()
+
+    assert int(state_a.step) == int(state_b.step) > 2
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
