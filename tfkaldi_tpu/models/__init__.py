@@ -7,5 +7,6 @@ tensor lists with gather-based un-padding (seq_convertors.py).
 """
 
 from tfkaldi_tpu.models.dnn import DNN, DNNConfig
+from tfkaldi_tpu.models.rnn import LSTM, RNNConfig
 
-__all__ = ["DNN", "DNNConfig"]
+__all__ = ["DNN", "DNNConfig", "LSTM", "RNNConfig"]

@@ -1,0 +1,190 @@
+"""Recurrent (LSTM) acoustic model.
+
+The reference defines a Classifier interface (classifiers/classifier.py:6-37)
+but ships only the feed-forward DNN; its CTC trainer — intended for
+sequence models — was never finished (trainer.py:533-570). This LSTM is the
+sequence-model counterpart, built on the same functional contract as
+:class:`tfkaldi_tpu.models.dnn.DNN` (``init``/``apply`` with
+``(logits, new_state)``), so the Trainer, controller, decoders and mesh
+sharding work unchanged.
+
+TPU design:
+
+- time recurrence via ``lax.scan`` over ``[T, B, ...]`` (static shapes,
+  one compiled step reused across time)
+- the input projections of every gate for the whole sequence are ONE
+  batched matmul ``[B·T, in] @ [in, 4H]`` outside the scan (MXU-friendly);
+  only the recurrent matmul ``[B, H] @ [H, 4H]`` lives in the scan body
+- per-step masking freezes the carry at each utterance's end, so logits at
+  valid frames are invariant to padding length
+- matmuls run in ``compute_dtype`` (bf16 on the MXU) with f32 accumulation;
+  the carry stays f32 for stable long-sequence recurrence
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RNNConfig:
+    input_dim: int
+    num_labels: int
+    num_layers: int = 2
+    hidden_units: int = 512
+    bidirectional: bool = False
+    dropout: float = 1.0  # keep probability, reference semantics (nnet.py:70)
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "RNNConfig":
+        return cls(
+            input_dim=input_dim,
+            num_labels=num_labels,
+            num_layers=int(conf.get("num_hidden_layers", 2)),
+            hidden_units=int(conf.get("num_hidden_units", 512)),
+            bidirectional=str(conf.get("bidirectional", "False")) == "True",
+            dropout=float(conf.get("dropout", 1)),
+            compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
+        )
+
+
+class LSTM:
+    """Stateless model object: owns the config, provides init/apply."""
+
+    def __init__(self, config: RNNConfig):
+        self.config = config
+
+    # ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array) -> tuple[Params, Params]:
+        cfg = self.config
+        directions = 2 if cfg.bidirectional else 1
+        layers = []
+        fan_in = cfg.input_dim
+        keys = jax.random.split(rng, cfg.num_layers * directions * 2)
+        k = iter(keys)
+        for _ in range(cfg.num_layers):
+            dirs = []
+            for _ in range(directions):
+                h = cfg.hidden_units
+                dirs.append(
+                    {
+                        # gate order: i, f, g, o
+                        "wx": (
+                            jax.random.normal(next(k), (fan_in, 4 * h)) / np.sqrt(fan_in)
+                        ).astype(jnp.float32),
+                        "wh": (
+                            jax.random.normal(next(k), (h, 4 * h)) / np.sqrt(h)
+                        ).astype(jnp.float32),
+                        # forget-gate bias 1.0 (standard LSTM practice)
+                        "b": jnp.zeros((4 * h,), jnp.float32)
+                        .at[h : 2 * h]
+                        .set(1.0),
+                    }
+                )
+            layers.append(dirs)
+            fan_in = cfg.hidden_units * directions
+        params = {
+            "layers": layers,
+            "out": {
+                "w": jnp.zeros((fan_in, cfg.num_labels), jnp.float32),
+                "b": jnp.zeros((cfg.num_labels,), jnp.float32),
+            },
+        }
+        return params, {}
+
+    def reinit_output_layer(self, params: Params) -> Params:
+        out = {
+            "w": jnp.zeros_like(params["out"]["w"]),
+            "b": jnp.zeros_like(params["out"]["b"]),
+        }
+        return {**params, "out": out}
+
+    # ------------------------------------------------------------------
+
+    def _run_direction(self, d_params, x, mask, reverse: bool):
+        """One directional LSTM over ``x [T, B, F]`` with ``mask [T, B, 1]``."""
+        cfg = self.config
+        h_units = cfg.hidden_units
+        t, b, f = x.shape
+
+        # whole-sequence input projection in one MXU matmul
+        gates_x = jax.lax.dot_general(
+            x.reshape(t * b, f).astype(cfg.compute_dtype),
+            d_params["wx"].astype(cfg.compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(t, b, 4 * h_units) + d_params["b"].astype(jnp.float32)
+
+        wh = d_params["wh"].astype(cfg.compute_dtype)
+
+        def step(carry, xs):
+            h, c = carry
+            gx, m = xs
+            gates = gx + jax.lax.dot_general(
+                h.astype(cfg.compute_dtype),
+                wh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            i, fgt, g, o = jnp.split(gates, 4, axis=1)
+            c_new = jax.nn.sigmoid(fgt) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            # freeze the carry past each utterance's end so padding cannot
+            # leak into valid frames (backward direction) or final states
+            h_new = jnp.where(m, h_new, h)
+            c_new = jnp.where(m, c_new, c)
+            return (h_new, c_new), h_new * m  # padded outputs zeroed
+
+        zeros = jnp.zeros((b, h_units), jnp.float32)
+        (_, _), hs = jax.lax.scan(
+            step, (zeros, zeros), (gates_x, mask), reverse=reverse
+        )
+        return hs  # [T, B, H]
+
+    def apply(
+        self,
+        params: Params,
+        state: Params,
+        inputs: jnp.ndarray,  # [B, T, F]
+        seq_lengths: jnp.ndarray,  # [B]
+        *,
+        train: bool,
+        dropout_rng: jax.Array | None = None,
+    ) -> tuple[jnp.ndarray, Params]:
+        cfg = self.config
+        b, t, _ = inputs.shape
+        x = jnp.transpose(inputs, (1, 0, 2)).astype(jnp.float32)  # [T, B, F]
+        mask = (jnp.arange(t)[:, None] < seq_lengths[None, :])[:, :, None].astype(
+            jnp.float32
+        )
+
+        for l, dirs in enumerate(params["layers"]):
+            outs = [self._run_direction(dirs[0], x, mask, reverse=False)]
+            if cfg.bidirectional:
+                outs.append(self._run_direction(dirs[1], x, mask, reverse=True))
+            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            if train and cfg.dropout < 1:
+                if dropout_rng is None:
+                    raise ValueError("dropout requires dropout_rng in training mode")
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, l), cfg.dropout, x.shape
+                )
+                x = jnp.where(keep, x / cfg.dropout, 0.0)
+
+        logits = jax.lax.dot_general(
+            x.reshape(t * b, x.shape[-1]).astype(cfg.compute_dtype),
+            params["out"]["w"].astype(cfg.compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + params["out"]["b"]
+        logits = logits.reshape(t, b, cfg.num_labels).transpose(1, 0, 2)
+        return logits.astype(jnp.float32), state

@@ -51,7 +51,20 @@ class Nnet:
         self.loss_type = self.conf.get("loss", "cross_entropy")
         output_dim = num_labels + 1 if self.loss_type == "ctc" else num_labels
         self.blank_id = num_labels if self.loss_type == "ctc" else None
-        self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))
+        # model selector: the reference's Classifier seam with one concrete
+        # DNN (classifiers/classifier.py); `model = lstm` adds the sequence
+        # model its unfinished CTC path was meant for
+        model_type = self.conf.get("model", "dnn")
+        if model_type == "lstm":
+            from tfkaldi_tpu.models import LSTM, RNNConfig
+
+            if int(self.conf.get("add_layer_period", 0)) > 0:
+                raise ValueError("layerwise init (add_layer_period) requires model = dnn")
+            self.model = LSTM(RNNConfig.from_config(self.conf, self.input_dim, output_dim))
+        elif model_type == "dnn":
+            self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))
+        else:
+            raise ValueError(f"unknown model type {model_type!r}")
 
     def _micro_batches(self, batch_size: int) -> int:
         """Map ``numutterances_per_minibatch`` (microbatch SIZE, -1 = whole
