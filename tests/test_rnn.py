@@ -119,3 +119,23 @@ def test_lstm_ctc_nnet_facade(tmp_path):
     out = str(tmp_path / "text.out")
     n = net.decode_text(reader2, coder, out)
     assert n == len(info["utts"])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device mesh")
+def test_lstm_trains_on_mesh():
+    """LSTM params replicate on the mesh; batch shards over 'data'."""
+    from tfkaldi_tpu.parallel import make_mesh, shard_batch, shard_state
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.default_rng(0)
+    b, t, f = 8, 12, 4
+    x = rng.standard_normal((b, t, f)).astype(np.float32)
+    y = rng.integers(0, 3, (b, t)).astype(np.int32)
+    batch = shard_batch(
+        PaddedBatch(x, y, np.full(b, t, np.int32), np.full(b, t, np.int32)), mesh
+    )
+    model = _model(in_dim=f, out=3, hidden=8, layers=1, bidirectional=True)
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=0.01, num_steps=10))
+    state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+    state, loss = trainer.update(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

@@ -50,6 +50,12 @@ def _param_shardings(params: Any, mesh: Mesh) -> Any:
     def ns(spec):
         return NamedSharding(mesh, spec)
 
+    if "hidden" not in params:
+        # non-DNN models (e.g. the LSTM, whose 4H gate blocks interleave
+        # i/f/g/o): replicate params — they train data-parallel, grads
+        # psum over 'data'
+        return jax.tree.map(lambda _: ns(P()), params)
+
     hidden = []
     for _ in params["hidden"]:
         layer = {"w": ns(P(None, "model")), "b": ns(P("model"))}
