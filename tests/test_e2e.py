@@ -217,3 +217,33 @@ def test_decode_emits_likelihood_ark(trained_pipeline, tmp_path):
         # log(posterior/prior): rows should roughly be log-probabilities
         post = np.exp(likes) * np.load(os.path.join(nnet.savedir, "prior.npy"))
         np.testing.assert_allclose(post.sum(1), 1.0, atol=1e-3)
+
+
+def test_length_banded_shuffle(tmp_path):
+    """length_bands sorts by frame count within bands; all lines preserved,
+    every band's lengths are contiguous in the sorted order."""
+    import numpy as np
+
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.frontend.prepare_data import shuffle_examples
+    from tfkaldi_tpu.io import ArkReader
+
+    featdir, _, info = make_featdir(tmp_path, num_speakers=2, utts_per_speaker=10)
+    shuffle_examples(featdir, seed=0, length_bands=4)
+    shuffled = open(os.path.join(featdir, "feats_shuffled.scp")).readlines()
+    original = open(os.path.join(featdir, "feats.scp")).readlines()
+    assert sorted(shuffled) == sorted(original)
+    assert shuffled != original  # actually shuffled (20 utts, safe bet)
+
+    # reconstruct band structure: lengths within each contiguous band of 5
+    # must all be <= the minimum of... (bands were shuffled, so check that
+    # each band's length range doesn't overlap-with-crossing more than
+    # banding allows: every band is an interval of the global sorted list)
+    reader = ArkReader(os.path.join(featdir, "feats_shuffled.scp"))
+    lengths = [reader.read_utt_data(i).shape[0] for i in range(len(reader))]
+    band = 5
+    all_sorted = sorted(lengths)
+    # each band's multiset of lengths equals one contiguous interval chunk
+    chunks = [sorted(lengths[i : i + band]) for i in range(0, len(lengths), band)]
+    intervals = [all_sorted[i : i + band] for i in range(0, len(all_sorted), band)]
+    assert sorted(map(tuple, chunks)) == sorted(map(tuple, intervals))

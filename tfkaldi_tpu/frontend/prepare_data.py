@@ -174,12 +174,52 @@ def compute_cmvn(featdir: str) -> None:
     reader.close()
 
 
-def shuffle_examples(featdir: str, seed: int | None = None) -> None:
+def shuffle_examples(
+    featdir: str, seed: int | None = None, length_bands: int = 0
+) -> None:
     """Shuffle feats.scp once on disk → feats_shuffled.scp
-    (prepare_data.py:124-141)."""
+    (prepare_data.py:124-141).
+
+    ``length_bands > 1`` enables length-banded shuffling: utterances are
+    sorted by frame count (15-byte ark header reads, no data), split into
+    that many bands, and shuffled *within* each band (band order is also
+    shuffled). Batches then draw similar-length utterances, cutting the
+    padding waste of bucketed static shapes — randomness stays local, so
+    training still sees a shuffled stream (no reference counterpart: it
+    pads everything to the corpus max, so order never mattered for waste).
+    """
     with open(os.path.join(featdir, "feats.scp")) as f:
         lines = f.readlines()
     rng = random.Random(seed)
-    rng.shuffle(lines)
+
+    if length_bands > 1:
+        from tfkaldi_tpu.io.ark import read_ark_shape
+
+        counts = []
+        handles: dict[str, object] = {}
+        try:
+            for line in lines:
+                _, path_pos = line.strip().split(" ", 1)
+                path, pos = path_pos.rsplit(":", 1)
+                fobj = handles.get(path)
+                if fobj is None:
+                    fobj = handles[path] = open(path, "rb")
+                rows, _ = read_ark_shape(fobj, int(pos))
+                counts.append(rows)
+        finally:
+            for fobj in handles.values():
+                fobj.close()
+        order = sorted(range(len(lines)), key=lambda i: counts[i])
+        band_size = -(-len(lines) // length_bands)
+        bands = [
+            [lines[i] for i in order[b : b + band_size]]
+            for b in range(0, len(lines), band_size)
+        ]
+        for band in bands:
+            rng.shuffle(band)
+        rng.shuffle(bands)
+        lines = [line for band in bands for line in band]
+    else:
+        rng.shuffle(lines)
     with open(os.path.join(featdir, "feats_shuffled.scp"), "w") as f:
         f.writelines(lines)

@@ -33,6 +33,21 @@ _BINARY_HEADER_LEN = 5  # \x00 + 3-char token + trailing space
 _DTYPES = {b"FM": (np.float32, 4), b"DM": (np.float64, 8)}
 
 
+def read_ark_shape(fobj: BinaryIO, offset: int | None = None) -> tuple[int, int]:
+    """Read only the ``(rows, cols)`` of a binary matrix record — a 15-byte
+    header read, no data. Used for length-aware batching/shuffling."""
+    if offset is not None:
+        fobj.seek(offset, 0)
+    header = fobj.read(_BINARY_HEADER_LEN)
+    if len(header) < _BINARY_HEADER_LEN or header[1:2] != b"B":
+        raise ValueError("ark record is not in binary mode")
+    if header[2:4] not in _DTYPES:
+        raise ValueError(f"unsupported ark matrix token {header[2:4]!r}")
+    (_, rows) = struct.unpack("<bi", fobj.read(5))
+    (_, cols) = struct.unpack("<bi", fobj.read(5))
+    return rows, cols
+
+
 def read_ark_matrix(fobj: BinaryIO, offset: int | None = None) -> np.ndarray:
     """Read one binary matrix record starting at ``offset`` (or current pos).
 
