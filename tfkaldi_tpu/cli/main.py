@@ -194,7 +194,12 @@ def main(argv=None) -> int:
     if "train_nnet" in steps:
         if config.get("nnet", "starting_step") == "0":
             log.info("------- shuffling examples ----------")
-            shuffle_examples(train_featdir)
+            bands = (
+                int(config.get("nnet", "shuffle_length_bands"))
+                if config.has_option("nnet", "shuffle_length_bands")
+                else 0
+            )
+            shuffle_examples(train_featdir, length_bands=bands)
 
         with open(os.path.join(train_featdir, "maxlength")) as fid:
             max_input_length = int(fid.read())
