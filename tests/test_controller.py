@@ -65,7 +65,7 @@ def test_divergent_lr_triggers_rollback_and_termination(tmp_path):
     # lr_fact halved at least once (possibly twice: retries+1 halvings)
     assert float(state.lr_fact) < 1.0
     # terminated early: final state stepped back to a validated step
-    assert int(state.step) < int(controller.dispenser.num_batches * opts.num_epochs) or True
+    assert int(state.step) < int(controller.dispenser.num_batches * opts.num_epochs)
     # final artifacts still written
     assert os.path.isdir(os.path.join(opts.savedir, "final"))
 
@@ -201,3 +201,12 @@ def test_resume_is_bit_exact(tmp_path):
         jax.tree_util.tree_leaves(state_b.params),
     ):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_retry_halvings_compound(tmp_path):
+    """Consecutive rollback retries must compound the LR halving
+    (1/2 -> 1/4): a divergent LR with 2 retries ends at lr_fact <= 1/4
+    unless an intermediate validation improved."""
+    controller, trainer, opts = _pipeline(tmp_path, lr=500.0, valid_retries=2)
+    state = controller.train()
+    assert float(state.lr_fact) <= 0.25, float(state.lr_fact)

@@ -44,6 +44,36 @@ class BatchDispenser:
             utt: target_coder.encode(targets) for utt, targets in self.target_dict.items()
         }
         self.max_target_length = max((t.size for t in self._encoded.values()), default=0)
+        # the cursor predicate: has targets AND is long enough to splice.
+        # The reference's skip_batch/return_batch check only the former
+        # (batchdispenser.py:103-126) while get_batch also rejects short
+        # utterances — with any <2c+1-frame utterance present, its resume
+        # fast-forward and rollback rewind silently land on the wrong
+        # batch boundaries. Frame counts come from 15-byte ark header
+        # reads, so aligning the predicates costs one cheap pass.
+        self._usable = self._find_usable()
+
+    def _find_usable(self) -> set[str]:
+        from tfkaldi_tpu.io.ark import read_ark_shape
+
+        reader = self.feature_reader.reader
+        min_frames = 2 * self.feature_reader.context_width + 1
+        usable = set()
+        handles: dict[str, object] = {}
+        try:
+            for utt, (path, offset) in zip(reader.utt_ids, reader.scp_data):
+                if utt not in self.target_dict:
+                    continue
+                fobj = handles.get(path)
+                if fobj is None:
+                    fobj = handles[path] = open(path, "rb")
+                rows, _ = read_ark_shape(fobj, offset)
+                if rows >= min_frames:
+                    usable.add(utt)
+        finally:
+            for fobj in handles.values():
+                fobj.close()
+        return usable
 
     def get_batch(self):
         """Collect ``size`` usable utterances (batchdispenser.py:60-91).
@@ -51,27 +81,25 @@ class BatchDispenser:
         Returns (inputs, targets): lists of [T_i, F] float32 matrices and
         [L_i] int32 vectors.
         """
+        # the reference loops forever in this situation
+        # (batchdispenser.py:60-91); raise instead
+        if not self._usable:
+            raise RuntimeError(
+                "no usable utterances: every scp entry lacks targets "
+                "or is too short to splice"
+            )
         batch_inputs: list[np.ndarray] = []
         batch_targets: list[np.ndarray] = []
-        skipped = 0
         while len(batch_inputs) < self.size:
             utt_id, utt_mat, _ = self.feature_reader.get_utt()
-            if utt_id in self._encoded and utt_mat is not None:
+            if utt_id in self._usable and utt_mat is not None:
                 batch_inputs.append(utt_mat)
                 batch_targets.append(self._encoded[utt_id])
             else:
                 if utt_id not in self._encoded:
                     log.warning("no targets for %s", utt_id)
-                if utt_mat is None:
+                elif utt_mat is None:
                     log.warning("%s is too short to splice", utt_id)
-                skipped += 1
-                # a full scp pass with zero usable utterances would loop
-                # forever (latent in the reference, batchdispenser.py:60-91)
-                if not batch_inputs and skipped > self.feature_reader.num_utt:
-                    raise RuntimeError(
-                        "no usable utterances: every scp entry lacks targets "
-                        "or is too short to splice"
-                    )
         return batch_inputs, batch_targets
 
     def split(self) -> None:
@@ -80,18 +108,22 @@ class BatchDispenser:
     def skip_batch(self) -> None:
         """Advance the cursor by one batch without reading data
         (batchdispenser.py:103-113)."""
+        if not self._usable:
+            raise RuntimeError("no usable utterances to skip over")
         skipped = 0
         while skipped < self.size:
             utt_id = self.feature_reader.next_id()
-            if utt_id in self.target_dict:
+            if utt_id in self._usable:
                 skipped += 1
 
     def return_batch(self) -> None:
         """Rewind the cursor by one batch (batchdispenser.py:115-126)."""
+        if not self._usable:
+            raise RuntimeError("no usable utterances to rewind over")
         skipped = 0
         while skipped < self.size:
             utt_id = self.feature_reader.prev_id()
-            if utt_id in self.target_dict:
+            if utt_id in self._usable:
                 skipped += 1
 
     def compute_target_count(self) -> np.ndarray:

@@ -63,4 +63,13 @@ class AlignmentCoder(TargetCoder):
     def encode(self, targets: str) -> np.ndarray:
         # fast path: alignment "tokens" are already the integer ids
         normalized = self.target_normalizer(targets, self.alphabet)
-        return np.asarray([int(t) for t in normalized.split(" ")], dtype=np.int32)
+        ids = np.asarray([int(t) for t in normalized.split(" ")], dtype=np.int32)
+        # the base class would KeyError on out-of-alphabet tokens; keep that
+        # safety (a mismatched GMM's pdf-ids would otherwise silently train
+        # against clamped labels)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.num_targets):
+            raise ValueError(
+                f"pdf-id outside [0, {self.num_targets}): "
+                f"{int(ids.min())}..{int(ids.max())}"
+            )
+        return ids

@@ -160,6 +160,9 @@ def prepare_data(
 def compute_cmvn(featdir: str) -> None:
     """Per-speaker CMVN statistics over feats.scp → cmvn.ark/cmvn.scp
     (prepare_data.py:82-122; same [2, dim+1] stats layout)."""
+    cmvn_ark = os.path.join(featdir, "cmvn.ark")
+    if os.path.isfile(cmvn_ark):  # reruns must not append stale records
+        os.remove(cmvn_ark)
     spk2utt = read_spk2utt(os.path.join(featdir, "spk2utt"))
     reader = ArkReader(os.path.join(featdir, "feats.scp"))
     with ArkWriter(

@@ -224,6 +224,17 @@ class TrainingController:
                         source.rewind(step - validation_step)
                         state = ckpt.device_snapshot(validated)
                         state = self.trainer.halve_learning_rate(state)
+                        # carry the halved lr into the rollback point so
+                        # consecutive retries compound 1/2 -> 1/4 -> ...
+                        # (the reference also restores lr_fact from the
+                        # checkpoint, but its TF-runtime nondeterminism made
+                        # retries diverge anyway; our replay is
+                        # bit-deterministic, so without compounding every
+                        # retry would replay identically and be futile)
+                        validated = dataclasses.replace(
+                            # copy: state's buffers get donated next step
+                            validated, lr_fact=jax.numpy.array(state.lr_fact, copy=True)
+                        )
                         step = validation_step
                         if num_retries == opt.valid_retries:
                             log.info("validation loss is worse, terminating training")
