@@ -254,6 +254,25 @@ def main(argv=None) -> int:
             out = os.path.join(decodedir, "text")
             nnet.decode_text(featreader, text_coder, out)
             log.info("wrote CTC transcriptions to %s", out)
+            ref_text = os.path.join(test_featdir, "text")
+            if os.path.isfile(ref_text):
+                from tfkaldi_tpu.utils.wer import score_text_files
+
+                # score in normalized token space (same tokens the net saw)
+                norm = os.path.join(decodedir, "text.ref_normalized")
+                with open(ref_text) as fin, open(norm, "w") as fout:
+                    for line in fin:
+                        parts = line.strip().split(" ")
+                        if parts:
+                            fout.write(
+                                parts[0]
+                                + " "
+                                + text_coder.target_normalizer(
+                                    " ".join(parts[1:]), text_coder.alphabet
+                                )
+                                + "\n"
+                            )
+                log.info("CTC %s", score_text_files(norm, out))
             return 0
         like_path = os.path.join(decodedir, "likelihoods.ark")
         if os.path.isfile(like_path):
