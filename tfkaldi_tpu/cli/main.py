@@ -127,6 +127,8 @@ def main(argv=None) -> int:
         prepare_data(
             datadir, out, feat_cfg, feat_cfg["type"], feat_cfg["dynamic"],
             batch_size=args.batch_size,
+            # optional per-section key: 'high' (f64 parity, default) | 'fast'
+            spectrum_precision=feat_cfg.get("spectrum_precision", "high"),
         )
         log.info("------- computing cmvn stats ----------")
         compute_cmvn(out)
