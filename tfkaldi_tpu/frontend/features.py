@@ -134,12 +134,15 @@ class FeatureExtractor:
             nbins = opts.nfft // 2 + 1
             self._tiles = np.linspace(1, self.rate / 2, nbins)
         # real-DFT bases over the (un-padded) window; zero-padding to
-        # nfft is implicit in truncating the bases to wl rows. Both
-        # precisions use the matmul DFT: on TPU the rfft lowering is both
-        # slower at these sizes and pathologically slow to compile, while
-        # the matmul rides the MXU.
+        # nfft is implicit in truncating the bases to wl rows, and — like
+        # numpy's rfft(frame, n=nfft) (sigproc.py:136) — frames LONGER than
+        # nfft are truncated to the first nfft samples, hence min() rows.
+        # Both precisions use the matmul DFT: on TPU the rfft lowering is
+        # both slower at these sizes and pathologically slow to compile,
+        # while the matmul rides the MXU.
         nbins = opts.nfft // 2 + 1
-        n = np.arange(self.frame_len, dtype=np.float64)[:, None]
+        self._dft_rows = min(self.frame_len, opts.nfft)
+        n = np.arange(self._dft_rows, dtype=np.float64)[:, None]
         k = np.arange(nbins, dtype=np.float64)[None, :]
         ang = 2.0 * np.pi * n * k / opts.nfft
         self._dft_cos = np.cos(ang)
@@ -227,8 +230,9 @@ class FeatureExtractor:
         )
         cosb = jnp.asarray(self._dft_cos).astype(work_dtype)
         sinb = jnp.asarray(self._dft_sin).astype(work_dtype)
-        xr = jax.lax.dot_general(frames, cosb, **mm_dft)
-        xi = jax.lax.dot_general(frames, sinb, **mm_dft)
+        dft_in = frames[:, :, : self._dft_rows]  # rfft truncation semantics
+        xr = jax.lax.dot_general(dft_in, cosb, **mm_dft)
+        xi = jax.lax.dot_general(dft_in, sinb, **mm_dft)
         pspec = (xr * xr + xi * xi) * (1.0 / opts.nfft)
 
         energy = jnp.sum(pspec, axis=-1)
