@@ -87,3 +87,38 @@ def test_feature_parity_random_configs(trial, tmp_path):
         scale = np.maximum(np.abs(want), 1.0)
         err = np.abs(got - want) / scale
         assert err.max() <= 1e-4, (conf, float(err.max()))
+
+
+def test_double_matrix_ark_roundtrip(tmp_path):
+    """'DM' (float64) records — e.g. Kaldi compute-cmvn-stats output — read
+    identically through the Python reader and the native bulk loader."""
+    import struct
+
+    from tfkaldi_tpu.io import native
+
+    rng = np.random.default_rng(3)
+    mats = {f"u{i}": rng.standard_normal((int(rng.integers(2, 30)), 7)) for i in range(5)}
+    ark, scp = tmp_path / "d.ark", tmp_path / "d.scp"
+    with open(ark, "wb") as f, open(scp, "w") as s:
+        for key, mat in mats.items():
+            f.write(key.encode() + b" ")
+            offset = f.tell()
+            f.write(b"\x00BDM ")
+            f.write(struct.pack("<bi", 4, mat.shape[0]))
+            f.write(struct.pack("<bi", 4, mat.shape[1]))
+            f.write(mat.astype("<f8").tobytes())
+            s.write(f"{key} {ark}:{offset}\n")
+
+    r = ArkReader(str(scp))
+    for key, mat in mats.items():
+        got = r.read_utt(key)
+        assert got.dtype == np.float64
+        np.testing.assert_array_equal(got, mat)
+
+    if native.available():
+        offsets = [r.scp_data[i][1] for i in range(len(mats))]
+        max_rows = max(m.shape[0] for m in mats.values())
+        out, rows = native.read_batch(str(ark), offsets, max_rows, 7)
+        for i, (key, mat) in enumerate(mats.items()):
+            assert rows[i] == mat.shape[0]
+            np.testing.assert_allclose(out[i, : rows[i]], mat.astype(np.float32), rtol=1e-6)
