@@ -1,9 +1,12 @@
 """Bulk batch loading through the native C++ ark reader.
 
 A drop-in alternative to the per-utterance FeatureReader+BatchDispenser
-path: the whole batch (read + CMVN + splice + padding) is produced by one
-native call (native/arkio.cpp), so the Python data loop costs one ctypes
-call per batch instead of ~size·(seek+parse+numpy) per utterance.
+path (the reference's data hot loop: ark seek/parse per utterance
+processing/ark.py:59-94, numpy CMVN+splice processing/feature_reader.py:91-156,
+batch assembly processing/batchdispenser.py:60-91): the whole batch
+(read + CMVN + splice + padding) is produced by one native call
+(native/arkio.cpp), so the Python data loop costs one ctypes call per
+batch instead of ~size·(seek+parse+numpy) per utterance.
 
 Keeps the dispenser cursor semantics (skip/return/split) by delegating to
 an index over the scp order.

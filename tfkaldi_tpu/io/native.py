@@ -1,5 +1,9 @@
 """ctypes bindings for the native bulk ark loader (native/arkio.cpp).
 
+First-party native host runtime — the reference has none (SURVEY §2.3: its
+only native layer is external Kaldi via os.system); this replaces its
+pure-Python record parsing (processing/ark.py:59-94) on the hot path.
+
 Builds the shared library on first use (g++ is in the image; pybind11 is
 not, hence ctypes). Callers must handle :func:`available` being False —
 every native path has a pure-Python equivalent in :mod:`tfkaldi_tpu.io.ark`
