@@ -111,11 +111,11 @@ def bench_reference_proxy() -> float:
         return gwo
 
     fwd_bwd()  # warm BLAS
-    reps = 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    dt = float("inf")
+    for _ in range(3):  # best-of-3, same policy as the TPU side
+        t0 = time.perf_counter()
         fwd_bwd()
-    dt = (time.perf_counter() - t0) / reps
+        dt = min(dt, time.perf_counter() - t0)
     fps = n / dt
     print(
         f"[bench] reference proxy (numpy BLAS): {dt:.3f}s per {n}-frame microbatch "
