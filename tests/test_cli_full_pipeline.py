@@ -70,11 +70,12 @@ def workspace(tmp_path, monkeypatch):
     _write_exec(str(bindir / "copy-feats"), "echo feats\n")
 
     num_pdfs = 6
-    _write_exec(
-        str(egs / "steps" / "train_mono.sh"),
-        'while [[ "$1" == --* ]]; do shift 2; done\n'
-        'expdir=${!#}\nmkdir -p "$expdir"\necho fake-mdl > "$expdir/final.mdl"\n',
-    )
+    for script in ("train_mono.sh", "train_deltas.sh", "train_lda_mllt.sh"):
+        _write_exec(
+            str(egs / "steps" / script),
+            'while [[ "$1" == --* ]]; do shift 2; done\n'
+            'expdir=${!#}\nmkdir -p "$expdir"\necho fake-mdl > "$expdir/final.mdl"\n',
+        )
     _write_exec(
         str(egs / "utils" / "mkgraph.sh"),
         'while [[ "$1" == --* ]]; do shift; done\n'
@@ -181,7 +182,7 @@ num_leaves = 10
 tot_gauss = 40
 
 [lda_mllt]
-name = lda
+name = lda_gmm
 context_width = 1
 num_leaves = 10
 tot_gauss = 40
@@ -221,15 +222,17 @@ def test_full_pipeline_wav_to_wer(workspace):
             "--config",
             str(cfg),
             "--steps",
-            "gmm_train_features,gmm_test_features,train_mono,align_mono,train_nnet,test_nnet",
+            "gmm_train_features,gmm_test_features,train_mono,align_mono,"
+            "train_tri,align_tri,train_lda,align_lda,train_nnet,test_nnet",
         ]
     )
     assert rc == 0
     # features
     assert (tmp / "features" / "train" / "feats" / "feats.scp").exists()
-    # stub GMM artifacts
-    assert (tmp / "exp" / "mono_gmm" / "final.mdl").exists()
-    assert (tmp / "exp" / "mono_gmm" / "ali" / "pdf.1.gz").exists()
+    # stub GMM artifacts for the whole mono -> tri -> lda chain
+    for gmm in ("mono_gmm", "tri_gmm", "lda_gmm"):
+        assert (tmp / "exp" / gmm / "final.mdl").exists(), gmm
+        assert (tmp / "exp" / gmm / "ali" / "pdf.1.gz").exists(), gmm
     # trained net + prior
     assert (tmp / "exp" / "full_nnet" / "final").is_dir()
     prior = np.load(tmp / "exp" / "full_nnet" / "prior.npy")
