@@ -1,0 +1,70 @@
+"""Decode service: model loaded once, jobs processed from the spool,
+restart-safe DONE markers."""
+
+import os
+import shutil
+from configparser import ConfigParser
+
+import numpy as np
+import pytest
+
+from tests.synthetic import make_featdir
+from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
+from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+from tfkaldi_tpu.io import ArkReader
+from tfkaldi_tpu.nnet import Nnet
+from tfkaldi_tpu.serve import DecodeService
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    featdir, alifile, info = make_featdir(tmp)
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": str(tmp / "exp")}
+    cfg["nnet"] = {
+        "name": "servenet", "context_width": "1", "num_hidden_units": "16",
+        "num_hidden_layers": "1", "add_layer_period": "0", "starting_step": "0",
+        "nonlin": "relu", "l2_norm": "False", "dropout": "1", "batch_norm": "False",
+        "num_epochs": "1", "initial_learning_rate": "0.01", "learning_rate_decay": "1",
+        "batch_size": "4", "numutterances_per_minibatch": "-1", "valid_batches": "0",
+        "valid_frequency": "100", "valid_adapt": "False", "valid_retries": "0",
+        "check_freq": "100", "visualise": "False",
+    }
+    reader = FeatureReader(
+        f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60
+    )
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    disp = AlignmentBatchDispenser(reader, coder, 4, alifile)
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=info["num_labels"])
+    net.train(disp)
+    return tmp, featdir, net, info
+
+
+def test_service_processes_jobs_and_is_restart_safe(trained, tmp_path):
+    tmp, featdir, net, info = trained
+    watch = tmp_path / "watch"
+    out = tmp_path / "out"
+    service = DecodeService(net, str(watch), str(out), batch_size=4)
+
+    assert service.process_pending() == 0  # empty spool
+
+    # drop two jobs (each a featdir copy)
+    for name in ("job_a", "job_b"):
+        shutil.copytree(featdir, watch / name)
+    assert service.process_pending() == 2
+    for name in ("job_a", "job_b"):
+        assert (out / name / "DONE").exists()
+        r = ArkReader(str(out / name / "feats.scp"))
+        assert len(r) == len(info["utts"])
+        mat = r.read_utt_data(0)
+        assert mat.shape[1] == info["num_labels"] and np.isfinite(mat).all()
+
+    # restart-safety: done jobs are skipped
+    assert service.process_pending() == 0
+
+    # a new job after "restart" (fresh service instance reusing the spool)
+    service2 = DecodeService(net, str(watch), str(out), batch_size=4)
+    shutil.copytree(featdir, watch / "job_c")
+    assert service2.process_pending() == 1
+    assert (out / "job_c" / "DONE").read_text().strip() == str(len(info["utts"]))
