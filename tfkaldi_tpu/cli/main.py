@@ -220,17 +220,14 @@ def main(argv=None) -> int:
             )
         else:
             # merge per-job alignments (main.py:139-142)
-            expdir = os.path.join(config.get("directories", "expdir"), gmm_name)
-            alifile = os.path.join(expdir, "ali", "pdf.all.gz")
-            if not os.path.isfile(alifile):
-                import gzip
+            from tfkaldi_tpu.kaldi.gmm import merge_alignments
 
-                with gzip.open(alifile, "wt") as out:
-                    for i in range(1, int(config.get("general", "num_jobs")) + 1):
-                        with gzip.open(
-                            os.path.join(expdir, "ali", f"pdf.{i}.gz"), "rt"
-                        ) as p:
-                            out.write(p.read())
+            ali_dir = os.path.join(config.get("directories", "expdir"), gmm_name, "ali")
+            alifile = os.path.join(ali_dir, "pdf.all.gz")
+            if not os.path.isfile(alifile):
+                alifile = merge_alignments(
+                    ali_dir, int(config.get("general", "num_jobs"))
+                )
             coder = AlignmentCoder(identity_normalizer, num_labels)
             dispenser = AlignmentBatchDispenser(featreader, coder, batch_size, alifile)
         log.info("------- training neural net ----------")

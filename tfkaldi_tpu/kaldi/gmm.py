@@ -22,6 +22,18 @@ import subprocess
 log = logging.getLogger(__name__)
 
 
+def merge_alignments(ali_dir: str, num_jobs: int) -> str:
+    """Concatenate per-job pdf archives into ``pdf.all.gz`` in-process
+    (replaces ``cat`` at main.py:140-142). gzip members concatenate
+    legally, but we re-write one clean stream."""
+    out_path = os.path.join(ali_dir, "pdf.all.gz")
+    with gzip.open(out_path, "wt") as out:
+        for i in range(1, num_jobs + 1):
+            with gzip.open(os.path.join(ali_dir, f"pdf.{i}.gz"), "rt") as part:
+                out.write(part.read())
+    return out_path
+
+
 def run_checked(cmd: str, cwd: str | None = None) -> None:
     """Run a shell command, raising on failure (unlike os.system).
 
@@ -126,17 +138,7 @@ class GMM:
             )
 
     def merge_alignments(self) -> str:
-        """Concatenate the per-job pdf archives into pdf.all.gz in-process
-        (replaces ``cat`` at main.py:140-142). gzip members concatenate
-        legally, but we re-write one clean stream."""
-        out_path = os.path.join(self.expdir, "ali", "pdf.all.gz")
-        with gzip.open(out_path, "wt") as out:
-            for i in range(1, int(self.num_jobs) + 1):
-                with gzip.open(
-                    os.path.join(self.expdir, "ali", f"pdf.{i}.gz"), "rt"
-                ) as part:
-                    out.write(part.read())
-        return out_path
+        return merge_alignments(os.path.join(self.expdir, "ali"), int(self.num_jobs))
 
     def test(self) -> None:
         """Decode the test set with the GMM baseline (gmm.py:81-101)."""
