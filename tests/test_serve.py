@@ -68,3 +68,48 @@ def test_service_processes_jobs_and_is_restart_safe(trained, tmp_path):
     shutil.copytree(featdir, watch / "job_c")
     assert service2.process_pending() == 1
     assert (out / "job_c" / "DONE").read_text().strip() == str(len(info["utts"]))
+
+
+def test_serve_cli_once(trained, tmp_path):
+    """`python -m tfkaldi_tpu.cli.serve --once` processes the spool."""
+    tmp, featdir, net, info = trained
+    from configparser import ConfigParser
+
+    from tfkaldi_tpu.cli.serve import main as serve_main
+
+    # the CLI reads input dim from directories/train_features + dnn name
+    cfg = tmp_path / "serve.cfg"
+    cfg.write_text(
+        f"""[directories]
+expdir = {tmp}/exp
+train_features = {os.path.dirname(featdir)}
+
+[dnn-features]
+name = {os.path.basename(featdir)}
+
+[nnet]
+name = servenet
+gmm_name = unused
+context_width = 1
+num_hidden_units = 16
+num_hidden_layers = 1
+add_layer_period = 0
+starting_step = 0
+nonlin = relu
+l2_norm = False
+dropout = 1
+batch_norm = False
+"""
+    )
+    # gmm_name path only matters for num_pdfs; provide it
+    os.makedirs(tmp / "exp" / "unused" / "graph", exist_ok=True)
+    (tmp / "exp" / "unused" / "graph" / "num_pdfs").write_text(
+        f"{info['num_labels']}\n"
+    )
+    watch, out = tmp_path / "w", tmp_path / "o"
+    shutil.copytree(featdir, watch / "job1")
+    rc = serve_main(
+        ["--config", str(cfg), "--watch", str(watch), "--out", str(out), "--once"]
+    )
+    assert rc == 0
+    assert (out / "job1" / "DONE").exists()
