@@ -55,6 +55,37 @@ DEFAULT_STEPS = [
 ]
 
 
+def resolve_labels(config):
+    """Label space from the config: ``(is_ctc, coder_or_None, num_labels,
+    gmm_name_or_None)``.
+
+    CTC mode takes its labels from the TextCoder alphabet; the hybrid path
+    reads ``num_pdfs`` from the parent GMM's graph (main.py:123-126).
+    Shared by the training/decoding driver and the serve driver so the two
+    can never disagree on the alphabet.
+    """
+    from tfkaldi_tpu.data import TextCoder
+    from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer, identity_normalizer
+
+    ctc = config.has_option("nnet", "loss") and config.get("nnet", "loss") == "ctc"
+    if ctc:
+        normalizer = (
+            aurora4_normalizer
+            if config.has_option("nnet", "normalizer")
+            and config.get("nnet", "normalizer") == "aurora4"
+            else identity_normalizer
+        )
+        coder = TextCoder(normalizer)
+        return True, coder, coder.num_labels, None
+    gmm_name = config.get("nnet", "gmm_name")
+    numpdfs_file = os.path.join(
+        config.get("directories", "expdir"), gmm_name, "graph", "num_pdfs"
+    )
+    with open(numpdfs_file) as fid:
+        num_labels = int(fid.read().strip())
+    return False, None, num_labels, gmm_name
+
+
 def _cmvn_path(config, featdir: str) -> str | None:
     """CMVN scp for a featdir, honoring the ``apply_cmvn`` key of
     [dnn-features] (present in the reference's CGN recipe but silently
@@ -157,9 +188,8 @@ def main(argv=None) -> int:
         AlignmentCoder,
         FeatureReader,
         TextBatchDispenser,
-        TextCoder,
     )
-    from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer, identity_normalizer
+    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
     from tfkaldi_tpu.io import ArkReader, ArkWriter
     from tfkaldi_tpu.nnet import Nnet
 
@@ -172,24 +202,7 @@ def main(argv=None) -> int:
 
     # character-CTC variant: labels come from the TextCoder alphabet, not
     # the GMM tree (the reference's CTC path was never finished)
-    ctc = config.has_option("nnet", "loss") and config.get("nnet", "loss") == "ctc"
-    normalizer = (
-        aurora4_normalizer
-        if config.has_option("nnet", "normalizer")
-        and config.get("nnet", "normalizer") == "aurora4"
-        else identity_normalizer
-    )
-    gmm_name = config.get("nnet", "gmm_name") if not ctc else None
-    if ctc:
-        text_coder = TextCoder(normalizer)
-        num_labels = text_coder.num_labels
-    else:
-        # number of output labels from the graph's num_pdfs (main.py:123-126)
-        numpdfs_file = os.path.join(
-            config.get("directories", "expdir"), gmm_name, "graph", "num_pdfs"
-        )
-        with open(numpdfs_file) as fid:
-            num_labels = int(fid.read().strip())
+    ctc, text_coder, num_labels, gmm_name = resolve_labels(config)
 
     nnet = Nnet(config, input_dim, num_labels)
 
@@ -201,7 +214,11 @@ def main(argv=None) -> int:
                 if config.has_option("nnet", "shuffle_length_bands")
                 else 0
             )
-            shuffle_examples(train_featdir, length_bands=bands)
+            # keep the validation carve (head of the scp) uniformly sampled
+            valid_head = int(config.get("nnet", "valid_batches")) * int(
+                config.get("nnet", "batch_size")
+            )
+            shuffle_examples(train_featdir, length_bands=bands, valid_head=valid_head)
 
         with open(os.path.join(train_featdir, "maxlength")) as fid:
             max_input_length = int(fid.read())
@@ -261,16 +278,17 @@ def main(argv=None) -> int:
                 norm = os.path.join(decodedir, "text.ref_normalized")
                 with open(ref_text) as fin, open(norm, "w") as fout:
                     for line in fin:
-                        parts = line.strip().split(" ")
-                        if parts:
-                            fout.write(
-                                parts[0]
-                                + " "
-                                + text_coder.target_normalizer(
-                                    " ".join(parts[1:]), text_coder.alphabet
-                                )
-                                + "\n"
+                        parts = line.split()
+                        if not parts:
+                            continue
+                        fout.write(
+                            parts[0]
+                            + " "
+                            + text_coder.target_normalizer(
+                                " ".join(parts[1:]), text_coder.alphabet
                             )
+                            + "\n"
+                        )
                 log.info("CTC %s", score_text_files(norm, out))
             return 0
         like_path = os.path.join(decodedir, "likelihoods.ark")

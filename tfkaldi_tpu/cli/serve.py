@@ -35,6 +35,7 @@ def main(argv=None) -> int:
         log.error("cannot read config %s", args.config)
         return 1
 
+    from tfkaldi_tpu.cli.main import resolve_labels
     from tfkaldi_tpu.io import ArkReader
     from tfkaldi_tpu.nnet import Nnet
     from tfkaldi_tpu.serve import DecodeService
@@ -47,28 +48,8 @@ def main(argv=None) -> int:
     input_dim = reader.read_utt_data(0).shape[1]
     reader.close()
 
-    coder = None
-    if config.has_option("nnet", "loss") and config.get("nnet", "loss") == "ctc":
-        from tfkaldi_tpu.data import TextCoder
-        from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer, identity_normalizer
-
-        normalizer = (
-            aurora4_normalizer
-            if config.has_option("nnet", "normalizer")
-            and config.get("nnet", "normalizer") == "aurora4"
-            else identity_normalizer
-        )
-        coder = TextCoder(normalizer)
-        num_labels = coder.num_labels
-    else:
-        numpdfs = os.path.join(
-            config.get("directories", "expdir"),
-            config.get("nnet", "gmm_name"),
-            "graph",
-            "num_pdfs",
-        )
-        with open(numpdfs) as fid:
-            num_labels = int(fid.read().strip())
+    # same label/alphabet resolution as the training driver
+    _ctc, coder, num_labels, _gmm = resolve_labels(config)
 
     nnet = Nnet(config, input_dim, num_labels)
     service = DecodeService(

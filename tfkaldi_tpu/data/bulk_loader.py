@@ -110,23 +110,31 @@ class BulkAlignmentBatchSource:
         entries = [self._entries[i] for i in idx]
 
         t_pad = round_up(max(e[3] for e in entries), self.bucket_multiple)
-        width = self.feat_dim * (2 * self.context_width + 1)
-        feats = np.empty((n, t_pad, width), dtype=np.float32)
-        rows = np.empty(n, dtype=np.int32)
 
         # one native call per ark file in the batch (Kaldi data dirs split
         # feats across per-job arks feats.1.ark..feats.N.ark)
         by_path: dict[str, list[int]] = {}
         for j, e in enumerate(entries):
             by_path.setdefault(e[1], []).append(j)
-        for path, js in by_path.items():
+
+        def read_group(path, js):
             offsets = np.asarray([entries[j][2] for j in js], dtype=np.int64)
             stats = np.stack([self._cmvn[self._utt2spk[entries[j][0]]] for j in js])
-            group_feats, group_rows = native.read_cmvn_splice_batch(
+            return native.read_cmvn_splice_batch(
                 path, offsets, stats, self.context_width, t_pad, self.feat_dim
             )
-            feats[js] = group_feats
-            rows[js] = group_rows
+
+        if len(by_path) == 1:  # common case: zero-copy straight to the batch
+            (path, js), = by_path.items()
+            feats, rows = read_group(path, js)
+        else:
+            width = self.feat_dim * (2 * self.context_width + 1)
+            feats = np.empty((n, t_pad, width), dtype=np.float32)
+            rows = np.empty(n, dtype=np.int32)
+            for path, js in by_path.items():
+                group_feats, group_rows = read_group(path, js)
+                feats[js] = group_feats
+                rows[js] = group_rows
         if np.any(rows < 0):
             raise RuntimeError("unexpected too-short utterance in bulk batch")
 

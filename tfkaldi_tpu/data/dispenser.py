@@ -54,26 +54,21 @@ class BatchDispenser:
         self._usable = self._find_usable()
 
     def _find_usable(self) -> set[str]:
-        from tfkaldi_tpu.io.ark import read_ark_shape
+        from tfkaldi_tpu.io.ark import scan_scp_shapes
 
         reader = self.feature_reader.reader
         min_frames = 2 * self.feature_reader.context_width + 1
-        usable = set()
-        handles: dict[str, object] = {}
-        try:
-            for utt, (path, offset) in zip(reader.utt_ids, reader.scp_data):
-                if utt not in self.target_dict:
-                    continue
-                fobj = handles.get(path)
-                if fobj is None:
-                    fobj = handles[path] = open(path, "rb")
-                rows, _ = read_ark_shape(fobj, offset)
-                if rows >= min_frames:
-                    usable.add(utt)
-        finally:
-            for fobj in handles.values():
-                fobj.close()
-        return usable
+        with_targets = [
+            (utt, entry)
+            for utt, entry in zip(reader.utt_ids, reader.scp_data)
+            if utt in self.target_dict
+        ]
+        shapes = scan_scp_shapes([entry for _, entry in with_targets])
+        return {
+            utt
+            for (utt, _), (rows, _cols) in zip(with_targets, shapes)
+            if rows >= min_frames
+        }
 
     def get_batch(self):
         """Collect ``size`` usable utterances (batchdispenser.py:60-91).
@@ -104,6 +99,9 @@ class BatchDispenser:
 
     def split(self) -> None:
         self.feature_reader.split()
+        # drop carved-off utterances: a stale usable-set would let the
+        # cursor ops spin forever on an exhausted scp
+        self._usable &= set(self.feature_reader.reader.utt_ids)
 
     def skip_batch(self) -> None:
         """Advance the cursor by one batch without reading data

@@ -178,7 +178,10 @@ def compute_cmvn(featdir: str) -> None:
 
 
 def shuffle_examples(
-    featdir: str, seed: int | None = None, length_bands: int = 0
+    featdir: str,
+    seed: int | None = None,
+    length_bands: int = 0,
+    valid_head: int = 0,
 ) -> None:
     """Shuffle feats.scp once on disk → feats_shuffled.scp
     (prepare_data.py:124-141).
@@ -190,38 +193,37 @@ def shuffle_examples(
     padding waste of bucketed static shapes — randomness stays local, so
     training still sees a shuffled stream (no reference counterpart: it
     pads everything to the corpus max, so order never mattered for waste).
+
+    ``valid_head``: with banding, reserve that many *uniformly* sampled
+    utterances at the head of the shuffled scp. The training controller
+    carves its validation set off the head (nnet.py:88-96); drawing it
+    from one band would make validation loss length-biased.
     """
     with open(os.path.join(featdir, "feats.scp")) as f:
         lines = f.readlines()
     rng = random.Random(seed)
 
     if length_bands > 1:
-        from tfkaldi_tpu.io.ark import read_ark_shape
+        from tfkaldi_tpu.io.ark import scan_scp_shapes
 
-        counts = []
-        handles: dict[str, object] = {}
-        try:
-            for line in lines:
-                _, path_pos = line.strip().split(" ", 1)
-                path, pos = path_pos.rsplit(":", 1)
-                fobj = handles.get(path)
-                if fobj is None:
-                    fobj = handles[path] = open(path, "rb")
-                rows, _ = read_ark_shape(fobj, int(pos))
-                counts.append(rows)
-        finally:
-            for fobj in handles.values():
-                fobj.close()
-        order = sorted(range(len(lines)), key=lambda i: counts[i])
-        band_size = -(-len(lines) // length_bands)
+        rng.shuffle(lines)  # uniform order; the head stays uniform
+        head, rest = lines[:valid_head], lines[valid_head:]
+        entries = []
+        for line in rest:
+            _, path_pos = line.strip().split(" ", 1)
+            path, pos = path_pos.rsplit(":", 1)
+            entries.append((path, int(pos)))
+        counts = [rows for rows, _cols in scan_scp_shapes(entries)]
+        order = sorted(range(len(rest)), key=lambda i: counts[i])
+        band_size = max(1, -(-len(rest) // length_bands))
         bands = [
-            [lines[i] for i in order[b : b + band_size]]
-            for b in range(0, len(lines), band_size)
+            [rest[i] for i in order[b : b + band_size]]
+            for b in range(0, len(rest), band_size)
         ]
         for band in bands:
             rng.shuffle(band)
         rng.shuffle(bands)
-        lines = [line for band in bands for line in band]
+        lines = head + [line for band in bands for line in band]
     else:
         rng.shuffle(lines)
     with open(os.path.join(featdir, "feats_shuffled.scp"), "w") as f:

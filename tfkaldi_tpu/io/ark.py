@@ -48,6 +48,24 @@ def read_ark_shape(fobj: BinaryIO, offset: int | None = None) -> tuple[int, int]
     return rows, cols
 
 
+def scan_scp_shapes(entries) -> list[tuple[int, int]]:
+    """``(rows, cols)`` for each ``(path, offset)`` scp entry — header-only
+    reads with one open handle per ark file. Used for length-aware
+    shuffling/batching and spliceability checks."""
+    shapes: list[tuple[int, int]] = []
+    handles: dict[str, BinaryIO] = {}
+    try:
+        for path, offset in entries:
+            fobj = handles.get(path)
+            if fobj is None:
+                fobj = handles[path] = open(path, "rb")
+            shapes.append(read_ark_shape(fobj, int(offset)))
+    finally:
+        for fobj in handles.values():
+            fobj.close()
+    return shapes
+
+
 def read_ark_matrix(fobj: BinaryIO, offset: int | None = None) -> np.ndarray:
     """Read one binary matrix record starting at ``offset`` (or current pos).
 

@@ -81,8 +81,11 @@ class DecodeService:
                 continue
             if not os.path.isfile(os.path.join(jobdir, "feats.scp")):
                 continue  # not (yet) a complete job
-            if os.path.isfile(os.path.join(self.out_dir, name, "DONE")):
+            outdir = os.path.join(self.out_dir, name)
+            if os.path.isfile(os.path.join(outdir, "DONE")):
                 continue
+            if os.path.isfile(os.path.join(outdir, "FAILED")):
+                continue  # quarantined — operator removes the marker to retry
             jobs.append(name)
         return jobs
 
@@ -120,11 +123,25 @@ class DecodeService:
         return count
 
     def process_pending(self) -> int:
-        """One spool sweep; returns #jobs processed."""
+        """One spool sweep; returns #jobs successfully processed.
+
+        A failing job is quarantined with a FAILED marker (traceback
+        inside) instead of crashing the daemon — one malformed or
+        half-copied job must not wedge the service across restarts.
+        """
+        import traceback
+
         done = 0
         for name in self._pending_jobs():
-            self.process_job(name)
-            done += 1
+            try:
+                self.process_job(name)
+                done += 1
+            except Exception:
+                log.exception("job %s failed; quarantining", name)
+                outdir = os.path.join(self.out_dir, name)
+                os.makedirs(outdir, exist_ok=True)
+                with open(os.path.join(outdir, "FAILED"), "w") as f:
+                    f.write(traceback.format_exc())
         return done
 
     def run(self, poll_seconds: float = 1.0, stop=lambda: False) -> None:
