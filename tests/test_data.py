@@ -163,3 +163,24 @@ def test_dispenser_raises_when_nothing_usable(tmp_path):
     import pytest
     with pytest.raises(RuntimeError, match="no usable utterances"):
         d.get_batch()
+
+
+def test_dispenser_raises_when_split_exhausts_corpus(tmp_path):
+    """If the validation carve consumes every usable utterance, get_batch
+    must raise, not hang (the usable set is pruned on split())."""
+    import pytest
+
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
+    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+
+    featdir, alifile, info = make_featdir(tmp_path, num_speakers=1, utts_per_speaker=4)
+    r = FeatureReader(f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60)
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    d = AlignmentBatchDispenser(r, coder, 4, alifile)
+    d.get_batch()  # consume all 4 utterances
+    d.split()      # nothing left
+    with pytest.raises(RuntimeError, match="no usable utterances"):
+        d.get_batch()
+    with pytest.raises(RuntimeError):
+        d.skip_batch()
