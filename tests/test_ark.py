@@ -134,3 +134,26 @@ def test_copy_feats_interop_if_available(tmp_path):
         ["copy-feats", f"scp:{scp}", f"ark,scp:{out_ark},{out_scp}"], check=True
     )
     np.testing.assert_allclose(ArkReader(str(out_scp)).read_utt("a"), mats["a"])
+
+
+def test_ark_golden_bytes(tmp_path):
+    """Pin the exact on-disk bytes of a written record — the byte contract
+    with Kaldi's C++ readers (ark.py:190-211): 'key ' + \\0BFM + \\x04+rows
+    + \\x04+cols + row-major float32, scp offset at the post-key \\0."""
+    import struct
+
+    mat = np.array([[1.5, -2.0], [0.25, 4.0], [0.0, -0.5]], dtype=np.float32)
+    with ArkWriter(str(tmp_path / "g.scp"), str(tmp_path / "g.ark")) as w:
+        w.write_next_utt("utt1", mat)
+    raw = open(tmp_path / "g.ark", "rb").read()
+    want = (
+        b"utt1 "
+        + b"\x00BFM "
+        + struct.pack("<bi", 4, 3)
+        + struct.pack("<bi", 4, 2)
+        + mat.tobytes()
+    )
+    assert raw == want
+    scp_line = open(tmp_path / "g.scp").read().strip()
+    path, offset = scp_line.split(" ")[1].rsplit(":", 1)
+    assert int(offset) == len(b"utt1 ")  # offset points at the \x00
