@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -134,19 +135,36 @@ extern "C" int ctc_beam_search(const float* log_probs, int32_t t_len,
 }
 
 // Batched convenience: decodes `n` utterances laid out as one padded
-// [n, t_max, v] block with per-utterance lengths. out is [n, max_out];
+// [n, t_max, v] block with per-utterance lengths, fanned out over hardware
+// threads (utterances are independent). out is [n, max_out];
 // out_lens[i] < 0 signals a per-utterance failure.
 extern "C" int ctc_beam_search_batch(const float* log_probs, int32_t n,
                                      int32_t t_max, int32_t v,
                                      const int32_t* lengths, int32_t blank_id,
                                      int32_t beam_width, int32_t* out,
                                      int32_t max_out, int32_t* out_lens) {
-  for (int32_t i = 0; i < n; ++i) {
-    const float* lp = log_probs + static_cast<int64_t>(i) * t_max * v;
-    const int32_t t_len = std::min(lengths[i], t_max);
-    out_lens[i] = ctc_beam_search(lp, t_len, v, blank_id, beam_width,
-                                  out + static_cast<int64_t>(i) * max_out,
-                                  max_out);
+  auto decode_range = [&](int32_t lo, int32_t hi) {
+    for (int32_t i = lo; i < hi; ++i) {
+      const float* lp = log_probs + static_cast<int64_t>(i) * t_max * v;
+      const int32_t t_len = std::min(lengths[i], t_max);
+      out_lens[i] = ctc_beam_search(lp, t_len, v, blank_id, beam_width,
+                                    out + static_cast<int64_t>(i) * max_out,
+                                    max_out);
+    }
+  };
+  const int32_t hw = static_cast<int32_t>(std::thread::hardware_concurrency());
+  const int32_t workers = std::max<int32_t>(1, std::min(n, hw > 0 ? hw : 4));
+  if (workers == 1) {
+    decode_range(0, n);
+    return 0;
   }
+  std::vector<std::thread> pool;
+  const int32_t chunk = (n + workers - 1) / workers;
+  for (int32_t w = 0; w < workers; ++w) {
+    const int32_t lo = w * chunk;
+    if (lo >= n) break;
+    pool.emplace_back(decode_range, lo, std::min(n, lo + chunk));
+  }
+  for (auto& t : pool) t.join();
   return 0;
 }
