@@ -149,3 +149,24 @@ def test_splice_batched_matches_single():
     got = np.asarray(splice(batch, 2))
     for i in range(3):
         np.testing.assert_allclose(got[i], np.asarray(splice(batch[i], 2)))
+
+
+def test_fast_spectrum_path_close_to_high():
+    """The f32 'fast' spectrum path tracks the f64 'high' path within its
+    documented tolerance (log-domain ~1e-3 worst-case per bin; the mel
+    aggregation keeps typical feature error far below that)."""
+    rng = np.random.default_rng(0)
+    conf = {
+        "type": "mfcc", "dynamic": "delta", "winlen": "0.025", "winstep": "0.01",
+        "nfilt": "23", "nfft": "512", "lowfreq": "0", "highfreq": "-1",
+        "preemph": "0.97", "include_energy": "True", "snip_edges": "True",
+        "numcep": "13", "ceplifter": "22",
+    }
+    opts = FeatureOpts.from_config(conf)
+    sig = (rng.standard_normal(16000) * 800).astype(np.float32)
+    high = FeatureExtractor(opts, 16000, "high").compute(sig)
+    fast = FeatureExtractor(opts, 16000, "fast").compute(sig)
+    assert fast.shape == high.shape
+    err = np.abs(fast - high) / np.maximum(np.abs(high), 1.0)
+    assert err.max() < 2e-3, float(err.max())
+    assert np.quantile(err, 0.99) < 2e-4, float(np.quantile(err, 0.99))
