@@ -210,3 +210,20 @@ def test_retry_halvings_compound(tmp_path):
     controller, trainer, opts = _pipeline(tmp_path, lr=500.0, valid_retries=2)
     state = controller.train()
     assert float(state.lr_fact) <= 0.25, float(state.lr_fact)
+
+
+def test_training_is_deterministic_across_runs(tmp_path):
+    """Two identical controller runs (same corpus/seed) produce bit-identical
+    params — pins the prefetch worker's ordering and the fold_in(step) rng
+    against nondeterminism."""
+    states = []
+    for sub in ("r1", "r2"):
+        ctrl, _, _ = _pipeline(
+            tmp_path / sub, lr=0.01, valid_retries=1, num_epochs=2, check_freq=2,
+            valid_adapt=True, seed=0,
+        )
+        states.append(ctrl.train())
+    a, b = states
+    assert int(a.step) == int(b.step)
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
