@@ -7,7 +7,14 @@ feature archives feed Kaldi GMM training, and our pseudo-likelihood
 archives feed ``latgen-faster-mapped``.
 """
 
-from tfkaldi_tpu.io.ark import ArkReader, ArkWriter, read_ark_matrix, write_ark_matrix
+from tfkaldi_tpu.io.ark import (
+    ArkReader,
+    ArkWriter,
+    read_ark_matrix,
+    read_ark_shape,
+    scan_scp_shapes,
+    write_ark_matrix,
+)
 from tfkaldi_tpu.io.kaldi_io import (
     read_alignments,
     read_segments,
@@ -21,6 +28,8 @@ __all__ = [
     "ArkReader",
     "ArkWriter",
     "read_ark_matrix",
+    "read_ark_shape",
+    "scan_scp_shapes",
     "write_ark_matrix",
     "read_alignments",
     "read_segments",
