@@ -51,3 +51,25 @@ def test_score_text_files(tmp_path):
     assert r.ref_tokens == 6
     assert abs(r.wer - 50.0) < 1e-9
     assert "%WER 50.00" in str(r)
+
+
+def test_char_tokens_to_words():
+    from tfkaldi_tpu.utils.wer import char_tokens_to_words
+
+    toks = "<sos> h i <space> t h e r e <eos>".split()
+    assert char_tokens_to_words(toks) == ["hi", "there"]
+    assert char_tokens_to_words([]) == []
+    assert char_tokens_to_words(["<space>", "<space>"]) == []
+
+
+def test_word_level_scoring_of_char_output(tmp_path):
+    from tfkaldi_tpu.utils.wer import char_tokens_to_words, score_text_files
+
+    (tmp_path / "ref").write_text("u1 <sos> h i <space> y o u <eos>\n")
+    (tmp_path / "hyp").write_text("u1 h i <space> y o l\n")
+    # char level: 1 sub (u->l) over 6 chars+1 space... token space differs
+    word = score_text_files(
+        str(tmp_path / "ref"), str(tmp_path / "hyp"), transform=char_tokens_to_words
+    )
+    assert word.ref_tokens == 2  # hi you
+    assert word.substitutions == 1 and word.correct == 1  # you -> yol

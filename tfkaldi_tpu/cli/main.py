@@ -272,7 +272,7 @@ def main(argv=None) -> int:
             log.info("wrote CTC transcriptions to %s", out)
             ref_text = os.path.join(test_featdir, "text")
             if os.path.isfile(ref_text):
-                from tfkaldi_tpu.utils.wer import score_text_files
+                from tfkaldi_tpu.utils.wer import char_tokens_to_words, score_text_files
 
                 # score in normalized token space (same tokens the net saw)
                 norm = os.path.join(decodedir, "text.ref_normalized")
@@ -289,7 +289,11 @@ def main(argv=None) -> int:
                             )
                             + "\n"
                         )
-                log.info("CTC %s", score_text_files(norm, out))
+                log.info("CTC CER: %s", score_text_files(norm, out))
+                log.info(
+                    "CTC WER: %s",
+                    score_text_files(norm, out, transform=char_tokens_to_words),
+                )
             return 0
         like_path = os.path.join(decodedir, "likelihoods.ark")
         if os.path.isfile(like_path):

@@ -70,19 +70,27 @@ def _read_text(path: str) -> dict[str, list[str]]:
     return out
 
 
-def score_text_files(ref_path: str, hyp_path: str) -> WerResult:
+def score_text_files(ref_path: str, hyp_path: str, transform=None) -> WerResult:
     """Token error rate between two Kaldi ``text`` files (any tokenization —
-    words, or the TextCoder's character tokens for CER)."""
+    words, or the TextCoder's character tokens for CER).
+
+    ``transform``: optional per-utterance token-list mapper applied to both
+    sides before alignment (e.g. :func:`char_tokens_to_words` to score
+    word-level WER on character-CTC output)."""
     refs = _read_text(ref_path)
     hyps = _read_text(hyp_path)
     result = WerResult()
     for utt, ref in refs.items():
         hyp = hyps.get(utt)
+        if transform is not None:
+            ref = transform(ref)
         result.ref_tokens += len(ref)
         if hyp is None:
             result.missing_utts += 1
             result.deletions += len(ref)  # unscored utterance = all deleted
             continue
+        if transform is not None:
+            hyp = transform(hyp)
         s, i, d, c = edit_distance(ref, hyp)
         result.substitutions += s
         result.insertions += i
@@ -90,3 +98,23 @@ def score_text_files(ref_path: str, hyp_path: str) -> WerResult:
         result.correct += c
         result.scored_utts += 1
     return result
+
+
+def char_tokens_to_words(tokens: list[str]) -> list[str]:
+    """Reassemble TextCoder character tokens (``<space>`` separated words,
+    ``<sos>``/``<eos>`` markers, target_coder.py:79-118) into words so
+    character-CTC output can be scored as word-level WER."""
+    words: list[str] = []
+    current: list[str] = []
+    for tok in tokens:
+        if tok in ("<sos>", "<eos>"):
+            continue
+        if tok == "<space>":
+            if current:
+                words.append("".join(current))
+                current = []
+        else:
+            current.append(tok)
+    if current:
+        words.append("".join(current))
+    return words
