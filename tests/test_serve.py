@@ -113,3 +113,30 @@ batch_norm = False
     )
     assert rc == 0
     assert (out / "job1" / "DONE").exists()
+
+
+def test_service_quarantines_bad_jobs(trained, tmp_path):
+    """A malformed job gets a FAILED marker and doesn't wedge the daemon;
+    valid jobs in the same sweep still complete."""
+    tmp, featdir, net, info = trained
+    watch = tmp_path / "w2"
+    out = tmp_path / "o2"
+    service = DecodeService(net, str(watch), str(out), batch_size=4)
+
+    # malformed: feats.scp present but utt2spk missing
+    bad = watch / "bad_job"
+    bad.mkdir(parents=True)
+    shutil.copyfile(os.path.join(featdir, "feats.scp"), bad / "feats.scp")
+    # valid job alongside
+    shutil.copytree(featdir, watch / "good_job")
+
+    assert service.process_pending() == 1  # only the good job counts
+    assert (out / "good_job" / "DONE").exists()
+    failed = out / "bad_job" / "FAILED"
+    assert failed.exists() and failed.read_text().strip()
+    # quarantined job is skipped on subsequent sweeps
+    assert service.process_pending() == 0
+    # operator clears the marker to retry (still fails, re-quarantined)
+    failed.unlink()
+    assert service.process_pending() == 0
+    assert failed.exists()
