@@ -7,7 +7,16 @@ calls (gmm.py:31-44, no error checking anywhere), every subprocess here is
 checked and failures propagate.
 """
 
-from tfkaldi_tpu.kaldi.gmm import GMM, LdaGmm, MonoGmm, TriGmm
-from tfkaldi_tpu.kaldi.decode_wfst import decode_wfst
+from tfkaldi_tpu.kaldi.gmm import GMM, LdaGmm, MonoGmm, TriGmm, merge_alignments
+from tfkaldi_tpu.kaldi.decode_wfst import WfstDecodeOpts, best_wer, decode_wfst
 
-__all__ = ["GMM", "MonoGmm", "TriGmm", "LdaGmm", "decode_wfst"]
+__all__ = [
+    "GMM",
+    "MonoGmm",
+    "TriGmm",
+    "LdaGmm",
+    "merge_alignments",
+    "WfstDecodeOpts",
+    "best_wer",
+    "decode_wfst",
+]
