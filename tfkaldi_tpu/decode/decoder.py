@@ -13,8 +13,6 @@ real, which only changes frames the reference would have crashed Kaldi on.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

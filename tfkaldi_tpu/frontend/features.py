@@ -27,9 +27,6 @@ Pipeline (reference call chain in parentheses):
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,12 +104,12 @@ class FeatureExtractor:
         """Args:
             spectrum_precision: ``"high"`` (default) computes preemphasis,
                 framing and the DFT in float64 (TPU: XLA's software-emulated
-                f64 matmul against precomputed cos/sin bases — measured
-                ~5e4 frames/s/chip, ≈500× real time, max relative spectrum
-                error ~1e-10). ``"fast"`` uses the f32 FFT, whose summation
-                cancellation costs ~1e-4 relative on small bins — fine for
-                fbank training features, but lifted MFCCs then miss the
-                ≤1e-4 reference-parity gate.
+                f64 matmul against precomputed cos/sin bases; max relative
+                spectrum error ~1e-10 — holds the ≤1e-4 parity gate with
+                margin). ``"fast"`` runs the same matmul DFT in f32 at
+                Precision.HIGHEST: per-bin log error ~1e-3 worst-case /
+                ~1e-6 p99 (test-pinned), fine for training features when
+                parity is not required.
         """
         if spectrum_precision not in ("high", "fast"):
             raise ValueError("spectrum_precision must be 'high' or 'fast'")

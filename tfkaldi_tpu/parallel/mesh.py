@@ -16,7 +16,6 @@ Replicated scalars (step, lr_fact) use ``P()``.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
