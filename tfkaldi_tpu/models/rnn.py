@@ -42,6 +42,9 @@ class RNNConfig:
     bidirectional: bool = False
     dropout: float = 1.0  # keep probability, reference semantics (nnet.py:70)
     compute_dtype: Any = jnp.float32
+    # lax.scan unroll factor: amortizes per-step loop overhead of the small
+    # recurrent matmul (measured on v5e: 315k -> 374k frames/s at 8)
+    scan_unroll: int = 8
 
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "RNNConfig":
@@ -146,7 +149,11 @@ class LSTM:
 
         zeros = jnp.zeros((b, h_units), jnp.float32)
         (_, _), hs = jax.lax.scan(
-            step, (zeros, zeros), (gates_x, mask), reverse=reverse
+            step,
+            (zeros, zeros),
+            (gates_x, mask),
+            reverse=reverse,
+            unroll=cfg.scan_unroll,
         )
         return hs  # [T, B, H]
 
