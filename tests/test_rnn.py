@@ -18,6 +18,7 @@ def _model(bidirectional=False, layers=2, hidden=16, in_dim=8, out=5):
             num_layers=layers,
             hidden_units=hidden,
             bidirectional=bidirectional,
+            scan_unroll=1,  # unrolling only pays on TPU; keep CI compiles fast
         )
     )
 
@@ -97,6 +98,7 @@ def test_lstm_ctc_nnet_facade(tmp_path):
     cfg["directories"] = {"expdir": str(tmp_path / "exp")}
     cfg["nnet"] = {
         "name": "lstmctc", "model": "lstm", "loss": "ctc", "bidirectional": "True",
+        "scan_unroll": "1",
         "context_width": "1", "num_hidden_units": "16", "num_hidden_layers": "1",
         "add_layer_period": "0", "starting_step": "0", "nonlin": "relu",
         "l2_norm": "False", "dropout": "1", "batch_norm": "False",

@@ -56,6 +56,7 @@ class RNNConfig:
             bidirectional=str(conf.get("bidirectional", "False")) == "True",
             dropout=float(conf.get("dropout", 1)),
             compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
+            scan_unroll=int(conf.get("scan_unroll", 8)),
         )
 
 
