@@ -7,6 +7,7 @@ import os
 from configparser import ConfigParser
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -68,3 +69,44 @@ def test_nnet_trains_on_mesh_and_decodes(tmp_path):
     r = ArkReader(str(tmp_path / "out.scp"))
     mat = r.read_utt(r.utt_ids[0])
     assert mat.shape[1] == info["num_labels"] and np.isfinite(mat).all()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device mesh")
+def test_layerwise_growth_on_mesh():
+    """add_layer (depth selector advance + output re-zero incl. Adam slots)
+    preserves shardings and trains on the mesh."""
+    import numpy as np
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import DNN, DNNConfig
+    from tfkaldi_tpu.parallel import make_mesh, shard_batch, shard_state
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    mesh = make_mesh(data=4, model=2)
+    model = DNN(
+        DNNConfig(
+            input_dim=8, num_labels=6, num_hidden_layers=3, num_hidden_units=16,
+            layerwise_init=True,
+        )
+    )
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=0.01, num_steps=10))
+    state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+    rng = np.random.default_rng(0)
+    b, t = 8, 12
+    batch = shard_batch(
+        PaddedBatch(
+            rng.standard_normal((b, t, 8)).astype(np.float32),
+            rng.integers(0, 6, (b, t)).astype(np.int32),
+            np.full(b, t, np.int32),
+            np.full(b, t, np.int32),
+        ),
+        mesh,
+    )
+    state, l0 = trainer.update(state, batch, jax.random.PRNGKey(1))
+    state = trainer.add_layer(state)
+    assert int(state.model_state["depth"]) == 1
+    # output layer re-zeroed, sharding preserved
+    assert float(jnp.sum(jnp.abs(state.params["out"]["w"]))) == 0.0
+    assert len(state.params["out"]["w"].sharding.device_set) == 8
+    state, l1 = trainer.update(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1))
