@@ -25,12 +25,20 @@ def make_featdir(
     min_frames: int = 20,
     max_frames: int = 60,
     seed: int = 0,
+    learnable: bool = False,
 ):
     """Create feats.ark/scp, cmvn.ark/scp, utt2spk, spk2utt, maxlength and a
-    gzipped pdf alignment archive. Returns (featdir, alifile, info dict)."""
+    gzipped pdf alignment archive. Returns (featdir, alifile, info dict).
+
+    ``learnable=True`` derives each frame's pdf label from a fixed random
+    linear map of its features (instead of uniform noise), so a trained
+    model's validation loss reliably decreases — used by tests that need
+    monotone validation improvement rather than chance-level wobble."""
     rng = np.random.default_rng(seed)
     featdir = str(tmp_path / "featdir")
     os.makedirs(featdir, exist_ok=True)
+
+    label_map = rng.standard_normal((feat_dim, num_labels)) if learnable else None
 
     utts: dict[str, np.ndarray] = {}
     utt2spk: dict[str, str] = {}
@@ -42,7 +50,10 @@ def make_featdir(
             t = int(rng.integers(min_frames, max_frames + 1))
             utts[utt] = (rng.standard_normal((t, feat_dim)) * 2 + s).astype(np.float32)
             utt2spk[utt] = spk
-            alignments[utt] = rng.integers(0, num_labels, size=t).astype(np.int32)
+            if learnable:
+                alignments[utt] = np.argmax(utts[utt] @ label_map, axis=1).astype(np.int32)
+            else:
+                alignments[utt] = rng.integers(0, num_labels, size=t).astype(np.int32)
 
     with ArkWriter(f"{featdir}/feats.scp", f"{featdir}/feats.ark") as w:
         for utt, mat in utts.items():

@@ -24,9 +24,13 @@ from tfkaldi_tpu.train import (
 from tfkaldi_tpu.train import checkpoint as ckpt
 
 
-def _pipeline(tmp_path, *, lr, valid_retries, num_epochs=2, check_freq=2, seed=0, valid_adapt=True):
+def _pipeline(
+    tmp_path, *, lr, valid_retries, num_epochs=2, check_freq=2, seed=0,
+    valid_adapt=True, learnable=False,
+):
     featdir, alifile, info = make_featdir(
-        tmp_path, num_speakers=2, utts_per_speaker=8, feat_dim=6, num_labels=5, seed=seed
+        tmp_path, num_speakers=2, utts_per_speaker=8, feat_dim=6, num_labels=5,
+        seed=seed, learnable=learnable,
     )
     reader = FeatureReader(
         f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60
@@ -210,6 +214,63 @@ def test_retry_halvings_compound(tmp_path):
     controller, trainer, opts = _pipeline(tmp_path, lr=500.0, valid_retries=2)
     state = controller.train()
     assert float(state.lr_fact) <= 0.25, float(state.lr_fact)
+
+
+def test_validated_checkpoint_survives_crash_and_rolls_back(tmp_path):
+    """The 'validated' rollback point is persisted to disk on every
+    successful validation (reference nnet.py:148-149, 206-207) and restored
+    on resume: kill training between validations, resume from the step
+    checkpoint, force a validation regression, and check the rollback lands
+    bit-exact on the pre-crash validated params."""
+    import dataclasses
+
+    class Crash(RuntimeError):
+        pass
+
+    # run 1: valid_frequency=2 (validations at steps 2, 4), check_freq=5
+    # (step checkpoint at 5), crash during the 6th update (hook step == 5)
+    ctrl1, trainer1, opts1 = _pipeline(
+        tmp_path, lr=1e-2, valid_retries=0, num_epochs=4, check_freq=5, learnable=True
+    )
+
+    def crashing_hook(step, **kw):
+        if step == 5:
+            raise Crash()
+
+    ctrl1.metrics_hook = crashing_hook
+    try:
+        ctrl1.train()
+        raise AssertionError("expected the crash hook to fire")
+    except Crash:
+        pass
+
+    validated_dir = os.path.join(opts1.savedir, "training", "validated")
+    meta = ckpt.load_validated_meta(validated_dir)
+    assert meta is not None and meta["step"] == 4
+    template = trainer1.init_state(jax.random.PRNGKey(0))
+    validated1 = ckpt.restore_state(validated_dir, template)
+    step5 = ckpt.restore_state(
+        os.path.join(opts1.savedir, "training", "step5"), template
+    )
+    # non-trivial: the step-5 checkpoint moved past the validated point
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(step5.params), jax.tree.leaves(validated1.params))
+    )
+
+    # run 2: resume at step 5 with a divergent LR; the first validation
+    # (step 6) worsens, valid_retries=0 -> roll back to validated + stop
+    ctrl2, _, _ = _pipeline(
+        tmp_path, lr=500.0, valid_retries=0, num_epochs=4, check_freq=5, learnable=True
+    )
+    ctrl2.opt = dataclasses.replace(ctrl2.opt, starting_step=5, savedir=opts1.savedir)
+    state = ctrl2.train()
+
+    assert int(state.step) == 4
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(validated1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the persisted rollback point carries the compounded (halved) lr_fact
+    assert float(state.lr_fact) == 0.5
 
 
 def test_training_is_deterministic_across_runs(tmp_path):

@@ -158,13 +158,18 @@ class Nnet:
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
         prior = np.load(os.path.join(self.savedir, "prior.npy"))
         mesh = None
-        batch_size = 16
+        # decode throughput knobs ([nnet] decode_batch_size /
+        # decode_bucket_multiple); defaults match the test-sized shapes
+        batch_size = int(self.conf.get("decode_batch_size", 16))
+        bucket_multiple = int(self.conf.get("decode_bucket_multiple", 128))
         if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
             from tfkaldi_tpu.parallel import make_mesh
 
             mesh = make_mesh()
         decoder = Decoder(self.model, state.params, state.model_state, prior, mesh=mesh)
-        count = decoder.decode_to_writer(reader, writer, batch_size=batch_size)
+        count = decoder.decode_to_writer(
+            reader, writer, batch_size=batch_size, bucket_multiple=bucket_multiple
+        )
         writer.close()
         log.info("decoded %d utterances", count)
         return count
@@ -189,6 +194,11 @@ class Nnet:
             self.blank_id,
             beam_width=int(self.conf.get("beam_width", 1)),
         )
-        count = decoder.decode_to_file(reader, outfile)
+        count = decoder.decode_to_file(
+            reader,
+            outfile,
+            batch_size=int(self.conf.get("decode_batch_size", 16)),
+            bucket_multiple=int(self.conf.get("decode_bucket_multiple", 128)),
+        )
         log.info("decoded %d utterances", count)
         return count

@@ -14,6 +14,7 @@ joins the in-flight write.
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 from typing import Any
@@ -55,6 +56,30 @@ def wait() -> None:
 
 def save_prior(path: str, prior: np.ndarray) -> None:
     np.save(path, prior)
+
+
+def save_validated(path: str, state: Any, loss: float, step: int) -> None:
+    """Persist the validation rollback point (the reference saves
+    ``training/validated`` on every successful validation,
+    nnet.py:148-149, 206-207). The loss/step sidecar is written only
+    after the state commit completes, so a crash mid-save can never
+    leave a meta file pointing at a partial state."""
+    save_state(path, state, block=True)
+    meta = {"loss": float(loss), "step": int(step)}
+    tmp = path + ".meta.json.tmp"
+    with open(tmp, "w") as fid:
+        json.dump(meta, fid)
+    os.replace(tmp, path + ".meta.json")
+
+
+def load_validated_meta(path: str) -> dict | None:
+    """Return the persisted rollback point's ``{"loss", "step"}`` sidecar,
+    or None if no complete validated checkpoint exists."""
+    meta_path = path + ".meta.json"
+    if not (os.path.isdir(path) and os.path.isfile(meta_path)):
+        return None
+    with open(meta_path) as fid:
+        return json.load(fid)
 
 
 def device_snapshot(state: Any) -> Any:

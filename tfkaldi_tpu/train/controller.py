@@ -72,6 +72,7 @@ class NnetTrainOptions:
             starting_step=0
             if conf.get("starting_step", "0") == "final"
             else int(conf.get("starting_step", 0)),
+            seed=int(conf.get("seed", 0)),
             profile_steps=int(conf.get("profile_steps", 0)),
         )
 
@@ -146,10 +147,27 @@ class TrainingController:
         num_retries = 0
         validation_loss = None
         validation_step = step
+        validated_dir = os.path.join(opt.savedir, "training", "validated")
         if val_batches:
-            validation_loss = self.trainer.evaluate(state, val_batches)
-            log.info("validation loss at step %d: %f", step, validation_loss)
-            validated = ckpt.device_snapshot(state)
+            # crash durability (reference persists 'validated' on every
+            # successful validation, nnet.py:148-149, 206-207): on resume,
+            # prefer the persisted rollback point over re-baselining on the
+            # resumed state, so a post-resume regression can still roll back
+            # to the last state that actually validated.
+            meta = ckpt.load_validated_meta(validated_dir) if step > 0 else None
+            if meta is not None and meta["step"] <= step:
+                validated = ckpt.restore_state(validated_dir, state)
+                validation_loss = meta["loss"]
+                validation_step = meta["step"]
+                log.info(
+                    "restored validated rollback point from step %d (loss %f)",
+                    validation_step, validation_loss,
+                )
+            else:
+                validation_loss = self.trainer.evaluate(state, val_batches)
+                log.info("validation loss at step %d: %f", step, validation_loss)
+                validated = ckpt.device_snapshot(state)
+                ckpt.save_validated(validated_dir, validated, validation_loss, step)
 
         # async host→device staging, `prefetch_depth` batches ahead
         from tfkaldi_tpu.data.prefetch import PrefetchingBatchSource
@@ -191,6 +209,7 @@ class TrainingController:
         validated,
     ):
         opt = self.opt
+        validated_dir = os.path.join(opt.savedir, "training", "validated")
         profiling = False
         while step < num_steps:
             # optional jax.profiler capture window (SURVEY §5: the reference
@@ -235,6 +254,11 @@ class TrainingController:
                             # copy: state's buffers get donated next step
                             validated, lr_fact=jax.numpy.array(state.lr_fact, copy=True)
                         )
+                        # re-persist so a crash mid-retry resumes with the
+                        # compounded lr_fact rather than the stale one
+                        ckpt.save_validated(
+                            validated_dir, validated, validation_loss, validation_step
+                        )
                         step = validation_step
                         if num_retries == opt.valid_retries:
                             log.info("validation loss is worse, terminating training")
@@ -249,6 +273,7 @@ class TrainingController:
                     validation_step = step
                     num_retries = 0
                     validated = ckpt.device_snapshot(state)
+                    ckpt.save_validated(validated_dir, validated, validation_loss, step)
                 else:
                     validation_loss = current_loss
 
@@ -269,6 +294,7 @@ class TrainingController:
                         log.info("validation loss at step %d: %f", step, validation_loss)
                         validation_step = step
                         validated = ckpt.device_snapshot(state)
+                        ckpt.save_validated(validated_dir, validated, validation_loss, step)
                         num_retries = 0
 
             if step % opt.check_freq == 0:
