@@ -1,10 +1,10 @@
 """Float64 numpy re-derivation of the reference feature semantics.
 
-This is the golden oracle for parity tests: an independent, line-by-line
-faithful implementation of the math in the reference's
-processing/sigproc.py, processing/base.py and processing/feat.py (Python 2
-+ scipy), written fresh in modern numpy/scipy. The production pipeline in
-``tfkaldi_tpu.frontend`` must match it to ≤1e-4 (BASELINE.md target).
+DEMOTED TO CROSS-CHECK (round 2): the parity/fuzz suites now run against
+``tests/reference_port`` — a mechanical Python-3 port of the actual
+reference code — so a shared misreading cannot pass silently. This module
+remains as an independent second derivation; ``tests/test_oracle_crosscheck``
+fuzzes it against the port to keep both honest.
 """
 
 import math

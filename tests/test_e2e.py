@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 import scipy.io.wavfile
 
-from tests import ref_frontend as ref
+from tests import reference_port as refport
 from tfkaldi_tpu.frontend.prepare_data import compute_cmvn, prepare_data, shuffle_examples
 from tfkaldi_tpu.io import ArkReader
 
@@ -86,7 +86,7 @@ def test_prepare_data_matches_reference_per_utt(wav_corpus, tmp_path):
     lengths = []
     for utt, (_, sig) in entries.items():
         got = reader.read_utt(utt)
-        golden = ref.ref_compute(sig.astype(np.float64), RATE, _feat_conf())
+        golden = refport.compute(sig.astype(np.float64), RATE, _feat_conf())
         assert got.shape == golden.shape
         np.testing.assert_allclose(got, golden, atol=1e-4, rtol=1e-4)
         lengths.append(golden.shape[0])

@@ -1,4 +1,5 @@
-"""Golden parity tests: TPU-batched frontend vs float64 reference semantics.
+"""Golden parity tests: TPU-batched frontend vs the actual reference code
+(tests/reference_port — a mechanical Python-3 port of processing/{sigproc,base,feat,feature_reader}.py).
 
 BASELINE.md target: features within 1e-4 of the reference.
 """
@@ -6,7 +7,7 @@ BASELINE.md target: features within 1e-4 of the reference.
 import numpy as np
 import pytest
 
-from tests import ref_frontend as ref
+from tests import reference_port as refport
 from tfkaldi_tpu.frontend import FeatureExtractor, FeatureOpts, apply_cmvn, cmvn_stats, splice
 
 RATE = 16000
@@ -69,7 +70,7 @@ def test_feature_parity(over):
     feats = np.asarray(feats)
 
     for i, sig in enumerate(sigs):
-        golden = ref.ref_compute(sig, RATE, conf)
+        golden = refport.compute(sig, RATE, conf)
         assert int(nframes[i]) == golden.shape[0], f"frame count mismatch utt {i}"
         got = feats[i, : golden.shape[0]]
         assert got.shape == golden.shape
@@ -95,7 +96,7 @@ def test_single_utt_compute_matches_batch():
     sig = (rng.standard_normal(9000) * 5000).astype(np.int16).astype(np.float64)
     fx = FeatureExtractor(FeatureOpts.from_config(conf), RATE)
     single = fx.compute(sig)
-    golden = ref.ref_compute(sig, RATE, conf)
+    golden = refport.compute(sig, RATE, conf)
     np.testing.assert_allclose(single, golden, atol=1e-4, rtol=1e-4)
 
 
@@ -105,7 +106,7 @@ def test_short_utterance_edge_cases():
     fx = FeatureExtractor(FeatureOpts.from_config(conf), RATE)
     for length in [100, 399, 400, 401, 560, 561]:
         sig = np.linspace(-1000, 1000, length)
-        golden = ref.ref_compute(sig, RATE, conf)
+        golden = refport.compute(sig, RATE, conf)
         got = fx.compute(sig)
         assert got.shape == golden.shape, f"len={length}"
         np.testing.assert_allclose(got, golden, atol=1e-4, rtol=1e-4)
@@ -120,7 +121,7 @@ def test_cmvn_parity():
     np.testing.assert_allclose(stats[1, :-1], np.square(feats).sum(0))
     assert stats[0, -1] == 50 and stats[1, -1] == 0
     got = np.asarray(apply_cmvn(feats.astype(np.float32), stats))
-    golden = ref.ref_apply_cmvn(feats, stats)
+    golden = refport.feature_reader.apply_cmvn(feats, stats)
     np.testing.assert_allclose(got, golden, atol=1e-4)
 
 
@@ -139,7 +140,7 @@ def test_splice_parity():
     utt = rng.standard_normal((20, 4)).astype(np.float32)
     for c in [0, 1, 2, 5]:
         got = np.asarray(splice(utt, c))
-        golden = ref.ref_splice(utt, c) if c > 0 else utt
+        golden = refport.feature_reader.splice(utt, c) if c > 0 else utt
         np.testing.assert_allclose(got, golden, atol=0)
 
 

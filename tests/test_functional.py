@@ -1,10 +1,10 @@
-"""Standalone sigproc/feature functions vs the golden re-derivation
-(tests/ref_frontend.py) and the batched device extractor."""
+"""Standalone sigproc/feature functions vs the ported reference code
+(tests/reference_port) and the batched device extractor."""
 
 import numpy as np
 import pytest
 
-from tests import ref_frontend as ref
+from tests import reference_port as refport
 from tfkaldi_tpu.frontend import functional, sigproc
 from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
 
@@ -34,16 +34,16 @@ def sig():
 
 def test_preemphasis_and_framesig(sig):
     np.testing.assert_allclose(
-        sigproc.preemphasis(sig, 0.97), ref.ref_preemphasis(sig, 0.97)
+        sigproc.preemphasis(sig, 0.97), refport.sigproc.preemphasis(sig, 0.97)
     )
     ours = sigproc.framesig(sig, 0.025 * RATE, 0.01 * RATE)
-    want = ref.ref_framesig(sig, 0.025 * RATE, 0.01 * RATE)
+    want = refport.sigproc.framesig(sig, 0.025 * RATE, 0.01 * RATE)
     np.testing.assert_allclose(ours, want)
 
 
 def test_powspec(sig):
     frames = sigproc.framesig(sig, 400, 160)
-    np.testing.assert_allclose(sigproc.powspec(frames, 512), ref.ref_powspec(frames, 512))
+    np.testing.assert_allclose(sigproc.powspec(frames, 512), refport.sigproc.powspec(frames, 512))
 
 
 def test_deframesig_roundtrip(sig):
@@ -62,29 +62,29 @@ def test_logpowspec_floor_and_norm():
 
 def test_fbank_matches_ref(sig):
     feat, energy = functional.fbank(sig, RATE, CONF)
-    want_feat, want_energy = ref.ref_fbank(sig, RATE, CONF)
+    want_feat, want_energy = refport.base.fbank(sig, RATE, CONF)
     np.testing.assert_allclose(feat, want_feat, rtol=1e-9)
     np.testing.assert_allclose(energy, want_energy, rtol=1e-9)
 
 
 def test_logfbank_mfcc_ssc_match_ref(sig):
     np.testing.assert_allclose(
-        functional.logfbank(sig, RATE, CONF), ref.ref_logfbank(sig, RATE, CONF)[0], rtol=1e-9
+        functional.logfbank(sig, RATE, CONF), refport.base.logfbank(sig, RATE, CONF)[0], rtol=1e-9
     )
     np.testing.assert_allclose(
-        functional.mfcc(sig, RATE, CONF)[0], ref.ref_mfcc(sig, RATE, CONF)[0], rtol=1e-9
+        functional.mfcc(sig, RATE, CONF)[0], refport.base.mfcc(sig, RATE, CONF)[0], rtol=1e-9
     )
     np.testing.assert_allclose(
-        functional.ssc(sig, RATE, CONF)[0], ref.ref_ssc(sig, RATE, CONF)[0], rtol=1e-9
+        functional.ssc(sig, RATE, CONF)[0], refport.base.ssc(sig, RATE, CONF)[0], rtol=1e-9
     )
 
 
 def test_deriv_delta_ddelta(sig):
     feat = functional.logfbank(sig, RATE, CONF)
-    np.testing.assert_allclose(functional.deriv(feat), ref.ref_deriv(feat))
+    np.testing.assert_allclose(functional.deriv(feat), refport.base.deriv(feat))
     d = functional.delta(feat)
     assert d.shape == (feat.shape[0], feat.shape[1] * 2)
-    np.testing.assert_allclose(d[:, feat.shape[1] :], ref.ref_deriv(feat))
+    np.testing.assert_allclose(d[:, feat.shape[1] :], refport.base.deriv(feat))
     dd = functional.ddelta(feat)
     assert dd.shape == (feat.shape[0], feat.shape[1] * 3)
 

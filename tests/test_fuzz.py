@@ -4,7 +4,7 @@ parity over randomized configurations (seeded — deterministic in CI)."""
 import numpy as np
 import pytest
 
-from tests import ref_frontend as ref
+from tests import reference_port as refport
 from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
 from tfkaldi_tpu.io import ArkReader, ArkWriter
 
@@ -41,7 +41,8 @@ def test_ark_roundtrip_fuzz(tmp_path):
 
 @pytest.mark.parametrize("trial", range(6))
 def test_feature_parity_random_configs(trial, tmp_path):
-    """Batched device features vs the float64 oracle under randomized
+    """Batched device features vs the ported reference oracle
+    (tests/reference_port) under randomized
     config draws (type, dynamics, filterbank geometry, windows, energy,
     snip_edges) at the 1e-4 gate."""
     rng = np.random.default_rng(1000 + trial)
@@ -81,7 +82,7 @@ def test_feature_parity_random_configs(trial, tmp_path):
     feats = np.asarray(feats)
 
     for i, s in enumerate(sigs):
-        want = ref.ref_compute(s.astype(np.float64), RATE, conf)
+        want = refport.compute(s.astype(np.float64), RATE, conf)
         got = feats[i, : int(num_frames[i])]
         assert got.shape == want.shape, (conf, got.shape, want.shape)
         scale = np.maximum(np.abs(want), 1.0)
