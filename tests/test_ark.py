@@ -119,20 +119,28 @@ def test_rejects_text_archive(tmp_path):
         ArkReader(str(scp)).read_utt("u1")
 
 
-def test_copy_feats_interop_if_available(tmp_path):
-    """Cross-validate against Kaldi copy-feats when a Kaldi install exists."""
+def test_copy_feats_interop(tmp_path):
+    """Cross-validate the write->copy-feats->read loop. Uses the real Kaldi
+    binary when installed; otherwise the strict native consumer
+    (native/kaldi_consumer.cpp, tested in depth in test_kaldi_consumer.py)
+    stands in with the same framing rules — so this never skips."""
     import shutil
     import subprocess
 
-    if shutil.which("copy-feats") is None:
-        pytest.skip("Kaldi not installed")
     mats = {"a": np.random.default_rng(1).standard_normal((5, 3)).astype(np.float32)}
-    scp, _ = _write_archive(tmp_path, mats)
+    scp, ark = _write_archive(tmp_path, mats)
     out_ark = tmp_path / "copied.ark"
     out_scp = tmp_path / "copied.scp"
-    subprocess.run(
-        ["copy-feats", f"scp:{scp}", f"ark,scp:{out_ark},{out_scp}"], check=True
-    )
+    if shutil.which("copy-feats") is not None:
+        subprocess.run(
+            ["copy-feats", f"scp:{scp}", f"ark,scp:{out_ark},{out_scp}"], check=True
+        )
+    else:
+        from tfkaldi_tpu.io import kaldi_compat
+
+        if not kaldi_compat.available():
+            pytest.fail("neither Kaldi nor the native consumer is available")
+        kaldi_compat.copy_feats(str(ark), str(out_ark), str(out_scp))
     np.testing.assert_allclose(ArkReader(str(out_scp)).read_utt("a"), mats["a"])
 
 

@@ -1,0 +1,164 @@
+"""Ark/scp byte-contract verification against a strict Kaldi consumer.
+
+``native/kaldi_consumer.cpp`` independently implements the framing rules of
+Kaldi's table readers/writers (the ``copy-feats`` / ``latgen-faster-mapped``
+boundary, reference kaldi/decode.sh:54-62): the sequential key +
+single-space rule, the ``\\0B`` binary header at the scp offset, and
+FM/DM matrix framing. These tests prove:
+
+- archives written by our ArkWriter are consumable sequentially AND via scp
+  offsets under those rules (the direction Kaldi reads our likelihoods),
+- archives written with Kaldi's TableWriter framing are readable by our
+  ArkReader (the direction we read Kaldi's cmvn/feature output),
+- the reference writer's omission of the space after the key
+  (reference processing/ark.py:204) genuinely breaks a sequential Kaldi
+  read — the documented reason our writer deliberately diverges.
+
+No Kaldi install or kaldi_native_io wheel exists in this image; with one
+present, tests/test_ark.py additionally cross-checks against the real
+``copy-feats`` binary.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tfkaldi_tpu.io import ArkReader, ArkWriter
+from tfkaldi_tpu.io import kaldi_compat as kc
+
+pytestmark = pytest.mark.skipif(
+    not kc.available(), reason="native kaldi_consumer failed to build"
+)
+
+
+def _write_corpus(tmp_path, n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    mats = {}
+    scp, ark = str(tmp_path / "f.scp"), str(tmp_path / "f.ark")
+    with ArkWriter(scp, ark) as w:
+        for i in range(n):
+            key = f"spk{i % 3}_utt{i}" + "x" * int(rng.integers(0, 20))
+            mat = (
+                rng.standard_normal((int(rng.integers(1, 200)), int(rng.integers(1, 50))))
+                .astype(np.float32)
+            )
+            mats[key] = mat
+            w.write_next_utt(key, mat)
+    return scp, ark, mats
+
+
+def test_our_writer_satisfies_sequential_consumer(tmp_path):
+    scp, ark, mats = _write_corpus(tmp_path)
+    assert kc.count(ark) == len(mats)
+    for i, (key, mat) in enumerate(mats.items()):
+        got_key, got = kc.seq_read(ark, i)
+        assert got_key == key
+        np.testing.assert_array_equal(got, mat)
+
+
+def test_our_scp_offsets_satisfy_random_access_consumer(tmp_path):
+    scp, ark, mats = _write_corpus(tmp_path)
+    reader = ArkReader(scp)
+    for key, (path, offset) in zip(reader.utt_ids, reader.scp_data):
+        got = kc.read_at(path, offset)
+        np.testing.assert_array_equal(got, mats[key])
+
+
+def test_validate_archive(tmp_path):
+    scp, ark, mats = _write_corpus(tmp_path, n=7, seed=3)
+    assert kc.validate_archive(scp) == 7
+
+
+def test_copy_feats_roundtrip(tmp_path):
+    """Write with ArkWriter -> consume+rewrite with Kaldi TableWriter framing
+    -> read back with our ArkReader: both directions of the contract."""
+    scp, ark, mats = _write_corpus(tmp_path, n=9, seed=1)
+    out_ark, out_scp = str(tmp_path / "c.ark"), str(tmp_path / "c.scp")
+    assert kc.copy_feats(ark, out_ark, out_scp) == len(mats)
+    reader = ArkReader(out_scp)
+    assert reader.utt_ids == list(mats)
+    for key, mat in mats.items():
+        np.testing.assert_array_equal(reader.read_utt(key), mat)
+    # the rewritten archive itself still satisfies the strict consumer
+    assert kc.count(out_ark) == len(mats)
+    assert kc.validate_archive(out_scp) == len(mats)
+
+
+def test_double_matrix_records(tmp_path):
+    """'DM' (float64) records — what Kaldi's compute-cmvn-stats emits — are
+    consumable and copy-feats converts them to FM exactly like the
+    BaseFloat=float pipeline does."""
+    rng = np.random.default_rng(2)
+    mats = {f"u{i}": rng.standard_normal((int(rng.integers(2, 9)), 4)) for i in range(4)}
+    ark = str(tmp_path / "d.ark")
+    with open(ark, "wb") as f:
+        for key, mat in mats.items():
+            f.write(key.encode() + b" " + b"\x00BDM ")
+            f.write(struct.pack("<bi", 4, mat.shape[0]))
+            f.write(struct.pack("<bi", 4, mat.shape[1]))
+            f.write(mat.astype("<f8").tobytes())
+    assert kc.count(ark) == 4
+    for i, (key, mat) in enumerate(mats.items()):
+        got_key, got = kc.seq_read(ark, i)
+        assert got_key == key
+        np.testing.assert_array_equal(got, mat.astype(np.float32))
+    out_ark, out_scp = str(tmp_path / "dc.ark"), str(tmp_path / "dc.scp")
+    kc.copy_feats(ark, out_ark, out_scp)
+    r = ArkReader(out_scp)
+    for key, mat in mats.items():
+        got = r.read_utt(key)
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, mat.astype(np.float32))
+
+
+def test_reference_writer_framing_is_rejected(tmp_path):
+    """The reference ArkWriter writes 'key' + '\\0BFM ' with NO space after
+    the key (reference processing/ark.py:204-206). Under Kaldi's sequential
+    framing the key token then swallows the binary header up to the space
+    after 'FM', and the value read fails — pinning why our writer diverges
+    by emitting the standard 'key ' prefix."""
+    mat = np.arange(6, dtype=np.float32).reshape(2, 3)
+    ark = str(tmp_path / "ref.ark")
+    with open(ark, "wb") as f:
+        # byte-for-byte what reference ark.py:199-210 produces
+        f.write(b"utt1")  # no trailing space
+        f.write(b"\x00BFM ")
+        f.write(struct.pack("<bi", 4, 2))
+        f.write(struct.pack("<bi", 4, 3))
+        f.write(mat.tobytes())
+    with pytest.raises(kc.KaldiFormatError):
+        kc.count(ark)
+    # ... while the scp random-access path (offset at the \0) still works,
+    # which is why the reference got away with it for scp-driven reads
+    got = kc.read_at(ark, 4)
+    np.testing.assert_array_equal(got, mat)
+
+
+def test_malformed_archives_rejected(tmp_path):
+    mat = np.ones((1, 2), dtype=np.float32)
+
+    def build(header: bytes) -> str:
+        p = str(tmp_path / f"m{len(header)}_{abs(hash(header)) % 997}.ark")
+        with open(p, "wb") as f:
+            f.write(header)
+        return p
+
+    # text record
+    with pytest.raises(kc.KaldiFormatError):
+        kc.count(build(b"utt1 1.0 2.0\n"))
+    # bad size marker (8 instead of 4)
+    bad_marker = (
+        b"utt1 \x00BFM " + struct.pack("<bi", 8, 1) + struct.pack("<bi", 4, 2) + mat.tobytes()
+    )
+    with pytest.raises(kc.KaldiFormatError):
+        kc.count(build(bad_marker))
+    # truncated payload
+    trunc = (
+        b"utt1 \x00BFM " + struct.pack("<bi", 4, 1) + struct.pack("<bi", 4, 2) + mat.tobytes()[:-2]
+    )
+    with pytest.raises(kc.KaldiFormatError):
+        kc.count(build(trunc))
+    # unknown token
+    with pytest.raises(kc.KaldiFormatError):
+        kc.count(build(b"utt1 \x00BXM " + struct.pack("<bi", 4, 1)))
