@@ -1,0 +1,151 @@
+"""Multi-host CLI driver test: the REAL `python -m tfkaldi_tpu.cli.main`
+train_nnet step runs as two OS processes (each 2 simulated CPU devices)
+forming one 4-device global mesh via jax.distributed. Each host shards the
+shuffled scp, dispenses its half of the global batch, and assembles global
+arrays — per-step losses must agree across hosts bit-for-bit and match a
+single-process run over the same global batches (VERDICT round 1, item 4)."""
+
+import os
+import re
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from tests.synthetic import make_featdir
+
+_CFG = """[directories]
+expdir = {tmp}/exp{tag}
+train_features = {tmp}
+test_features = {tmp}
+
+[general]
+num_jobs = 1
+cmd = run.pl
+
+[gmm-features]
+name = featdir
+
+[dnn-features]
+name = featdir
+
+[nnet]
+name = dist_nnet
+gmm_name = fake_gmm
+context_width = 1
+num_hidden_units = 16
+num_hidden_layers = 2
+add_layer_period = 0
+starting_step = 0
+nonlin = relu
+l2_norm = False
+dropout = 1
+batch_norm = False
+num_epochs = 2
+initial_learning_rate = 0.01
+learning_rate_decay = 1
+batch_size = 4
+numutterances_per_minibatch = -1
+valid_batches = 1
+valid_frequency = 100
+valid_adapt = False
+valid_retries = 0
+check_freq = 100
+visualise = False
+seed = 0
+"""
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    nproc = sys.argv[1]
+    if nproc != "1":
+        os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:" + sys.argv[3]
+        os.environ["JAX_NUM_PROCESSES"] = nproc
+        os.environ["JAX_PROCESS_ID"] = sys.argv[2]
+    from tfkaldi_tpu.cli.main import main
+    sys.exit(main(["--config", sys.argv[4], "--steps", "train_nnet"]))
+    """
+)
+
+
+def _setup(tmp_path, tag):
+    featdir, alifile, info = make_featdir(
+        tmp_path, num_speakers=2, utts_per_speaker=6, feat_dim=6, num_labels=5,
+        learnable=True,
+    )
+    # the train_nnet step expects the GMM boundary artifacts on disk
+    # (graph/num_pdfs + merged alignments, reference main.py:123-142)
+    gmm_dir = tmp_path / f"exp{tag}" / "fake_gmm"
+    (gmm_dir / "graph").mkdir(parents=True, exist_ok=True)
+    (gmm_dir / "graph" / "num_pdfs").write_text(str(info["num_labels"]))
+    (gmm_dir / "ali").mkdir(exist_ok=True)
+    import shutil
+
+    shutil.copyfile(alifile, gmm_dir / "ali" / "pdf.all.gz")
+    cfg = tmp_path / f"config{tag}.cfg"
+    cfg.write_text(_CFG.format(tmp=tmp_path, tag=tag))
+    return cfg
+
+
+def _run(repo, env, cfg, nproc, port):
+    procs = []
+    for pid in range(nproc):
+        worker = str(cfg) + f".worker{pid}.py"
+        with open(worker, "w") as f:
+            f.write(_WORKER.format(repo=repo))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, str(nproc), str(pid), str(port), str(cfg)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    return outs
+
+
+def _losses(out):
+    return [
+        (int(m.group(1)), float(m.group(2)))
+        for m in re.finditer(r"step (\d+)/\d+ loss: ([0-9.]+)", out)
+    ]
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only subprocess test")
+def test_two_process_cli_matches_single_process(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_")) and k != "PYTHONPATH"
+    }
+    env["PYTHONPATH"] = repo
+    port = 12600 + os.getpid() % 1000
+
+    cfg_d = _setup(tmp_path / "dual", "d")
+    outs = _run(repo, env, cfg_d, 2, port)
+    losses = [_losses(o) for o in outs]
+    assert losses[0] and losses[0] == losses[1], (losses[0][:3], losses[1][:3])
+    # each host trained on its scp shard
+    assert os.path.exists(tmp_path / "dual" / "featdir" / "feats_shuffled.shard0of2.scp")
+
+    cfg_s = _setup(tmp_path / "single", "s")
+    (out_s,) = _run(repo, env, cfg_s, 1, port + 1)
+    single = _losses(out_s)
+
+    # same global batches (strided shards reassemble the shuffled order) ->
+    # same per-step losses up to psum/reduction reassociation
+    assert len(single) == len(losses[0]) > 0
+    for (s_step, s_loss), (d_step, d_loss) in zip(single, losses[0]):
+        assert s_step == d_step
+        np.testing.assert_allclose(s_loss, d_loss, rtol=2e-4)

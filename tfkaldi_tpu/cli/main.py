@@ -111,6 +111,16 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _barrier(name: str) -> None:
+    """Synchronize all hosts of a multi-host run (no-op single-host)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     args = parse_args(argv)
@@ -119,6 +129,18 @@ def main(argv=None) -> int:
     if not config.read(args.config):
         log.error("cannot read config %s", args.config)
         return 1
+
+    # multi-host pod runtime: jax.distributed must come up BEFORE any other
+    # JAX API touches the backend. No-op on a single host (SURVEY §2.2: the
+    # reference has no distributed runtime at all).
+    from tfkaldi_tpu.parallel import initialize as multihost_initialize
+
+    multihost_initialize()
+    import jax
+
+    n_proc, pid = jax.process_count(), jax.process_index()
+    if n_proc > 1:
+        log.info("multi-host run: process %d of %d", pid, n_proc)
 
     if args.steps == "all":
         steps = set(STEPS)
@@ -151,6 +173,8 @@ def main(argv=None) -> int:
             continue
         if section == "dnn-features" and same_feats:
             continue  # identical to gmm features (main.py:45, 67)
+        if pid != 0:
+            continue  # multi-host: featdirs are written once (barrier below)
         feat_cfg = dict(config.items(section))
         datadir = config.get("directories", f"{kind}_data")
         out = featdir(kind, section)
@@ -163,11 +187,14 @@ def main(argv=None) -> int:
         )
         log.info("------- computing cmvn stats ----------")
         compute_cmvn(out)
+    _barrier("features")
 
     # ---- GMM stages (main.py:77-114) ----
     from tfkaldi_tpu.kaldi import LdaGmm, MonoGmm, TriGmm
 
     for cls, prefix in [(MonoGmm, "mono"), (TriGmm, "tri"), (LdaGmm, "lda")]:
+        if pid != 0:
+            break  # multi-host: external Kaldi runs on one host (its own --nj fan-out)
         gmm = cls(config)
         if f"train_{prefix}" in steps:
             log.info("------- training %s GMM ----------", prefix)
@@ -178,6 +205,8 @@ def main(argv=None) -> int:
         if f"test_{prefix}" in steps:
             log.info("------- testing %s GMM ----------", prefix)
             gmm.test()
+    if {s for s in steps if s.startswith(("train_", "align_", "test_")) and "nnet" not in s}:
+        _barrier("gmm")
 
     if not ({"train_nnet", "test_nnet"} & steps):
         return 0
@@ -207,6 +236,9 @@ def main(argv=None) -> int:
     nnet = Nnet(config, input_dim, num_labels)
 
     if "train_nnet" in steps:
+        seed = (
+            int(config.get("nnet", "seed")) if config.has_option("nnet", "seed") else 0
+        )
         if config.get("nnet", "starting_step") == "0":
             log.info("------- shuffling examples ----------")
             bands = (
@@ -218,18 +250,37 @@ def main(argv=None) -> int:
             valid_head = int(config.get("nnet", "valid_batches")) * int(
                 config.get("nnet", "batch_size")
             )
-            shuffle_examples(train_featdir, length_bands=bands, valid_head=valid_head)
+            # seeded: every host of a multi-host run derives the identical
+            # shuffle locally, so no coordination (or shared fs) is needed
+            shuffle_examples(
+                train_featdir, seed=seed, length_bands=bands, valid_head=valid_head
+            )
+
+        train_scp = os.path.join(train_featdir, "feats_shuffled.scp")
+        if n_proc > 1:
+            # per-host strided shard of the scp index; equal shard sizes so
+            # hosts agree on num_batches/num_steps without communicating
+            from tfkaldi_tpu.data.sharding import shard_scp
+
+            train_scp = shard_scp(train_scp, drop_remainder=True)
+            log.info("host %d training on scp shard %s", pid, train_scp)
 
         with open(os.path.join(train_featdir, "maxlength")) as fid:
             max_input_length = int(fid.read())
         featreader = FeatureReader(
-            os.path.join(train_featdir, "feats_shuffled.scp"),
+            train_scp,
             _cmvn_path(config, train_featdir),
             os.path.join(train_featdir, "utt2spk"),
             int(config.get("nnet", "context_width")),
             max_input_length,
         )
+        # [nnet] batch_size is the GLOBAL batch; each host dispenses its share
         batch_size = int(config.get("nnet", "batch_size"))
+        if n_proc > 1:
+            if batch_size % n_proc != 0:
+                log.error("batch_size %d not divisible by %d hosts", batch_size, n_proc)
+                return 1
+            batch_size //= n_proc
         if ctc:
             dispenser = TextBatchDispenser(
                 featreader, text_coder, batch_size,
@@ -257,10 +308,17 @@ def main(argv=None) -> int:
         os.makedirs(decodedir, exist_ok=True)
 
         test_featdir = featdir("test", "dnn-features")
+        test_scp = os.path.join(test_featdir, "feats.scp")
+        if n_proc > 1:
+            # every host decodes its shard of the test set in parallel;
+            # host 0 merges the emitted scp/text shards afterwards
+            from tfkaldi_tpu.data.sharding import shard_scp
+
+            test_scp = shard_scp(test_scp)
         with open(os.path.join(test_featdir, "maxlength")) as fid:
             max_length = int(fid.read())
         featreader = FeatureReader(
-            os.path.join(test_featdir, "feats.scp"),
+            test_scp,
             _cmvn_path(config, test_featdir),
             os.path.join(test_featdir, "utt2spk"),
             int(config.get("nnet", "context_width")),
@@ -268,7 +326,16 @@ def main(argv=None) -> int:
         )
         if ctc:
             out = os.path.join(decodedir, "text")
-            nnet.decode_text(featreader, text_coder, out)
+            shard_out = out if n_proc == 1 else f"{out}.p{pid}"
+            nnet.decode_text(featreader, text_coder, shard_out)
+            _barrier("ctc_decode")
+            if pid != 0:
+                return 0
+            if n_proc > 1:
+                with open(out, "w") as fout:
+                    for p in range(n_proc):
+                        with open(f"{out}.p{p}") as fin:
+                            fout.write(fin.read())
             log.info("wrote CTC transcriptions to %s", out)
             ref_text = os.path.join(test_featdir, "text")
             if os.path.isfile(ref_text):
@@ -295,11 +362,21 @@ def main(argv=None) -> int:
                     score_text_files(norm, out, transform=char_tokens_to_words),
                 )
             return 0
-        like_path = os.path.join(decodedir, "likelihoods.ark")
+        suffix = "" if n_proc == 1 else f".p{pid}"
+        like_path = os.path.join(decodedir, f"likelihoods{suffix}.ark")
+        scp_path = os.path.join(decodedir, f"feats{suffix}.scp")
         if os.path.isfile(like_path):
             os.remove(like_path)
-        writer = ArkWriter(os.path.join(decodedir, "feats.scp"), like_path)
+        writer = ArkWriter(scp_path, like_path)
         nnet.decode(featreader, writer)
+        _barrier("likelihoods")
+        if pid != 0:
+            return 0  # host 0 merges the scp shards and runs the WFST decode
+        if n_proc > 1:
+            with open(os.path.join(decodedir, "feats.scp"), "w") as fout:
+                for p in range(n_proc):
+                    with open(os.path.join(decodedir, f"feats.p{p}.scp")) as fin:
+                        fout.write(fin.read())
 
         log.info("------- decoding testing sets ----------")
         import shutil

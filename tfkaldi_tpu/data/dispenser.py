@@ -38,6 +38,13 @@ class BatchDispenser:
         self.target_coder = target_coder
         self.size = int(size)
         self.target_dict = self.read_target_file(target_path)
+        # count only targets whose features this reader can actually serve:
+        # with a multi-host scp shard the target file still covers the whole
+        # corpus, and num_utt/num_batches must describe THIS host's stream
+        # (the reference's reader always spans the full corpus, so there the
+        # two sets coincide; batchdispenser.py:147-173)
+        in_scp = set(feature_reader.reader.utt_ids)
+        self.target_dict = {u: t for u, t in self.target_dict.items() if u in in_scp}
         # encode every target once: reused by max_target_length and prior
         # counting (the reference re-encodes each time, batchdispenser.py:51)
         self._encoded = {

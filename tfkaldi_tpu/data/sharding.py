@@ -16,13 +16,21 @@ from __future__ import annotations
 import os
 
 
-def shard_scp_lines(lines: list[str], num_shards: int, shard_index: int) -> list[str]:
+def shard_scp_lines(
+    lines: list[str], num_shards: int, shard_index: int, drop_remainder: bool = False
+) -> list[str]:
     """Strided shard of scp lines: line ``i`` goes to host ``i % num_shards``.
 
     Shards are disjoint and cover the input; sizes differ by at most 1.
+    ``drop_remainder`` truncates the input to a multiple of ``num_shards``
+    first so every shard has the SAME size — required when hosts must agree
+    on ``num_batches``/``num_steps`` without communicating (at most
+    ``num_shards - 1`` utterances are dropped globally).
     """
     if not 0 <= shard_index < num_shards:
         raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+    if drop_remainder:
+        lines = lines[: len(lines) - len(lines) % num_shards]
     return lines[shard_index::num_shards]
 
 
@@ -31,6 +39,7 @@ def shard_scp(
     num_shards: int | None = None,
     shard_index: int | None = None,
     out_path: str | None = None,
+    drop_remainder: bool = False,
 ) -> str:
     """Write this host's shard of ``scp_path`` and return the shard's path.
 
@@ -46,7 +55,7 @@ def shard_scp(
         return scp_path
     with open(scp_path) as f:
         lines = f.readlines()
-    shard = shard_scp_lines(lines, num_shards, shard_index)
+    shard = shard_scp_lines(lines, num_shards, shard_index, drop_remainder)
     if out_path is None:
         base, ext = os.path.splitext(scp_path)
         out_path = f"{base}.shard{shard_index}of{num_shards}{ext}"

@@ -226,5 +226,11 @@ def shuffle_examples(
         lines = head + [line for band in bands for line in band]
     else:
         rng.shuffle(lines)
-    with open(os.path.join(featdir, "feats_shuffled.scp"), "w") as f:
+    # atomic write: with a seeded shuffle every host of a multi-host run
+    # produces identical content, so concurrent writers on a shared
+    # filesystem are safe (per-host tmp name + rename, no torn writes)
+    out = os.path.join(featdir, "feats_shuffled.scp")
+    tmp = f"{out}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         f.writelines(lines)
+    os.replace(tmp, out)

@@ -94,10 +94,15 @@ class Nnet:
         trainer = Trainer(self.model, trainer_cfg)
         from tfkaldi_tpu.utils import MetricsLogger
 
-        # multi-chip: all local devices on the data axis; GSPMD psums the
-        # grads over ICI (config key `model_parallel` adds a model axis)
+        # multi-chip: all devices (across every host of a pod) on the data
+        # axis; GSPMD psums the grads over ICI/DCN (config key
+        # `model_parallel` adds a model axis). [nnet] batch_size is the
+        # GLOBAL batch: in a multi-host run the caller hands this method a
+        # dispenser producing batch_size/process_count utterances per host
+        # (cli/main.py does this division).
         mesh = None
         n_dev = jax.device_count()
+        n_proc = jax.process_count()
         if n_dev > 1:
             model_axis = max(int(self.conf.get("model_parallel", 1)), 1)
             data_axis = n_dev // model_axis if n_dev % model_axis == 0 else 0
@@ -113,13 +118,34 @@ class Nnet:
                     n_dev, data_axis or "?", model_axis, opts.batch_size,
                 )
 
-        metrics = MetricsLogger(os.path.join(self.savedir, "metrics.jsonl"))
+        batcher = DeviceBatcher()
+        if n_proc > 1:
+            if mesh is None:
+                raise ValueError(
+                    "multi-host training requires a device mesh: batch_size "
+                    f"{opts.batch_size} must divide over the data axis"
+                )
+            # hosts never communicate about shapes: pin the padded lengths
+            # (reference-style corpus-max padding) so each host's local
+            # batch assembles into one consistent global jax.Array
+            t_max = int(dispenser.max_input_length)
+            l_max = (
+                int(dispenser.max_target_length) if self.loss_type == "ctc" else t_max
+            )
+            batcher = DeviceBatcher(fixed_input_length=t_max, fixed_target_length=l_max)
+
+        # only process 0 writes the primary metrics file (others keep
+        # per-process logs so a pod run stays debuggable without races)
+        metrics_name = (
+            "metrics.jsonl" if jax.process_index() == 0 else f"metrics.p{jax.process_index()}.jsonl"
+        )
+        metrics = MetricsLogger(os.path.join(self.savedir, metrics_name))
 
         # TensorBoard summaries (reference trainer.py:207-211, 249-258)
         viz = None
         metrics_hook = metrics
         validation_hook = None
-        if str(self.conf.get("visualise", "False")) == "True":
+        if str(self.conf.get("visualise", "False")) == "True" and jax.process_index() == 0:
             from tfkaldi_tpu.utils.visualize import TensorBoardVisualizer
 
             viz = TensorBoardVisualizer(os.path.join(self.savedir, "logdir"))
@@ -133,7 +159,7 @@ class Nnet:
         controller = TrainingController(
             trainer,
             dispenser,
-            DeviceBatcher(),
+            batcher,
             opts,
             metrics_hook=metrics_hook,
             mesh=mesh,
@@ -162,10 +188,14 @@ class Nnet:
         # decode_bucket_multiple); defaults match the test-sized shapes
         batch_size = int(self.conf.get("decode_batch_size", 16))
         bucket_multiple = int(self.conf.get("decode_bucket_multiple", 128))
-        if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+        # decode fans out over the test set, so each host works its own scp
+        # shard on its OWN devices (no cross-host batch assembly); a global
+        # mesh is only used single-host
+        devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        if len(devices) > 1 and batch_size % len(devices) == 0:
             from tfkaldi_tpu.parallel import make_mesh
 
-            mesh = make_mesh()
+            mesh = make_mesh(devices=devices)
         decoder = Decoder(self.model, state.params, state.model_state, prior, mesh=mesh)
         count = decoder.decode_to_writer(
             reader, writer, batch_size=batch_size, bucket_multiple=bucket_multiple

@@ -65,6 +65,8 @@ def save_validated(path: str, state: Any, loss: float, step: int) -> None:
     after the state commit completes, so a crash mid-save can never
     leave a meta file pointing at a partial state."""
     save_state(path, state, block=True)
+    if jax.process_index() != 0:
+        return  # multi-host: one writer for the sidecar (orbax handles the state)
     meta = {"loss": float(loss), "step": int(step)}
     tmp = path + ".meta.json.tmp"
     with open(tmp, "w") as fid:
