@@ -152,6 +152,49 @@ def test_splice_batched_matches_single():
         np.testing.assert_allclose(got[i], np.asarray(splice(batch[i], 2)))
 
 
+def test_high_path_tracks_exact_f64():
+    """The default 'high' path (Veltkamp-split double-float DFT with
+    chunked-f64 accumulation) stays within the 1e-4 parity gate of the
+    'exact' emulated-f64 path even on the worst amplifier (mfcc + ddelta),
+    at a fraction of the cost."""
+    rng = np.random.default_rng(1)
+    conf = _conf(type="mfcc", dynamic="ddelta", include_energy=True, nfilt=23)
+    opts = FeatureOpts.from_config(conf)
+    sig = (rng.standard_normal(24000) * 800).astype(np.float32)
+    exact = FeatureExtractor(opts, RATE, "exact").compute(sig)
+    high = FeatureExtractor(opts, RATE, "high").compute(sig)
+    assert high.shape == exact.shape
+    err = np.abs(high - exact) / np.maximum(np.abs(exact), 1.0)
+    assert err.max() < 1e-4, float(err.max())
+
+
+def test_double_float_split_invariants():
+    """The trunc-12 double-float split (a, b, lo) used by the TPU 'high'
+    DFT: a carries ≤12 significand bits (so a*a' products are exact in
+    f32), a+b reconstructs f32(m) exactly, and a+b+lo reconstructs the
+    float64 value to ≤2^-36 relative."""
+    import jax
+
+    from tfkaldi_tpu.frontend.features import _df_split_np, _df_split_traced
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    m = np.concatenate(
+        [rng.standard_normal(500) * 10.0 ** rng.integers(-20, 20, 500), [0.0, 1.0, -1.0]]
+    )
+    with jax.enable_x64():
+        traced = jax.tree.map(np.asarray, _df_split_traced(jnp.asarray(m)))
+    for name, (a, b, lo) in {"np": _df_split_np(m), "traced": traced}.items():
+        a, b, lo = np.asarray(a), np.asarray(b), np.asarray(lo)
+        # a has at most 12 significand bits: low 12 mantissa bits are zero
+        assert (a.view(np.int32) & 0xFFF == 0).all(), name
+        np.testing.assert_array_equal(a + b, m.astype(np.float32), err_msg=name)
+        recon = a.astype(np.float64) + b.astype(np.float64) + lo.astype(np.float64)
+        err = np.abs(recon - m) / np.maximum(np.abs(m), np.finfo(np.float64).tiny)
+        assert err.max() < 2.0**-35, (name, float(err.max()))
+
+
 def test_fast_spectrum_path_close_to_high():
     """The f32 'fast' spectrum path tracks the f64 'high' path within its
     documented tolerance (log-domain ~1e-3 worst-case per bin; the mel

