@@ -15,11 +15,15 @@ affine ``scale = rsqrt(var+eps)``, ``shift = beta - mean*scale`` folded
 into the epilogue. Training-mode BN needs batch moments over all N and
 stays in XLA.
 
-Measured on v5e (flagship 6x2048 eval forward, bf16): XLA 4.7 ms vs this
-kernel 6.0 ms with bit-identical outputs — XLA's epilogue fusion already
-covers this pattern, so ``use_pallas_ffn`` stays **off by default** and the
-kernel serves as the verified template for fusions XLA can't do (e.g.
-cross-layer chaining), not as a drop-in speedup.
+Measured on v5e (flagship layer shape [65536,2048]x[2048,2048] + bias +
+relu, bf16): XLA 4.14 ms vs this kernel 4.56 ms at the tuned full-K
+default tiling (round-1's 512^3 tiling measured 5.62 ms; the sweep and the
+fusion cost/benefit analysis live in docs/PERF_DNN_STEP.md). Outputs are
+bit-identical to the XLA path. XLA's matmul pipeline is still ~7% faster,
+so ``use_pallas_ffn`` stays **off by default** and the kernel serves as
+the verified template for fusions XLA can't express (BN-backward applies
+in the dgrad prologues) — worth revisiting only once the plain kernel
+matches XLA.
 """
 
 from __future__ import annotations
@@ -63,13 +67,18 @@ def fused_ffn_block(
     relu: bool = True,
     tile_n: int = 512,
     tile_m: int = 512,
-    tile_k: int = 512,
+    tile_k: int | None = None,
     interpret: bool | None = None,
 ):
     """See :func:`_fused_ffn_block`. ``interpret=None`` auto-selects the
-    Pallas interpreter off-TPU (CPU test meshes)."""
+    Pallas interpreter off-TPU (CPU test meshes). ``tile_k=None`` uses the
+    full contraction when it divides into <=2048 (measured 19% faster than
+    512^3 tiling on v5e; docs/PERF_DNN_STEP.md), else 512."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_k is None:
+        k = x.shape[1]
+        tile_k = k if k <= 2048 else (2048 if k % 2048 == 0 else 512)
     return _fused_ffn_block(
         x, w, b, scale, shift,
         relu=relu, tile_n=tile_n, tile_m=tile_m, tile_k=tile_k,
