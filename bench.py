@@ -67,7 +67,9 @@ def bench_tpu() -> float:
     for trial in range(3):
         t0 = time.perf_counter()
         for i in range(STEPS):
-            state, loss = trainer.update(state, batch, jax.random.PRNGKey(2 + i))
+            # production path: the per-step dropout key derives on device
+            # (host PRNGKey creation costs extra dispatches per step)
+            state, loss = trainer.update(state, batch)
         _ = float(loss)  # forces completion of the whole donated-state chain
         best = min(best, time.perf_counter() - t0)
     fps = B * T * STEPS / best

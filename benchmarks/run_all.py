@@ -91,7 +91,7 @@ def bench_dnn_train(results):
     state = {"st": st}
 
     def step():
-        state["st"], loss = tr.update(state["st"], batch, jax.random.PRNGKey(2))
+        state["st"], loss = tr.update(state["st"], batch)
         return loss
 
     dt = _time(step, lambda x: float(x), reps=10)
@@ -125,7 +125,7 @@ def bench_lstm_train(results):
     state = {"st": st}
 
     def step():
-        state["st"], loss = tr.update(state["st"], batch, jax.random.PRNGKey(2))
+        state["st"], loss = tr.update(state["st"], batch)
         return loss
 
     dt = _time(step, lambda x: float(x), reps=5)

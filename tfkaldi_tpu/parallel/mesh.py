@@ -88,6 +88,7 @@ def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
         adam_m=params_sh,
         adam_v=params_sh,
         adam_t=ns(P()),
+        rng=ns(P()),
     )
 
 

@@ -142,8 +142,6 @@ class TrainingController:
                 os.path.join(opt.savedir, "training", f"step{step}"), state
             )
 
-        rng = jax.random.PRNGKey(opt.seed + 1)
-
         num_retries = 0
         validation_loss = None
         validation_step = step
@@ -180,7 +178,7 @@ class TrainingController:
         )
         try:
             state = self._train_loop(
-                state, source, rng, step, num_steps, val_batches,
+                state, source, step, num_steps, val_batches,
                 validation_loss, validation_step, num_retries,
                 validated if val_batches else None,
             )
@@ -199,7 +197,6 @@ class TrainingController:
         self,
         state,
         source,
-        rng,
         step,
         num_steps,
         val_batches,
@@ -223,7 +220,9 @@ class TrainingController:
                     profiling = False
             t0 = time.perf_counter()
             batch = source.next()
-            state, loss = self.trainer.update(state, batch, jax.random.fold_in(rng, step))
+            # the dropout key derives on device from state.rng and the step
+            # counter (trainer.update rng=None) — no host-side PRNG dispatches
+            state, loss = self.trainer.update(state, batch)
             loss = float(loss)
             step_time = time.perf_counter() - t0
             log.info("step %d/%d loss: %f (%.3fs)", step, num_steps, loss, step_time)

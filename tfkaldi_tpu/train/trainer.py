@@ -60,6 +60,9 @@ class TrainState:
     adam_m: Any
     adam_v: Any
     adam_t: jnp.ndarray  # int32 scalar — TF Adam's power accumulators
+    rng: jnp.ndarray  # uint32[2] PRNG key; per-step dropout keys derive
+    # from it ON DEVICE (fold_in with the step counter inside the jitted
+    # step) — a host-side PRNGKey per step costs extra device dispatches
 
 
 class Trainer:
@@ -69,6 +72,9 @@ class Trainer:
         self.model = model
         self.config = config
         self._train_step = jax.jit(partial(self._step, train=True), donate_argnums=(0,))
+        self._train_step_auto = jax.jit(
+            partial(self._step, rng=None, train=True), donate_argnums=(0,)
+        )
         self._valid_step = jax.jit(partial(self._step_valid))
 
     # ------------------------------------------------------------------
@@ -86,6 +92,9 @@ class Trainer:
             adam_m=zeros,
             adam_v=jax.tree.map(jnp.zeros_like, params),
             adam_t=jnp.asarray(0, jnp.int32),
+            # dropout stream, distinct from the init stream; checkpointed
+            # with the state so resume reproduces the draw sequence
+            rng=jax.random.fold_in(rng, 0x5EED),
         )
 
     # ------------------------------------------------------------------
@@ -189,6 +198,10 @@ class Trainer:
         return grads, loss, frames, new_state
 
     def _step(self, state: TrainState, batch: PaddedBatch, rng: jax.Array, *, train):
+        if rng is None:
+            # derive the step key on device: no host round-trips, and
+            # deterministic in (seed, step) so resume replays it exactly
+            rng = jax.random.fold_in(state.rng, state.step)
         grads, loss, frames, new_model_state = self._grads_accumulated(
             state.params, state.model_state, batch, rng
         )
@@ -232,6 +245,7 @@ class Trainer:
             adam_m=new_m,
             adam_v=new_v,
             adam_t=t,
+            rng=state.rng,
         )
         return new_state, loss / frames_safe
 
@@ -245,8 +259,16 @@ class Trainer:
     # public API
     # ------------------------------------------------------------------
 
-    def update(self, state: TrainState, batch: PaddedBatch, rng: jax.Array):
-        """One optimizer step on a batch; returns (new_state, avg_loss)."""
+    def update(self, state: TrainState, batch: PaddedBatch, rng: jax.Array | None = None):
+        """One optimizer step on a batch; returns (new_state, avg_loss).
+
+        With ``rng=None`` (the production path) the dropout key derives on
+        device from ``state.rng`` and the step counter — one dispatch per
+        step. An explicit ``rng`` overrides it (used by tests pinning
+        specific draw sequences).
+        """
+        if rng is None:
+            return self._train_step_auto(state, batch)
         return self._train_step(state, batch, rng)
 
     def evaluate(self, state: TrainState, batches) -> float:
