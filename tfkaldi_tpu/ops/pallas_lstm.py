@@ -1,0 +1,390 @@
+"""Pallas TPU kernel for the bidirectional LSTM recurrence.
+
+An LSTM scan is latency-bound: each step's recurrent matmul depends on the
+previous step's VPU gate math, so within one direction the MXU idles
+during the elementwise work and vice versa. The two directions of a
+BiLSTM layer are independent, though — this kernel runs the forward and
+the time-reversed backward direction *interleaved in one grid*, issuing
+both recurrent matmuls back to back so one direction's MXU work overlaps
+the other's VPU work. Measured on v5e (T=256, B=32, H=512): 1.24x the two
+XLA scans it replaces for the forward pass, 1.2-1.3x for the backward,
+bit-exact against :mod:`tfkaldi_tpu.ops.lstm_scan` (same op order).
+
+Layout/semantics match ``lstm_scan`` exactly: gate order i, f, g, o; the
+mask freezes the carry past each utterance's end; outputs are
+``h_t * mask_t``; matmul operands in ``compute_dtype`` with f32
+accumulation; the weight gradient is hoisted out of the loop as one
+``[H, T·B] @ [T·B, 4H]`` matmul per direction (see lstm_scan.py).
+
+The reference has no sequence model at all (its CTC trainer was never
+finished, neuralNetworks/trainer.py:533-570); this kernel is part of the
+TPU-native LSTM family built on top of the reference's Classifier
+contract (classifiers/classifier.py:6-37).
+
+Constraints (callers fall back to ``lstm_scan`` otherwise, models/rnn.py):
+``T % chunk == 0``, ``B % 8 == 0``, ``H % 128 == 0``, single device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 8  # timesteps per grid step (measured optimum on v5e)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+# flipped by tests to run the kernels through the Pallas interpreter on CPU
+interpret = False
+
+
+def supported(t: int, b: int, h: int, chunk: int = CHUNK) -> bool:
+    return t % chunk == 0 and b % 8 == 0 and h % 128 == 0
+
+
+def available() -> bool:
+    """Whether the kernel path should be used under ``scan_impl='auto'``:
+    a single real TPU device (pallas_call is not auto-partitionable by
+    GSPMD, so mesh runs fall back to the XLA scan)."""
+    try:
+        import jax
+
+        return (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and jax.process_count() == 1
+        )
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _gate_math(gates, c, h, m, hdim):
+    i = jax.nn.sigmoid(gates[:, :hdim])
+    f = jax.nn.sigmoid(gates[:, hdim : 2 * hdim])
+    g = jnp.tanh(gates[:, 2 * hdim : 3 * hdim])
+    o = jax.nn.sigmoid(gates[:, 3 * hdim :])
+    c_cand = f * c + i * g
+    h_cand = o * jnp.tanh(c_cand)
+    h_new = jnp.where(m > 0, h_cand, h)
+    c_new = jnp.where(m > 0, c_cand, c)
+    acts = jnp.concatenate([i, f, g, o], axis=1)
+    return h_new, c_new, acts
+
+
+def _make_fwd_kernel(chunk, residuals):
+    """One grid step = ``chunk`` timesteps of BOTH directions.
+
+    The forward direction walks its block top-down (global t = i·chunk+j);
+    the backward direction's blocks arrive time-reversed via the index_map
+    and are walked bottom-up (global t = T-1-(i·chunk+j))."""
+    def kernel(*refs):
+        if residuals:
+            (gxf_ref, gxb_ref, mf_ref, mb_ref, whf_ref, whb_ref,
+             ysf_ref, ysb_ref, actsf_ref, actsb_ref, csf_ref, csb_ref,
+             hcdf_ref, hcdb_ref,
+             hf_ref, cf_ref, hb_ref, cb_ref) = refs
+        else:
+            (gxf_ref, gxb_ref, mf_ref, mb_ref, whf_ref, whb_ref,
+             ysf_ref, ysb_ref,
+             hf_ref, cf_ref, hb_ref, cb_ref) = refs
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            cf_ref[:] = jnp.zeros_like(cf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+            cb_ref[:] = jnp.zeros_like(cb_ref)
+
+        whf = whf_ref[:]
+        whb = whb_ref[:]
+        hdim = hf_ref.shape[1]
+
+        def body(j, _):
+            jr = chunk - 1 - j
+            hf, cf = hf_ref[:], cf_ref[:]
+            hb, cb = hb_ref[:], cb_ref[:]
+            hf_cd = hf.astype(whf.dtype)
+            hb_cd = hb.astype(whb.dtype)
+            # both recurrent matmuls back to back: the second runs on the
+            # MXU while the VPU chews the first direction's gate math
+            mm_f = jnp.dot(hf_cd, whf, preferred_element_type=jnp.float32)
+            mm_b = jnp.dot(hb_cd, whb, preferred_element_type=jnp.float32)
+            mf = mf_ref[j][:, None]
+            mb = mb_ref[jr][:, None]
+            hf_new, cf_new, acts_f = _gate_math(gxf_ref[j] + mm_f, cf, hf, mf, hdim)
+            hb_new, cb_new, acts_b = _gate_math(gxb_ref[jr] + mm_b, cb, hb, mb, hdim)
+            ysf_ref[j] = hf_new * mf
+            ysb_ref[jr] = hb_new * mb
+            if residuals:
+                actsf_ref[j] = acts_f
+                actsb_ref[jr] = acts_b
+                csf_ref[j] = cf_new
+                csb_ref[jr] = cb_new
+                hcdf_ref[j] = hf_cd
+                hcdb_ref[jr] = hb_cd
+            hf_ref[:] = hf_new
+            cf_ref[:] = cf_new
+            hb_ref[:] = hb_new
+            cb_ref[:] = cb_new
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+    return kernel
+
+
+def _fwd_call(gxf, gxb, whf_cd, whb_cd, mask2d, chunk, residuals):
+    t, b, four_h = gxf.shape
+    h = four_h // 4
+    n = t // chunk
+    cd = whf_cd.dtype
+
+    fwd_block = lambda i: (i, 0, 0)  # noqa: E731
+    rev_block = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
+
+    in_specs = [
+        pl.BlockSpec((chunk, b, four_h), fwd_block),
+        pl.BlockSpec((chunk, b, four_h), rev_block),
+        pl.BlockSpec((chunk, b), lambda i: (i, 0)),
+        pl.BlockSpec((chunk, b), lambda i, n=n: (n - 1 - i, 0)),
+        pl.BlockSpec((h, four_h), lambda i: (0, 0)),
+        pl.BlockSpec((h, four_h), lambda i: (0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, b, h), fwd_block),
+        pl.BlockSpec((chunk, b, h), rev_block),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+        jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+    ]
+    if residuals:
+        out_specs += [
+            pl.BlockSpec((chunk, b, four_h), fwd_block),
+            pl.BlockSpec((chunk, b, four_h), rev_block),
+            pl.BlockSpec((chunk, b, h), fwd_block),
+            pl.BlockSpec((chunk, b, h), rev_block),
+            pl.BlockSpec((chunk, b, h), fwd_block),
+            pl.BlockSpec((chunk, b, h), rev_block),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h), cd),
+            jax.ShapeDtypeStruct((t, b, h), cd),
+        ]
+
+    return pl.pallas_call(
+        _make_fwd_kernel(chunk, residuals),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32) for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(gxf, gxb, mask2d, mask2d, whf_cd, whb_cd)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_gate_math(dy, dh, dc, act, cp, ct, m, hdim):
+    """Analytic per-step LSTM backward (identical op order to
+    lstm_scan._backward so results match it bit-for-bit)."""
+    i = act[:, :hdim]
+    f = act[:, hdim : 2 * hdim]
+    g = act[:, 2 * hdim : 3 * hdim]
+    o = act[:, 3 * hdim :]
+    dh_cand = m * (dh + dy)
+    dh_prev = (1.0 - m) * dh
+    dc_cand = m * dc
+    dc_prev = (1.0 - m) * dc
+    tc = jnp.tanh(ct)
+    do_gate = tc * dh_cand
+    dc_cand = dc_cand + o * (1.0 - tc * tc) * dh_cand
+    df_gate = cp * dc_cand
+    dc_prev = dc_prev + f * dc_cand
+    di_gate = g * dc_cand
+    dg_gate = i * dc_cand
+    dgates = jnp.concatenate(
+        [
+            i * (1.0 - i) * di_gate,
+            f * (1.0 - f) * df_gate,
+            (1.0 - g * g) * dg_gate,
+            o * (1.0 - o) * do_gate,
+        ],
+        axis=1,
+    )
+    return dgates, dh_prev, dc_prev
+
+
+def _make_bwd_kernel(chunk):
+    def kernel(dyf_ref, dyb_ref, actsf_ref, actsb_ref, cpf_ref, cpb_ref,
+               csf_ref, csb_ref, mf_ref, mb_ref, whtf_ref, whtb_ref,
+               dgxf_ref, dgxb_ref,
+               dhf_ref, dcf_ref, dhb_ref, dcb_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dhf_ref[:] = jnp.zeros_like(dhf_ref)
+            dcf_ref[:] = jnp.zeros_like(dcf_ref)
+            dhb_ref[:] = jnp.zeros_like(dhb_ref)
+            dcb_ref[:] = jnp.zeros_like(dcb_ref)
+
+        whtf = whtf_ref[:]
+        whtb = whtb_ref[:]
+        hdim = dhf_ref.shape[1]
+        cd = whtf.dtype
+
+        def body(j, _):
+            # cotangents flow against each direction: the fwd direction's
+            # backward walks time-reversed blocks bottom-up, the bwd
+            # direction's forward-time blocks top-down
+            jr = chunk - 1 - j
+            mf = mf_ref[jr][:, None]
+            mb = mb_ref[j][:, None]
+            dgates_f, dhf_prev, dcf_prev = _bwd_gate_math(
+                dyf_ref[jr], dhf_ref[:], dcf_ref[:], actsf_ref[jr],
+                cpf_ref[jr], csf_ref[jr], mf, hdim,
+            )
+            dgates_b, dhb_prev, dcb_prev = _bwd_gate_math(
+                dyb_ref[j], dhb_ref[:], dcb_ref[:], actsb_ref[j],
+                cpb_ref[j], csb_ref[j], mb, hdim,
+            )
+            # both matmuls back to back (MXU/VPU overlap across directions)
+            mm_f = jnp.dot(dgates_f.astype(cd), whtf, preferred_element_type=jnp.float32)
+            mm_b = jnp.dot(dgates_b.astype(cd), whtb, preferred_element_type=jnp.float32)
+            dgxf_ref[jr] = dgates_f
+            dgxb_ref[j] = dgates_b
+            dhf_ref[:] = dhf_prev + mm_f
+            dcf_ref[:] = dcf_prev
+            dhb_ref[:] = dhb_prev + mm_b
+            dcb_ref[:] = dcb_prev
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+    return kernel
+
+
+def _bwd_call(dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d,
+              whtf_cd, whtb_cd, chunk):
+    t, b, four_h = actsf.shape
+    h = four_h // 4
+    n = t // chunk
+
+    fwd3 = lambda i: (i, 0, 0)  # noqa: E731
+    rev3 = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
+    fwd2 = lambda i: (i, 0)  # noqa: E731
+    rev2 = lambda i, n=n: (n - 1 - i, 0)  # noqa: E731
+
+    # the fwd direction's cotangent scan is time-reversed; the bwd
+    # direction's runs in natural time order
+    in_specs = [
+        pl.BlockSpec((chunk, b, h), rev3),       # dyf
+        pl.BlockSpec((chunk, b, h), fwd3),       # dyb
+        pl.BlockSpec((chunk, b, four_h), rev3),  # actsf
+        pl.BlockSpec((chunk, b, four_h), fwd3),  # actsb
+        pl.BlockSpec((chunk, b, h), rev3),       # cpf
+        pl.BlockSpec((chunk, b, h), fwd3),       # cpb
+        pl.BlockSpec((chunk, b, h), rev3),       # csf
+        pl.BlockSpec((chunk, b, h), fwd3),       # csb
+        pl.BlockSpec((chunk, b), rev2),          # mask for fwd dir
+        pl.BlockSpec((chunk, b), fwd2),          # mask for bwd dir
+        pl.BlockSpec((four_h, h), lambda i: (0, 0)),
+        pl.BlockSpec((four_h, h), lambda i: (0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, b, four_h), rev3),
+        pl.BlockSpec((chunk, b, four_h), fwd3),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+        jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _make_bwd_kernel(chunk),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32) for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d, mask2d,
+      whtf_cd, whtb_cd)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def lstm_scan_bidi(gxf, gxb, whf, whb, mask, compute_dtype, chunk=CHUNK):
+    """Both directions of a BiLSTM layer in one interleaved Pallas kernel.
+
+    Args:
+      gxf: ``[T, B, 4H]`` f32 — forward direction's input projections+bias.
+      gxb: ``[T, B, 4H]`` f32 — backward direction's (natural time order).
+      whf, whb: ``[H, 4H]`` f32 recurrent weights.
+      mask: ``[T, B, 1]`` f32 0/1.
+      compute_dtype, chunk: static.
+
+    Returns:
+      ``(ysf, ysb)`` each ``[T, B, H]`` f32 in natural time order.
+    """
+    cd = compute_dtype
+    mask2d = mask[:, :, 0]
+    ysf, ysb = _fwd_call(
+        gxf, gxb, whf.astype(cd), whb.astype(cd), mask2d, chunk, residuals=False
+    )
+    return ysf, ysb
+
+
+def _vjp_fwd(gxf, gxb, whf, whb, mask, cd, chunk):
+    mask2d = mask[:, :, 0]
+    ysf, ysb, actsf, actsb, csf, csb, hcdf, hcdb = _fwd_call(
+        gxf, gxb, whf.astype(cd), whb.astype(cd), mask2d, chunk, residuals=True
+    )
+    return (ysf, ysb), (actsf, actsb, csf, csb, hcdf, hcdb, mask2d, whf, whb)
+
+
+def _vjp_bwd(cd, chunk, res, cot):
+    actsf, actsb, csf, csb, hcdf, hcdb, mask2d, whf, whb = res
+    dyf, dyb = cot
+    t, b, four_h = actsf.shape
+    h = four_h // 4
+    zrow = jnp.zeros((1, b, h), csf.dtype)
+    # carry-input cell streams (see lstm_scan._backward): the fwd direction
+    # consumed c from t-1, the reversed direction from t+1
+    cpf = jnp.concatenate([zrow, csf[:-1]], axis=0)
+    cpb = jnp.concatenate([csb[1:], zrow], axis=0)
+    whtf = jnp.transpose(whf).astype(cd)
+    whtb = jnp.transpose(whb).astype(cd)
+    dgxf, dgxb = _bwd_call(
+        dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d, whtf, whtb, chunk
+    )
+    # weight grads hoisted out of the loop (one MXU-efficient matmul each)
+    dn = (((0, 1), (0, 1)), ((), ()))
+    dwhf = jax.lax.dot_general(hcdf, dgxf.astype(cd), dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+    dwhb = jax.lax.dot_general(hcdb, dgxb.astype(cd), dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+    dmask = jnp.zeros((t, b, 1), jnp.float32)
+    return dgxf, dgxb, dwhf.astype(whf.dtype), dwhb.astype(whb.dtype), dmask
+
+
+lstm_scan_bidi.defvjp(_vjp_fwd, _vjp_bwd)
