@@ -97,6 +97,47 @@ def test_model_pallas_equals_xla():
     )
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs the 8-device mesh")
+def test_pallas_trains_on_mesh_data_parallel():
+    """The kernels run under GSPMD on a data-sharded batch via their
+    custom_partitioning rules; the mesh loss matches the single-device
+    XLA-scan loss (same global batch, grads psum over 'data')."""
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import LSTM, RNNConfig
+    from tfkaldi_tpu.parallel import make_mesh, shard_batch, shard_state
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    b, t, f = 16, 16, 4
+    x = rng.standard_normal((b, t, f)).astype(np.float32)
+    y = rng.integers(0, 3, (b, t)).astype(np.int32)
+    lengths = np.full(b, t, np.int32)
+    lengths[b // 2:] = t - 5
+    batch = PaddedBatch(x, y, lengths, lengths)
+
+    def train(impl, on_mesh):
+        model = LSTM(
+            RNNConfig(input_dim=f, num_labels=3, num_layers=1, hidden_units=H,
+                      bidirectional=True, scan_unroll=1, scan_impl=impl)
+        )
+        trainer = Trainer(model, TrainerConfig(init_learning_rate=0.01, num_steps=10))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        bb = batch
+        if on_mesh:
+            mesh = make_mesh(data=8, model=1)
+            state = shard_state(state, mesh)
+            bb = shard_batch(batch, mesh)
+        losses = []
+        for i in range(3):
+            state, loss = trainer.update(state, bb, jax.random.PRNGKey(i))
+            losses.append(float(loss))
+        return losses
+
+    mesh_pallas = train("pallas", on_mesh=True)
+    single_xla = train("xla", on_mesh=False)
+    np.testing.assert_allclose(mesh_pallas, single_xla, rtol=1e-5)
+
+
 def test_unsupported_shapes_fall_back():
     """auto falls back to the XLA scan off-TPU / with unaligned shapes;
     forcing pallas with bad shapes raises."""

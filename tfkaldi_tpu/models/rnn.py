@@ -55,7 +55,8 @@ class RNNConfig:
     scan_unroll: int = 8
     # recurrence implementation: 'auto' uses the interleaved-direction
     # Pallas kernel (ops/pallas_lstm.py, 1.4x the XLA scans on v5e) for
-    # bidirectional layers on a single TPU device when shapes allow, and
+    # bidirectional layers on TPU when shapes allow (batch-partitioned
+    # across a mesh via custom_partitioning), and
     # the custom-VJP XLA scan otherwise; 'xla' / 'pallas' force one
     scan_impl: str = "auto"
 

@@ -22,17 +22,22 @@ TPU-native LSTM family built on top of the reference's Classifier
 contract (classifiers/classifier.py:6-37).
 
 Constraints (callers fall back to ``lstm_scan`` otherwise, models/rnn.py):
-``T % chunk == 0``, ``B % 8 == 0``, ``H % 128 == 0``, single device.
+``T % chunk == 0``, ``B % 8 == 0``, ``H % 128 == 0``. Under a device mesh
+the kernels partition over the batch dimension via custom_partitioning
+(each device runs its local shard; see ``_def_batch_partition``).
 """
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 CHUNK = 8  # timesteps per grid step (measured optimum on v5e)
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -47,16 +52,15 @@ def supported(t: int, b: int, h: int, chunk: int = CHUNK) -> bool:
 
 def available() -> bool:
     """Whether the kernel path should be used under ``scan_impl='auto'``:
-    a single real TPU device (pallas_call is not auto-partitionable by
-    GSPMD, so mesh runs fall back to the XLA scan)."""
+    any real TPU backend. Device-mesh runs work because the kernels are
+    wrapped in ``custom_partitioning`` with a batch-dimension sharding
+    rule — each device runs the kernel on its local batch shard, exactly
+    the data-parallel semantics of the XLA scan path (validated on the
+    8-device CPU mesh in interpreter mode, tests/test_pallas_lstm.py)."""
     try:
         import jax
 
-        return (
-            jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and jax.process_count() == 1
-        )
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -328,6 +332,74 @@ def _bwd_call(dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d,
 
 
 # ---------------------------------------------------------------------------
+# mesh partitioning: batch-dim data parallelism for the kernels
+# ---------------------------------------------------------------------------
+#
+# GSPMD cannot partition a pallas_call on its own, so each kernel entry is
+# wrapped in custom_partitioning with an einsum-like sharding rule: the
+# batch dimension (factor ``b``) may shard across the mesh, everything
+# else (time, gates, hidden — and the replicated weights) must stay
+# whole. Each device then runs the kernel on its local batch shard. The
+# hoisted dwh matmuls in the VJP contract over (t, b) outside the kernel,
+# so GSPMD inserts the data-parallel gradient psum there automatically.
+
+
+def _def_batch_partition(wrapped, rule, n_stream_outs, replicated, res_cd_outs=0):
+    def _partition(mesh, arg_shapes, result_shape):
+        arg_sh = tuple(a.sharding for a in arg_shapes)
+        out_sh = tuple(r.sharding for r in result_shape)
+        return mesh, wrapped.__wrapped__, out_sh, arg_sh
+
+    def _infer(mesh, arg_shapes, shape):
+        spec = arg_shapes[0].sharding.spec
+        b_axis = spec[1] if len(spec) > 1 else None
+        stream = NamedSharding(mesh, P(None, b_axis, None))
+        return tuple([stream] * (n_stream_outs + res_cd_outs))
+
+    wrapped.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer,
+        sharding_rule=rule,
+        need_replication_factors=replicated,
+    )
+    return wrapped
+
+
+@functools.cache
+def _fwd_partitioned(chunk, residuals):
+    def impl(gxf, gxb, mask2d, whf_cd, whb_cd):
+        return _fwd_call(gxf, gxb, whf_cd, whb_cd, mask2d, chunk, residuals)
+
+    f = custom_partitioning(impl)
+    f.__wrapped__ = impl
+    outs = "t b h2, t b h2"
+    if residuals:
+        outs += ", t b g, t b g, t b h2, t b h2, t b h2, t b h2"
+    rule = f"t b g, t b g, t b, h g, h g -> {outs}"
+    return _def_batch_partition(
+        f, rule, 8 if residuals else 2, replicated=("t", "g", "h", "h2")
+    )
+
+
+@functools.cache
+def _bwd_partitioned(chunk):
+    def impl(dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d, whtf, whtb):
+        return _bwd_call(
+            dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d, whtf, whtb, chunk
+        )
+
+    f = custom_partitioning(impl)
+    f.__wrapped__ = impl
+    rule = (
+        "t b h2, t b h2, t b g, t b g, t b h2, t b h2, t b h2, t b h2, "
+        "t b, g h2, g h2 -> t b g, t b g"
+    )
+    # special-factor indices must be sorted: order follows first appearance
+    # in the rule (t, then h2, then g)
+    return _def_batch_partition(f, rule, 2, replicated=("t", "h2", "g"))
+
+
+# ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
@@ -348,16 +420,37 @@ def lstm_scan_bidi(gxf, gxb, whf, whb, mask, compute_dtype, chunk=CHUNK):
     """
     cd = compute_dtype
     mask2d = mask[:, :, 0]
-    ysf, ysb = _fwd_call(
-        gxf, gxb, whf.astype(cd), whb.astype(cd), mask2d, chunk, residuals=False
+    ysf, ysb = _fwd_entry(chunk, False)(
+        gxf, gxb, mask2d, whf.astype(cd), whb.astype(cd)
     )
     return ysf, ysb
 
 
+def _multi_device() -> bool:
+    """Route through the custom_partitioning wrappers only when a mesh can
+    actually be in play: the wrapper's custom-call is unnecessary overhead
+    on one device (and stalls this sandbox's remote-compile path)."""
+    return jax.device_count() > 1
+
+
+def _fwd_entry(chunk, residuals):
+    if _multi_device():
+        return _fwd_partitioned(chunk, residuals)
+    return lambda gxf, gxb, mask2d, whf_cd, whb_cd: _fwd_call(
+        gxf, gxb, whf_cd, whb_cd, mask2d, chunk, residuals
+    )
+
+
+def _bwd_entry(chunk):
+    if _multi_device():
+        return _bwd_partitioned(chunk)
+    return lambda *args: _bwd_call(*args, chunk)
+
+
 def _vjp_fwd(gxf, gxb, whf, whb, mask, cd, chunk):
     mask2d = mask[:, :, 0]
-    ysf, ysb, actsf, actsb, csf, csb, hcdf, hcdb = _fwd_call(
-        gxf, gxb, whf.astype(cd), whb.astype(cd), mask2d, chunk, residuals=True
+    ysf, ysb, actsf, actsb, csf, csb, hcdf, hcdb = _fwd_entry(chunk, True)(
+        gxf, gxb, mask2d, whf.astype(cd), whb.astype(cd)
     )
     return (ysf, ysb), (actsf, actsb, csf, csb, hcdf, hcdb, mask2d, whf, whb)
 
@@ -374,8 +467,8 @@ def _vjp_bwd(cd, chunk, res, cot):
     cpb = jnp.concatenate([csb[1:], zrow], axis=0)
     whtf = jnp.transpose(whf).astype(cd)
     whtb = jnp.transpose(whb).astype(cd)
-    dgxf, dgxb = _bwd_call(
-        dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d, whtf, whtb, chunk
+    dgxf, dgxb = _bwd_entry(chunk)(
+        dyf, dyb, actsf, actsb, cpf, cpb, csf, csb, mask2d, whtf, whtb
     )
     # weight grads hoisted out of the loop (one MXU-efficient matmul each)
     dn = (((0, 1), (0, 1)), ((), ()))
