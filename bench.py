@@ -77,6 +77,45 @@ def bench_tpu() -> float:
     return fps
 
 
+def bench_lstm_tpu() -> float:
+    """LSTM family train throughput (2xBiLSTM-512, CE, batch 32x256) —
+    the sequence-model counterpart the reference never finished
+    (trainer.py:533-570). Runs the interleaved-direction Pallas kernel
+    path (ops/pallas_lstm.py) under scan_impl='auto'."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import LSTM, RNNConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f, o, h = 32, 256, 440, 2000, 512
+    model = LSTM(RNNConfig(input_dim=f, num_labels=o, num_layers=2, hidden_units=h,
+                           bidirectional=True, compute_dtype=jnp.bfloat16))
+    trainer = Trainer(model, TrainerConfig(num_steps=1000))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, o, (b, t)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), t, jnp.int32),
+    )
+    state, loss = trainer.update(state, batch)
+    _ = float(loss)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    fps = b * t / best
+    print(f"[bench] lstm train: {best * 1000:.1f} ms/step -> {fps:,.0f} frames/s",
+          file=sys.stderr)
+    return fps
+
+
 def bench_features_tpu() -> float:
     """Batched device feature extraction (AURORA4 dnn-features recipe:
     40-mel log-fbank, 25ms/10ms windows, nfft 512 — config_AURORA4.cfg:63-100)
@@ -235,6 +274,22 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] feature bench failed: {e}", file=sys.stderr)
 
+    # LSTM train throughput (no reference counterpart — its sequence path
+    # never worked; vs_baseline is vs our own round-1 measurement).
+    # Non-fatal like the feature bench.
+    lstm_line = None
+    try:
+        lstm_fps = bench_lstm_tpu()
+        lstm_line = {
+            "metric": "lstm_train_throughput",
+            "value": round(lstm_fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(lstm_fps / 397608.0, 2),  # round-1 number
+        }
+        print(json.dumps(lstm_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] lstm bench failed: {e}", file=sys.stderr)
+
     ref = bench_reference_proxy()
     headline = {
         "metric": "dnn_train_throughput",
@@ -242,10 +297,15 @@ def main() -> None:
         "unit": "frames/sec",
         "vs_baseline": round(ours / ref, 2),
     }
+    extra = {}
     if feat_line is not None:
         # duplicated inside the headline line so a single-line parser
         # still records the feature gate
-        headline["extra"] = {"feature_throughput": feat_line}
+        extra["feature_throughput"] = feat_line
+    if lstm_line is not None:
+        extra["lstm_train_throughput"] = lstm_line
+    if extra:
+        headline["extra"] = extra
     print(json.dumps(headline))
 
 
