@@ -195,6 +195,38 @@ def test_double_float_split_invariants():
         assert err.max() < 2.0**-35, (name, float(err.max()))
 
 
+def test_df_matmul_accuracy():
+    """`_df_matmul` (the split scheme behind the TPU 'high' DFT and mel
+    matmuls) tracks a float64 matmul to ~aa_chunk·2^-24 relative on a
+    positive contraction, and tightening aa_chunk tightens the bound —
+    the property the mel stage's aa_chunk=16 relies on to survive the
+    36x double-delta error amplification."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.frontend.features import _df_matmul, _df_split_traced
+
+    rng = np.random.default_rng(5)
+    # positive lhs with a large dynamic range (like a power spectrum) and a
+    # sparse nonnegative basis (like a mel filterbank)
+    lhs = (10.0 ** rng.uniform(-6, 6, (4, 37, 257))) * rng.uniform(0.5, 2.0, (4, 37, 257))
+    basis = np.maximum(rng.uniform(-0.5, 1.0, (257, 40)), 0.0)
+    want = lhs @ basis
+    with jax.enable_x64():
+        split = _df_split_traced(jnp.asarray(lhs))
+        errs = {}
+        for chunk in (128, 16):
+            got = np.asarray(_df_matmul(split, basis, aa_chunk=chunk))
+            errs[chunk] = float(
+                (np.abs(got - want) / np.maximum(np.abs(want), np.finfo(np.float64).tiny)).max()
+            )
+    # worst-case bound is aa_chunk·2^-24; allow 2x slack for the correction
+    # terms' own rounding
+    assert errs[128] < 2 * 128 * 2.0**-24, errs
+    assert errs[16] < 2 * 16 * 2.0**-24, errs
+    assert errs[16] <= errs[128] or errs[128] < 4 * 2.0**-24, errs
+
+
 def test_fast_spectrum_path_close_to_high():
     """The f32 'fast' spectrum path tracks the f64 'high' path within its
     documented tolerance (log-domain ~1e-3 worst-case per bin; the mel
