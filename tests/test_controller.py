@@ -288,3 +288,50 @@ def test_training_is_deterministic_across_runs(tmp_path):
     assert int(a.step) == int(b.step)
     for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_stale_validated_sidecar_rebaselines(tmp_path):
+    """A crash between the validated-state commit and its sidecar write can
+    leave a sidecar describing an OLDER step than the stored state. Resume
+    must notice the disagreement (the state's own step is the arbiter) and
+    re-baseline on the resumed state instead of rewinding too far."""
+    import dataclasses
+    import json
+
+    class Crash(RuntimeError):
+        pass
+
+    ctrl1, trainer1, opts1 = _pipeline(
+        tmp_path, lr=1e-2, valid_retries=0, num_epochs=4, check_freq=5, learnable=True
+    )
+
+    def crashing_hook(step, **kw):
+        if step == 5:
+            raise Crash()
+
+    ctrl1.metrics_hook = crashing_hook
+    try:
+        ctrl1.train()
+        raise AssertionError("expected the crash hook to fire")
+    except Crash:
+        pass
+
+    validated_dir = os.path.join(opts1.savedir, "training", "validated")
+    meta_path = validated_dir + ".meta.json"
+    meta = ckpt.load_validated_meta(validated_dir)
+    assert meta is not None and meta["step"] == 4
+    # simulate the stale-sidecar crash window: sidecar says step 2, but the
+    # stored state is the step-4 snapshot
+    with open(meta_path, "w") as fid:
+        json.dump({"loss": meta["loss"], "step": 2}, fid)
+
+    ctrl2, _, _ = _pipeline(
+        tmp_path, lr=500.0, valid_retries=0, num_epochs=4, check_freq=5, learnable=True
+    )
+    ctrl2.opt = dataclasses.replace(ctrl2.opt, starting_step=5, savedir=opts1.savedir)
+    state = ctrl2.train()
+
+    # re-baselined at the resumed step (5), so the step-6 regression rolls
+    # back there — NOT to the mismatched persisted point (which would land
+    # training at step 2/4 and over-rewind the data cursor)
+    assert int(state.step) == 5, int(state.step)

@@ -184,3 +184,19 @@ def test_dispenser_raises_when_split_exhausts_corpus(tmp_path):
         d.get_batch()
     with pytest.raises(RuntimeError):
         d.skip_batch()
+
+
+def test_limit_num_batches(tmp_path):
+    """Multi-host: the driver pins num_batches at the allgathered minimum
+    so hosts with richer target coverage don't derive a larger num_steps."""
+    featdir, alifile, info = make_featdir(tmp_path)
+    reader = FeatureReader(
+        f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 1, 60
+    )
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    disp = AlignmentBatchDispenser(reader, coder, 4, alifile)
+    assert disp.num_batches == 3.0
+    disp.limit_num_batches(2.5)
+    assert disp.num_batches == 2.5
+    disp.limit_num_batches(10.0)  # a cap above the raw value is inert
+    assert disp.num_batches == 3.0

@@ -162,3 +162,18 @@ def test_malformed_archives_rejected(tmp_path):
     # unknown token
     with pytest.raises(kc.KaldiFormatError):
         kc.count(build(b"utt1 \x00BXM " + struct.pack("<bi", 4, 1)))
+
+
+def test_implausible_dims_rejected(tmp_path):
+    """A corrupt archive whose dims field decodes to a giant matrix must
+    raise KaldiFormatError, not attempt a multi-GB retry allocation."""
+    import numpy as np  # noqa: F811 - explicit for the crafted payload
+
+    ark = tmp_path / "bad.ark"
+    with open(ark, "wb") as f:
+        f.write(b"u1 \x00BFM ")
+        f.write(struct.pack("<bi", 4, 1 << 30))
+        f.write(struct.pack("<bi", 4, 1 << 30))
+    with pytest.raises(kc.KaldiFormatError) as exc:
+        kc.seq_read(str(ark), 0)
+    assert exc.value.code in (-8, -12), exc.value.code

@@ -155,3 +155,23 @@ def test_unsupported_shapes_fall_back():
     )
     with pytest.raises(ValueError, match="scan_impl='pallas'"):
         model_forced._use_pallas(t=10, b=3, h_units=16)
+
+
+def test_auto_gate_checks_local_shard(monkeypatch):
+    """Under multiple devices the custom_partitioning rule hands each
+    device its LOCAL batch shard, so scan_impl='auto' must validate the
+    kernel constraints for b/n_dev, not the global batch."""
+    from tfkaldi_tpu.models import LSTM, RNNConfig
+
+    monkeypatch.setattr(pallas_lstm, "available", lambda: True)
+    model = LSTM(
+        RNNConfig(input_dim=8, num_labels=4, num_layers=1, hidden_units=128,
+                  bidirectional=True, scan_unroll=1, scan_impl="auto")
+    )
+    n_dev = jax.device_count()
+    assert n_dev == 8  # conftest: simulated 8-device CPU mesh
+    # global B=16 passes the kernel's B%8==0 check, but the worst-case
+    # local shard is 2 -> must fall back to the XLA scan
+    assert not model._use_pallas(t=64, b=16, h_units=128)
+    # global B=64 -> worst-case local shard 8 -> kernel stays eligible
+    assert model._use_pallas(t=64, b=64, h_units=128)

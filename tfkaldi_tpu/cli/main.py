@@ -111,6 +111,14 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _merge_shards(out_path: str, shard_paths: list) -> None:
+    """Concatenate per-host shard files into one output (host 0 only)."""
+    with open(out_path, "w") as fout:
+        for p in shard_paths:
+            with open(p) as fin:
+                fout.write(fin.read())
+
+
 def _barrier(name: str) -> None:
     """Synchronize all hosts of a multi-host run (no-op single-host)."""
     import jax
@@ -332,10 +340,7 @@ def main(argv=None) -> int:
             if pid != 0:
                 return 0
             if n_proc > 1:
-                with open(out, "w") as fout:
-                    for p in range(n_proc):
-                        with open(f"{out}.p{p}") as fin:
-                            fout.write(fin.read())
+                _merge_shards(out, [f"{out}.p{p}" for p in range(n_proc)])
             log.info("wrote CTC transcriptions to %s", out)
             ref_text = os.path.join(test_featdir, "text")
             if os.path.isfile(ref_text):
@@ -373,10 +378,10 @@ def main(argv=None) -> int:
         if pid != 0:
             return 0  # host 0 merges the scp shards and runs the WFST decode
         if n_proc > 1:
-            with open(os.path.join(decodedir, "feats.scp"), "w") as fout:
-                for p in range(n_proc):
-                    with open(os.path.join(decodedir, f"feats.p{p}.scp")) as fin:
-                        fout.write(fin.read())
+            _merge_shards(
+                os.path.join(decodedir, "feats.scp"),
+                [os.path.join(decodedir, f"feats.p{p}.scp") for p in range(n_proc)],
+            )
 
         log.info("------- decoding testing sets ----------")
         import shutil

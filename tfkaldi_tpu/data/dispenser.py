@@ -139,8 +139,24 @@ class BatchDispenser:
 
     @property
     def num_batches(self) -> float:
-        """May be fractional (batchdispenser.py:147-155)."""
-        return self.num_utt / self.size
+        """May be fractional (batchdispenser.py:147-155). Multi-host runs
+        pin this via :meth:`limit_num_batches` so every host derives the
+        same ``num_steps``."""
+        raw = self.num_utt / self.size
+        limit = getattr(self, "_num_batches_limit", None)
+        return raw if limit is None else min(raw, limit)
+
+    def limit_num_batches(self, limit: float) -> None:
+        """Cap ``num_batches`` at a host-agreed value.
+
+        Equal-size scp shards do NOT guarantee equal per-host batch counts:
+        ``num_utt`` counts only utterances with targets, and target coverage
+        (e.g. utterances Kaldi's aligner dropped) can fall unevenly across
+        strided shards. Hosts that disagree on ``num_batches`` diverge on
+        ``num_steps`` (loop bound AND lr-decay exponent) and deadlock on
+        mismatched collectives — so the driver allgathers the per-host
+        value and pins the minimum here."""
+        self._num_batches_limit = float(limit)
 
     @property
     def num_utt(self) -> int:

@@ -32,7 +32,12 @@ ERRORS = {
     -9: "caller buffer too small",
     -10: "output write failure",
     -11: "negative dimensions",
+    -12: "implausibly large dimensions (python-side sanity cap)",
 }
+
+# retry-allocation cap for malformed/corrupt archives: a garbage dims field
+# must produce a KaldiFormatError, not a giant np.empty (256M floats = 1 GB)
+_MAX_RETRY_ELEMS = 1 << 28
 
 
 class KaldiFormatError(IOError):
@@ -103,6 +108,10 @@ def seq_read(ark_path: str, index: int, max_elems: int = 1 << 20):
         ctypes.byref(rows), ctypes.byref(cols),
     )
     if rc == -9 and rows.value * cols.value > max_elems:
+        if rows.value * cols.value > _MAX_RETRY_ELEMS:
+            raise KaldiFormatError(
+                -12, f"record {index} in {ark_path} claims {rows.value}x{cols.value}"
+            )
         return seq_read(ark_path, index, rows.value * cols.value)
     if rc != 0:
         raise KaldiFormatError(rc, f"sequential read of record {index} in {ark_path}")
@@ -121,6 +130,10 @@ def read_at(ark_path: str, offset: int, max_elems: int = 1 << 20) -> np.ndarray:
         ark_path.encode(), offset, out, max_elems, ctypes.byref(rows), ctypes.byref(cols)
     )
     if rc == -9 and rows.value * cols.value > max_elems:
+        if rows.value * cols.value > _MAX_RETRY_ELEMS:
+            raise KaldiFormatError(
+                -12, f"record at {ark_path}:{offset} claims {rows.value}x{cols.value}"
+            )
         return read_at(ark_path, offset, rows.value * cols.value)
     if rc != 0:
         raise KaldiFormatError(rc, f"random-access read at {ark_path}:{offset}")

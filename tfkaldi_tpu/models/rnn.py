@@ -183,6 +183,16 @@ class LSTM:
                     f"B%8==0, H%128==0; got T={t} B={b} H={h_units}"
                 )
             return True
+        # 'auto' under multiple devices: the custom_partitioning rule shards
+        # the BATCH axis, so each device runs the kernel on its local shard —
+        # the shape gate must hold for the worst-case even shard (b/n_dev;
+        # any real mesh's data axis divides n_dev, so its local batch is a
+        # multiple of that). Falls back to the XLA scan when the local shard
+        # could violate B%8==0 (explicit scan_impl='pallas' bypasses this —
+        # the caller pins the mesh and takes responsibility).
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            ok = ok and b % n_dev == 0 and pallas_lstm.supported(t, b // n_dev, h_units)
         return ok and pallas_lstm.available()
 
     def apply(

@@ -82,6 +82,26 @@ class Nnet:
     def train(self, dispenser: BatchDispenser):
         """Train the network (nnet.py:80-244)."""
         opts = NnetTrainOptions.from_config(self.conf, self.savedir)
+        if jax.process_count() > 1:
+            # cross-host agreement on the two shard-dependent quantities,
+            # BEFORE anything derives from them. Equal-size scp shards do
+            # not make these equal: target coverage (utterances the aligner
+            # dropped, transcript lengths) varies across strided shards.
+            #  - num_batches -> min across hosts (else num_steps — the loop
+            #    bound AND the lr-decay exponent — diverges and the hosts
+            #    deadlock on mismatched collectives)
+            #  - max_target_length -> max across hosts (else CTC batches
+            #    assemble global arrays with different shapes per process)
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            local = _np.array(
+                [dispenser.num_batches, float(dispenser.max_target_length)],
+                _np.float64,
+            )
+            gathered = _np.asarray(multihost_utils.process_allgather(local))
+            dispenser.limit_num_batches(float(gathered[:, 0].min()))
+            self._agreed_max_target_length = int(gathered[:, 1].max())
         num_steps = int(dispenser.num_batches * opts.num_epochs)
         trainer_cfg = TrainerConfig(
             init_learning_rate=float(self.conf.get("initial_learning_rate", 1e-3)),
@@ -125,12 +145,15 @@ class Nnet:
                     "multi-host training requires a device mesh: batch_size "
                     f"{opts.batch_size} must divide over the data axis"
                 )
-            # hosts never communicate about shapes: pin the padded lengths
-            # (reference-style corpus-max padding) so each host's local
-            # batch assembles into one consistent global jax.Array
+            # pin the padded lengths (reference-style corpus-max padding)
+            # so each host's local batch assembles into one consistent
+            # global jax.Array. t_max comes from the corpus-wide `maxlength`
+            # file (host-invariant); the CTC target length is the allgather
+            # maximum agreed above — the host-local max only covers this
+            # host's scp shard.
             t_max = int(dispenser.max_input_length)
             l_max = (
-                int(dispenser.max_target_length) if self.loss_type == "ctc" else t_max
+                self._agreed_max_target_length if self.loss_type == "ctc" else t_max
             )
             batcher = DeviceBatcher(fixed_input_length=t_max, fixed_target_length=l_max)
 

@@ -55,7 +55,11 @@ def wait() -> None:
 
 
 def save_prior(path: str, prior: np.ndarray) -> None:
-    np.save(path, prior)
+    # atomic: readers (decode, possibly on another host of a pod sharing
+    # the filesystem) must never observe a partially-written file
+    tmp = path + ".tmp.npy"
+    np.save(tmp, prior)
+    os.replace(tmp, path)
 
 
 def save_validated(path: str, state: Any, loss: float, step: int) -> None:

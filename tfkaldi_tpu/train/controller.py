@@ -153,8 +153,24 @@ class TrainingController:
             # resumed state, so a post-resume regression can still roll back
             # to the last state that actually validated.
             meta = ckpt.load_validated_meta(validated_dir) if step > 0 else None
+            restored = None
             if meta is not None and meta["step"] <= step:
-                validated = ckpt.restore_state(validated_dir, state)
+                candidate = ckpt.restore_state(validated_dir, state)
+                # the sidecar is written only after the state commit, so a
+                # crash can leave a NEWER state with an older sidecar; the
+                # state's own step is the arbiter — on mismatch the sidecar
+                # describes a rollback point that no longer exists, so fall
+                # through to re-baselining instead of rewinding too far
+                if int(candidate.step) == meta["step"]:
+                    restored = candidate
+                else:
+                    log.warning(
+                        "validated checkpoint (step %d) and its sidecar "
+                        "(step %d) disagree; re-baselining on the resumed state",
+                        int(candidate.step), meta["step"],
+                    )
+            if restored is not None:
+                validated = restored
                 validation_loss = meta["loss"]
                 validation_step = meta["step"]
                 log.info(
@@ -187,10 +203,24 @@ class TrainingController:
 
         ckpt.save_state(os.path.join(opt.savedir, "final"), state, block=True)
 
-        # state prior (nnet.py:240-244)
-        prior = self.dispenser.compute_target_count().astype(np.float32)
-        prior = prior / prior.sum()
-        ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
+        # state prior (nnet.py:240-244). Multi-host: each dispenser counts
+        # only its scp shard, so sum the counts across hosts (the reference
+        # prior spans the whole corpus) and let ONE host write the file —
+        # concurrent np.save()s to a shared path tear. The trailing sync
+        # keeps other hosts from racing ahead to decode before the file
+        # lands.
+        counts = self.dispenser.compute_target_count().astype(np.float64)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(multihost_utils.process_allgather(counts)).sum(axis=0)
+        prior = (counts / counts.sum()).astype(np.float32)
+        if jax.process_index() == 0:
+            ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("prior_written")
         return state
 
     def _train_loop(
