@@ -149,3 +149,37 @@ def test_two_process_cli_matches_single_process(tmp_path):
     for (s_step, s_loss), (d_step, d_loss) in zip(single, losses[0]):
         assert s_step == d_step
         np.testing.assert_allclose(s_loss, d_loss, rtol=2e-4)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only subprocess test")
+def test_two_process_cli_uneven_target_coverage(tmp_path):
+    """Strided scp shards with UNEVEN target coverage (one utterance has no
+    alignment, as when Kaldi's aligner drops a failed utterance): the hosts'
+    raw num_batches differ, so without the allgathered minimum they would
+    derive different num_steps and deadlock on mismatched collectives. The
+    fixed driver pins min(num_batches) — both processes must finish with
+    identical per-step losses and the SHORTER host's step count."""
+    import gzip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_")) and k != "PYTHONPATH"
+    }
+    env["PYTHONPATH"] = repo
+    port = 12600 + (os.getpid() + 7) % 1000
+
+    cfg = _setup(tmp_path / "uneven", "u")
+    ali = tmp_path / "uneven" / "expu" / "fake_gmm" / "ali" / "pdf.all.gz"
+    with gzip.open(ali, "rt") as f:
+        lines = f.readlines()
+    with gzip.open(ali, "wt") as f:
+        f.writelines(lines[1:])  # drop one utterance's alignment
+    outs = _run(repo, env, cfg, 2, port)
+    losses = [_losses(o) for o in outs]
+    assert losses[0] and losses[0] == losses[1], (losses[0][:3], losses[1][:3])
+    # 12 utts, one untargeted; host shards of 6 scp entries hold 6 and 5
+    # targeted utts -> per-host batches (size 2) 3.0 vs 2.5; agreed
+    # num_steps = int(min * num_epochs) = 5
+    assert len(losses[0]) == 5, [s for s, _ in losses[0]]
