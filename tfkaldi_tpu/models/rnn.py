@@ -59,6 +59,11 @@ class RNNConfig:
     # across a mesh via custom_partitioning), and
     # the custom-VJP XLA scan otherwise; 'xla' / 'pallas' force one
     scan_impl: str = "auto"
+    # how many ways the BATCH axis is sharded at apply time (the mesh's
+    # data-axis size; 1 = unsharded). 0 = unknown: 'auto' then assumes the
+    # worst case (sharded over every device) and may conservatively fall
+    # back to the XLA scan. The driver pins this from its mesh (nnet.py).
+    batch_shards: int = 0
 
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "RNNConfig":
@@ -185,14 +190,17 @@ class LSTM:
             return True
         # 'auto' under multiple devices: the custom_partitioning rule shards
         # the BATCH axis, so each device runs the kernel on its local shard —
-        # the shape gate must hold for the worst-case even shard (b/n_dev;
-        # any real mesh's data axis divides n_dev, so its local batch is a
-        # multiple of that). Falls back to the XLA scan when the local shard
-        # could violate B%8==0 (explicit scan_impl='pallas' bypasses this —
-        # the caller pins the mesh and takes responsibility).
-        n_dev = jax.device_count()
-        if n_dev > 1:
-            ok = ok and b % n_dev == 0 and pallas_lstm.supported(t, b // n_dev, h_units)
+        # the shape gate must hold for the local batch. `batch_shards` (the
+        # mesh's data-axis size, pinned by the driver) gives the exact shard
+        # count; when unknown (0), assume the worst case of sharding over
+        # every device (any real mesh's data axis divides n_dev, so its
+        # local batch is a multiple of b/n_dev). Falls back to the XLA scan
+        # when the local shard could violate B%8==0 (explicit
+        # scan_impl='pallas' bypasses this — the caller pins the mesh and
+        # takes responsibility).
+        shards = self.config.batch_shards or jax.device_count()
+        if shards > 1:
+            ok = ok and b % shards == 0 and pallas_lstm.supported(t, b // shards, h_units)
         return ok and pallas_lstm.available()
 
     def apply(

@@ -92,14 +92,16 @@ class Nnet:
             #    deadlock on mismatched collectives)
             #  - max_target_length -> max across hosts (else CTC batches
             #    assemble global arrays with different shapes per process)
-            import numpy as _np
             from jax.experimental import multihost_utils
 
-            local = _np.array(
+            local = np.array(
                 [dispenser.num_batches, float(dispenser.max_target_length)],
-                _np.float64,
+                np.float64,
             )
-            gathered = _np.asarray(multihost_utils.process_allgather(local))
+            with jax.enable_x64():
+                # without scoped x64 the allgather device_put silently
+                # downcasts to f32, rounding large values
+                gathered = np.asarray(multihost_utils.process_allgather(local))
             dispenser.limit_num_batches(float(gathered[:, 0].min()))
             self._agreed_max_target_length = int(gathered[:, 1].max())
         num_steps = int(dispenser.num_batches * opts.num_epochs)
@@ -137,6 +139,18 @@ class Nnet:
                     "training single-device",
                     n_dev, data_axis or "?", model_axis, opts.batch_size,
                 )
+
+        from tfkaldi_tpu.models import LSTM
+
+        if isinstance(self.model, LSTM):
+            # pin the exact batch-shard count so the 'auto' Pallas gate
+            # validates the TRUE local shard instead of the conservative
+            # b/device_count worst case (which wrongly disables the kernel
+            # under a model-parallel axis or an unmeshed run)
+            import dataclasses as _dc
+
+            shards = int(mesh.shape["data"]) if mesh is not None else 1
+            self.model.config = _dc.replace(self.model.config, batch_shards=shards)
 
         batcher = DeviceBatcher()
         if n_proc > 1:

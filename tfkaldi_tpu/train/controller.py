@@ -213,14 +213,18 @@ class TrainingController:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            counts = np.asarray(multihost_utils.process_allgather(counts)).sum(axis=0)
-        prior = (counts / counts.sum()).astype(np.float32)
-        if jax.process_index() == 0:
-            ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
+            with jax.enable_x64():
+                # scoped x64: the allgather's device_put would otherwise
+                # silently downcast to f32, rounding counts above 2^24
+                # (a frequent pdf class on a large corpus)
+                counts = np.asarray(multihost_utils.process_allgather(counts)).sum(axis=0)
+            prior = (counts / counts.sum()).astype(np.float32)
+            if jax.process_index() == 0:
+                ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
             multihost_utils.sync_global_devices("prior_written")
+        else:
+            prior = (counts / counts.sum()).astype(np.float32)
+            ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
         return state
 
     def _train_loop(
