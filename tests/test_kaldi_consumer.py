@@ -177,3 +177,36 @@ def test_implausible_dims_rejected(tmp_path):
     with pytest.raises(kc.KaldiFormatError) as exc:
         kc.seq_read(str(ark), 0)
     assert exc.value.code in (-8, -12), exc.value.code
+
+
+def test_random_corruption_never_crashes(tmp_path):
+    """Byte-level corruption fuzz on the strict-consumer boundary: flip
+    random bytes of a valid archive and require every read to either
+    succeed (the flip landed in a float payload) or raise KaldiFormatError
+    — never crash, hang, or attempt an unbounded allocation."""
+    rng = np.random.default_rng(11)
+    scp, ark, mats = _write_corpus(tmp_path, n=6, seed=11)
+    good = open(ark, "rb").read()
+    n_err = 0
+    for trial in range(60):
+        blob = bytearray(good)
+        if trial % 2 == 0:
+            # target the first record's key/"\0B"/token/dims region, where
+            # a flip breaks framing (a flip in the float payload — the
+            # overwhelming bulk of the file — reads back fine by design)
+            span = 24
+        else:
+            span = len(blob)
+        for _ in range(int(rng.integers(1, 4))):
+            blob[int(rng.integers(0, span))] = int(rng.integers(0, 256))
+        bad = tmp_path / f"fuzz{trial}.ark"
+        bad.write_bytes(bytes(blob))
+        for index in range(len(mats)):
+            try:
+                key, mat = kc.seq_read(str(bad), index)
+                assert mat.dtype == np.float32
+            except kc.KaldiFormatError:
+                n_err += 1
+                break  # sequential reads past a framing error are undefined
+    # header-region flips must fire the error path (not crash/allocate)
+    assert n_err > 5, n_err

@@ -116,7 +116,12 @@ def seq_read(ark_path: str, index: int, max_elems: int = 1 << 20):
     if rc != 0:
         raise KaldiFormatError(rc, f"sequential read of record {index} in {ark_path}")
     n = rows.value * cols.value
-    return key.value.decode(), out[:n].reshape(rows.value, cols.value).copy()
+    # Kaldi keys are arbitrary non-whitespace bytes; surface undecodable
+    # (e.g. corrupted) keys readably instead of raising UnicodeDecodeError
+    return (
+        key.value.decode(errors="replace"),
+        out[:n].reshape(rows.value, cols.value).copy(),
+    )
 
 
 def read_at(ark_path: str, offset: int, max_elems: int = 1 << 20) -> np.ndarray:
