@@ -43,6 +43,11 @@ int read_header(FILE* f, int64_t offset, Header* h) {
   int32_t rows, cols;
   std::memcpy(&rows, szr + 1, 4);
   std::memcpy(&cols, szc + 1, 4);
+  // reject negative dims here: a corrupted rows field that went negative
+  // would pass a `rows > max_rows` cap downstream, and the (size_t) cast
+  // of the negative element count would turn the payload fread into an
+  // unbounded write over the caller's batch buffer
+  if (rows < 0 || cols < 0) return 10;
   h->rows = rows;
   h->cols = cols;
   return 0;

@@ -78,3 +78,28 @@ def test_error_on_bad_offset(archive):
     path = reader.scp_data[0][0]
     with pytest.raises(IOError):
         native.read_batch(path, [1], 10, 9)
+
+
+def test_negative_dims_rejected(tmp_path):
+    """A corrupted record whose rows field went negative must fail with a
+    per-record error — not pass the max_rows cap and turn the payload read
+    into an unbounded write over the batch buffer."""
+    import struct
+
+    from tfkaldi_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native arkio unavailable")
+    ark = tmp_path / "bad.ark"
+    payload = np.zeros(64, np.float32).tobytes()
+    with open(ark, "wb") as f:
+        f.write(b"u1 ")
+        offset = f.tell()
+        f.write(b"\x00BFM ")
+        f.write(struct.pack("<bi", 4, -3))  # corrupted negative rows
+        f.write(struct.pack("<bi", 4, 8))
+        f.write(payload)
+    with np.testing.assert_raises(IOError):
+        native.read_batch(str(ark), [offset], max_rows=16, cols=8)
