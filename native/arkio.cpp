@@ -121,7 +121,7 @@ int ark_read_cmvn_splice_batch(const char* path, const int64_t* offsets,
   const int64_t out_cols = dim * width;
   const int64_t stride = max_rows * out_cols;
   std::vector<float> utt;
-  std::vector<float> mean(dim), inv_std(dim);
+  std::vector<float> mean(dim), stddev(dim);
 
   for (int32_t i = 0; i < n; ++i) {
     Header h;
@@ -148,8 +148,8 @@ int ark_read_cmvn_splice_batch(const char* path, const int64_t* offsets,
       const float m = s[d] / count;
       const float var = s[(dim + 1) + d] / count - m * m;
       mean[d] = m;
-      // matches (x - mean) / sqrt(var): no epsilon, like the reference
-      inv_std[d] = 1.0f / std::sqrt(var);
+      // no epsilon, like the reference (feature_reader.py:91-115)
+      stddev[d] = std::sqrt(var);
     }
 
     for (int64_t t = 0; t < h.rows; ++t) {
@@ -160,7 +160,11 @@ int ark_read_cmvn_splice_batch(const char* path, const int64_t* offsets,
         const float* src = utt.data() + src_t * dim;
         float* block = row + o * dim;
         for (int64_t d = 0; d < dim; ++d) {
-          block[d] = (src[d] - mean[d]) * inv_std[d];
+          // a true f32 division (not *reciprocal): bit-identical to the
+          // numpy fallback path's (x - mean) / sqrt(var), so the native
+          // and Python dispensers produce byte-equal batches and the
+          // production wiring can be verified loss-for-loss
+          block[d] = (src[d] - mean[d]) / stddev[d];
         }
       }
     }

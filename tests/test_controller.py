@@ -290,6 +290,32 @@ def test_training_is_deterministic_across_runs(tmp_path):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_legacy_checkpoint_without_rng_restores(tmp_path):
+    """Checkpoints written before TrainState gained its rng leaf must still
+    restore: the missing leaf is backfilled from the template (the
+    deterministic fold_in(seed) stream) instead of crashing resume."""
+    import dataclasses
+
+    from tfkaldi_tpu.models import DNN, DNNConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    model = DNN(DNNConfig(input_dim=12, num_labels=5, num_hidden_layers=2, num_hidden_units=8))
+    trainer = Trainer(model, TrainerConfig())
+    state = trainer.init_state(jax.random.PRNGKey(3))
+    legacy = {
+        f.name: getattr(state, f.name)
+        for f in dataclasses.fields(state)
+        if f.name != "rng"
+    }
+    path = str(tmp_path / "legacy")
+    ckpt.save_state(path, legacy, block=True)
+    restored = ckpt.restore_state(path, state)
+    assert type(restored).__name__ == "TrainState"
+    np.testing.assert_array_equal(np.asarray(restored.rng), np.asarray(state.rng))
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stale_validated_sidecar_rebaselines(tmp_path):
     """A crash between the validated-state commit and its sidecar write can
     leave a sidecar describing an OLDER step than the stored state. Resume

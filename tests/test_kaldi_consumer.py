@@ -179,6 +179,36 @@ def test_implausible_dims_rejected(tmp_path):
     assert exc.value.code in (-8, -12), exc.value.code
 
 
+def test_retry_cap_boundary_is_inclusive(tmp_path):
+    """A record claiming EXACTLY _MAX_RETRY_ELEMS elements must raise, not
+    trigger the worst-case retry allocation (the cap is >=, not >)."""
+    rows = 1 << 13
+    cols = kc._MAX_RETRY_ELEMS // rows
+    assert rows * cols == kc._MAX_RETRY_ELEMS
+    ark = tmp_path / "edge.ark"
+    with open(ark, "wb") as f:
+        f.write(b"u1 \x00BFM ")
+        f.write(struct.pack("<bi", 4, rows))
+        f.write(struct.pack("<bi", 4, cols))
+        # no payload: only the claim matters — the cap must fire before any
+        # retry allocation is attempted
+    with pytest.raises(kc.KaldiFormatError) as exc:
+        kc.seq_read(str(ark), 0)
+    assert exc.value.code in (-8, -12), exc.value.code
+    with pytest.raises(kc.KaldiFormatError):
+        kc.read_at(str(ark), 3)
+    # one element below the cap takes the retry path instead (and then
+    # fails on the truncated payload with a framing error, not a crash)
+    ark2 = tmp_path / "edge2.ark"
+    with open(ark2, "wb") as f:
+        f.write(b"u1 \x00BFM ")
+        f.write(struct.pack("<bi", 4, 1))
+        f.write(struct.pack("<bi", 4, (1 << 21) + 1))  # > default max_elems
+    with pytest.raises(kc.KaldiFormatError) as exc:
+        kc.seq_read(str(ark2), 0)
+    assert exc.value.code == -8, exc.value.code
+
+
 def test_random_corruption_never_crashes(tmp_path):
     """Byte-level corruption fuzz on the strict-consumer boundary: flip
     random bytes of a valid archive and require every read to either

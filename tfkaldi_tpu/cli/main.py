@@ -304,8 +304,34 @@ def main(argv=None) -> int:
                 alifile = merge_alignments(
                     ali_dir, int(config.get("general", "num_jobs"))
                 )
-            coder = AlignmentCoder(identity_normalizer, num_labels)
-            dispenser = AlignmentBatchDispenser(featreader, coder, batch_size, alifile)
+            # production input path: the native bulk loader (one fused C++
+            # read+CMVN+splice call per batch, byte-identical batches to
+            # the Python dispenser) when the library is available; opt out
+            # with [nnet] native_loader = False
+            from tfkaldi_tpu.io import native, read_alignments
+
+            use_native = (
+                config.get("nnet", "native_loader", fallback="True") != "False"
+                and native.available()
+            )
+            if use_native:
+                from tfkaldi_tpu.data.bulk_loader import BulkAlignmentBatchSource
+
+                dispenser = BulkAlignmentBatchSource(
+                    train_scp,
+                    _cmvn_path(config, train_featdir),
+                    os.path.join(train_featdir, "utt2spk"),
+                    int(config.get("nnet", "context_width")),
+                    read_alignments(alifile),
+                    batch_size,
+                    num_labels=num_labels,
+                    max_input_length=max_input_length,
+                )
+                log.info("using native bulk data loader")
+            else:
+                log.info("using Python data loader (native unavailable or disabled)")
+                coder = AlignmentCoder(identity_normalizer, num_labels)
+                dispenser = AlignmentBatchDispenser(featreader, coder, batch_size, alifile)
         log.info("------- training neural net ----------")
         nnet.train(dispenser)
 

@@ -25,91 +25,196 @@ from tfkaldi_tpu.io import native
 log = logging.getLogger(__name__)
 
 
+class _IdentityStats:
+    """Maps every speaker to identity CMVN stats (the apply_cmvn=False path)."""
+
+    def __init__(self, stats: np.ndarray):
+        self._stats = stats
+
+    def __getitem__(self, _spk: str) -> np.ndarray:
+        return self._stats
+
+    def values(self):
+        return [self._stats]
+
+
 class BulkAlignmentBatchSource:
     """Native-backed batch source for frame-alignment training.
 
     Requires the native library; callers fall back to
     AlignmentBatchDispenser + DeviceBatcher when
     :func:`tfkaldi_tpu.io.native.available` is False.
+
+    Implements the full dispenser protocol the training controller and
+    multi-host driver consume (``get_padded_batch``/``split``/
+    ``skip_batch``/``return_batch``/``num_batches``/``limit_num_batches``/
+    ``max_input_length``/``max_target_length``/``compute_target_count``),
+    so it is a drop-in for AlignmentBatchDispenser on the production path.
     """
 
     def __init__(
         self,
         scpfile: str,
-        cmvnfile: str,
+        cmvnfile: str | None,
         utt2spkfile: str,
         context_width: int,
         alignments: dict[str, np.ndarray],
         batch_size: int,
         bucket_multiple: int = 128,
         num_labels: int | None = None,
+        max_input_length: int | None = None,
     ):
         """``num_labels``: total pdf classes — sizes the prior exactly like
         AlignmentBatchDispenser.compute_target_count (a label that never
         occurs in training must still get a prior slot, or the decoder's
-        posterior/prior division shape-mismatches)."""
+        posterior/prior division shape-mismatches).
+
+        ``cmvnfile=None`` disables CMVN (the ``apply_cmvn = False`` config
+        path): the native call still runs with identity stats (mean 0,
+        variance 1), which is bit-exact against the raw features.
+
+        ``max_input_length``: corpus-wide max frame count (the featdir
+        ``maxlength`` file) — only surfaced for the multi-host driver's
+        fixed-shape padding; batches themselves pad to the bucketed batch
+        max like the Python path."""
         if not native.available():
             raise RuntimeError("native arkio unavailable")
         self.reader = ArkReader(scpfile)
-        cmvn_reader = ArkReader(cmvnfile)
         utt2spk = read_utt2spk(utt2spkfile)
         self.context_width = int(context_width)
         self.batch_size = int(batch_size)
         self.bucket_multiple = int(bucket_multiple)
         self.alignments = alignments
         self.num_labels = int(num_labels) if num_labels else None
+        self._max_input_length = max_input_length
+        if self.num_labels is not None:
+            # same guard AlignmentCoder.encode applies on the Python path:
+            # a pdf id outside [0, num_labels) would silently corrupt the
+            # one-hot loss and the prior
+            for utt, ali in alignments.items():
+                if len(ali) and not (0 <= int(ali.min()) and int(ali.max()) < self.num_labels):
+                    raise ValueError(
+                        f"alignment for {utt} has pdf ids outside [0, {self.num_labels})"
+                    )
 
         # usable utterances in scp order: have targets; frame counts read
-        # from the alignments (frame-level targets ⇒ len == num frames)
+        # from the alignments (frame-level targets ⇒ len == num frames).
+        # _with_targets additionally keeps too-short utterances — the
+        # dispenser's num_utt / prior count span those too (reference
+        # batchdispenser.py:128-145, 168-171), only get_batch skips them
         self._entries = []  # (utt_id, ark_path, offset, num_frames)
+        self._with_targets: list[str] = []
         for i, utt in enumerate(self.reader.utt_ids):
             ali = alignments.get(utt)
             if ali is None:
                 log.warning("no targets for %s", utt)
                 continue
+            self._with_targets.append(utt)
             if len(ali) < 2 * self.context_width + 1:
                 log.warning("%s is too short to splice", utt)
                 continue
             path, offset = self.reader.scp_data[i]
             self._entries.append((utt, path, offset, len(ali)))
-        self._cmvn = {
-            spk: np.ascontiguousarray(cmvn_reader.read_utt(spk), dtype=np.float32)
-            for spk in set(utt2spk.values())
-        }
-        cmvn_reader.close()
+        if cmvnfile:
+            cmvn_reader = ArkReader(cmvnfile)
+            self._cmvn = {
+                spk: np.ascontiguousarray(cmvn_reader.read_utt(spk), dtype=np.float32)
+                for spk in set(utt2spk.values())
+            }
+            cmvn_reader.close()
+            self.feat_dim = int(next(iter(self._cmvn.values())).shape[1]) - 1
+        else:
+            # identity stats: (x - 0/1) / sqrt(1/1 - 0) == x, bit-exact
+            _, first, _ = self.reader.read_next_utt()
+            self.reader.close()
+            self.reader = ArkReader(scpfile)  # rewind
+            dim = int(first.shape[1])
+            ident = np.zeros((2, dim + 1), dtype=np.float32)
+            ident[0, -1] = 1.0  # count
+            ident[1, :-1] = 1.0  # Σx² -> var 1
+            ident[1, -1] = 1.0
+            self._cmvn = _IdentityStats(ident)
+            self.feat_dim = dim
         self._utt2spk = utt2spk
         self.cursor = 0
-        self.feat_dim = int(next(iter(self._cmvn.values())).shape[1]) - 1
+        self._num_batches_limit = None
 
     # -- cursor semantics -------------------------------------------------
 
     @property
     def num_utt(self) -> int:
-        return len(self._entries)
+        """Utterances with targets — includes too-short ones and is NOT
+        reduced by split(), exactly like the Python dispenser (reference
+        num_utt = len(target_dict), batchdispenser.py:168-171; its split
+        never touches target_dict)."""
+        return len(self._with_targets)
 
     @property
     def num_batches(self) -> float:
-        return self.num_utt / self.batch_size
+        raw = self.num_utt / self.batch_size
+        limit = self._num_batches_limit
+        return raw if limit is None else min(raw, limit)
+
+    def limit_num_batches(self, limit: float) -> None:
+        """Cap ``num_batches`` at a host-agreed value (multi-host runs; see
+        BatchDispenser.limit_num_batches for why equal scp shards are not
+        enough)."""
+        self._num_batches_limit = float(limit)
+
+    @property
+    def max_input_length(self) -> int:
+        if self._max_input_length is None:
+            raise AttributeError("BulkAlignmentBatchSource built without max_input_length")
+        return int(self._max_input_length)
+
+    @property
+    def max_target_length(self) -> int:
+        """Frame-level targets: length == frame count. Spans every utterance
+        with targets (incl. too-short ones), like the Python dispenser's
+        max over its encoded target_dict."""
+        return max((len(self.alignments[u]) for u in self._with_targets), default=0)
 
     def split(self) -> None:
         self._entries = self._entries[self.cursor :]
         self.cursor = 0
 
     def skip_batch(self) -> None:
-        self.cursor = (self.cursor + self.batch_size) % max(self.num_utt, 1)
+        n = max(len(self._entries), 1)
+        self.cursor = (self.cursor + self.batch_size) % n
 
     def return_batch(self) -> None:
-        self.cursor = (self.cursor - self.batch_size) % max(self.num_utt, 1)
+        n = max(len(self._entries), 1)
+        self.cursor = (self.cursor - self.batch_size) % n
 
     # -- batches ----------------------------------------------------------
 
-    def get_batch(self) -> PaddedBatch:
+    def get_padded_batch(self, batcher) -> PaddedBatch:
+        """Dispenser-protocol entry: produce one device-ready PaddedBatch,
+        honoring the DeviceBatcher's padding policy (bucketed batch max, or
+        the pinned corpus-max lengths of a multi-host run)."""
+        return self.get_batch(
+            fixed_length=batcher.fixed_input_length,
+            bucket_multiple=batcher.bucket_multiple,
+        )
+
+    def get_batch(
+        self, fixed_length: int | None = None, bucket_multiple: int | None = None
+    ) -> PaddedBatch:
         n = self.batch_size
-        idx = [(self.cursor + j) % self.num_utt for j in range(n)]
-        self.cursor = (self.cursor + n) % self.num_utt
+        n_avail = len(self._entries)
+        if n_avail == 0:
+            raise RuntimeError(
+                "no usable utterances: every scp entry lacks targets "
+                "or is too short to splice"
+            )
+        idx = [(self.cursor + j) % n_avail for j in range(n)]
+        self.cursor = (self.cursor + n) % n_avail
         entries = [self._entries[i] for i in idx]
 
-        t_pad = round_up(max(e[3] for e in entries), self.bucket_multiple)
+        t_max = max(e[3] for e in entries)
+        t_pad = fixed_length or round_up(t_max, bucket_multiple or self.bucket_multiple)
+        if t_max > t_pad:
+            raise ValueError("utterance longer than fixed padded length")
 
         # one native call per ark file in the batch (Kaldi data dirs split
         # feats across per-job arks feats.1.ark..feats.N.ark)
@@ -150,8 +255,12 @@ class BulkAlignmentBatchSource:
         return PaddedBatch(feats, targets, lengths, lengths)
 
     def compute_target_count(self) -> np.ndarray:
-        minlength = self.num_labels or (
-            int(max(a.max() for a in self.alignments.values())) + 1
-        )
-        encoded = np.concatenate(list(self.alignments.values()))
+        """Bincount over the targets of THIS source's scp (including
+        too-short utterances) — exactly the Python dispenser's count
+        (batchdispenser.py:128-145 over its scp-filtered target_dict).
+        Counting the full alignment dict instead would double-count the
+        prior across the scp shards of a multi-host run."""
+        counted = [self.alignments[u] for u in self._with_targets]
+        minlength = self.num_labels or (int(max(a.max() for a in counted)) + 1)
+        encoded = np.concatenate(counted)
         return np.bincount(encoded, minlength=minlength)

@@ -104,6 +104,11 @@ class BatchDispenser:
                     log.warning("%s is too short to splice", utt_id)
         return batch_inputs, batch_targets
 
+    def get_padded_batch(self, batcher) -> "PaddedBatch":
+        """Uniform batch-source protocol (shared with the native
+        BulkAlignmentBatchSource): one device-ready padded batch."""
+        return batcher(*self.get_batch())
+
     def split(self) -> None:
         self.feature_reader.split()
         # drop carved-off utterances: a stale usable-set would let the

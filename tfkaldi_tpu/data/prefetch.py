@@ -62,9 +62,12 @@ class PrefetchingBatchSource:
                 with self._lock:
                     if self._stop.is_set():
                         return
-                    inputs, targets = self.dispenser.get_batch()
+                    # uniform batch-source protocol: the Python dispenser
+                    # pads ragged lists via the batcher; the native bulk
+                    # source fills the padded buffer in one C++ call
+                    host_batch = self.dispenser.get_padded_batch(self.batcher)
                     self._in_flight += 1
-                batch = self.device_put(self.batcher(inputs, targets))
+                batch = self.device_put(host_batch)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(batch, timeout=0.1)

@@ -111,12 +111,15 @@ class CTCDecoder:
         bucket_multiple: int = 128,
     ) -> int:
         """Stream the test set and write a Kaldi-style ``text`` file
-        (``utt_id transcription`` per line). Returns #utterances."""
-        from tfkaldi_tpu.decode.streaming import stream_padded_batches
+        (``utt_id transcription`` per line). Returns #utterances.
+
+        Uses the native bulk loader when available (byte-identical batches,
+        one fused C++ call per batch); Python reader otherwise."""
+        from tfkaldi_tpu.decode.streaming import pick_stream
 
         count = 0
         with open(outfile, "w") as fid:
-            for utt_ids, inputs, lengths in stream_padded_batches(
+            for utt_ids, inputs, lengths in pick_stream(reader)(
                 reader, batch_size=batch_size, bucket_multiple=bucket_multiple
             ):
                 for utt_id, ids in zip(utt_ids, self.decode_batch(inputs, lengths)):

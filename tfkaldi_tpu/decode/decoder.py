@@ -77,11 +77,14 @@ class Decoder:
         bucket_multiple: int = 128,
     ) -> int:
         """Stream the whole test set: read+CMVN+splice per utterance, batch,
-        compute, write ark records (nnet.py:270-286). Returns #utterances."""
-        from tfkaldi_tpu.decode.streaming import stream_padded_batches
+        compute, write ark records (nnet.py:270-286). Returns #utterances.
+
+        Uses the native bulk loader when available (one fused C++ call per
+        batch, byte-identical batches); falls back to the Python reader."""
+        from tfkaldi_tpu.decode.streaming import pick_stream
 
         count = 0
-        for utt_ids, inputs, lengths in stream_padded_batches(
+        for utt_ids, inputs, lengths in pick_stream(reader)(
             reader,
             batch_size=batch_size,
             bucket_multiple=bucket_multiple,

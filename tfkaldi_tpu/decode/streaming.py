@@ -56,3 +56,83 @@ def stream_padded_batches(
             yield make()
     if pending:
         yield make()
+
+
+def pick_stream(reader: FeatureReader):
+    """Choose the native bulk stream when it is usable for this reader
+    (native lib present, reader at the head of its scp), else the Python
+    per-utterance stream. Both produce byte-identical batches."""
+    from tfkaldi_tpu.io import native
+
+    if native.available() and reader.reader.scp_position == 0:
+        return stream_padded_batches_native
+    return stream_padded_batches
+
+
+def stream_padded_batches_native(
+    reader: FeatureReader,
+    *,
+    batch_size: int,
+    bucket_multiple: int = 128,
+    pad_to_batch: bool = False,
+) -> Iterator[tuple[list[str], np.ndarray, np.ndarray]]:
+    """Native-backed twin of :func:`stream_padded_batches`: same yielded
+    batches byte-for-byte, but each batch is one bulk C++ call
+    (read + CMVN + splice fused, native/arkio.cpp) instead of per-utterance
+    Python parsing. Requires :func:`tfkaldi_tpu.io.native.available`.
+
+    Frame counts come from a cheap 15-byte header scan of the scp
+    (io.ark.scan_scp_shapes), so padding is sized before any payload read.
+    """
+    from tfkaldi_tpu.io import native
+    from tfkaldi_tpu.io.ark import scan_scp_shapes
+
+    ark = reader.reader
+    c = int(reader.context_width)
+    min_frames = 2 * c + 1
+    shapes = scan_scp_shapes(ark.scp_data)
+    usable = [
+        (utt, path, off, rows)
+        for utt, (path, off), (rows, _cols) in zip(ark.utt_ids, ark.scp_data, shapes)
+        if rows >= min_frames
+    ]
+    if not usable:
+        return
+    dim = shapes[0][1]
+
+    if reader.reader_cmvn is not None:
+        stats_of = {}
+
+        def utt_stats(utt: str) -> np.ndarray:
+            spk = reader.utt2spk[utt]
+            s = stats_of.get(spk)
+            if s is None:
+                s = np.ascontiguousarray(reader.reader_cmvn.read_utt(spk), np.float32)
+                stats_of[spk] = s
+            return s
+    else:
+        ident = np.zeros((2, dim + 1), dtype=np.float32)
+        ident[0, -1] = 1.0
+        ident[1, :] = 1.0  # Σx² == count ⇒ var 1; (x-0)/1 is bit-exact
+
+        def utt_stats(_utt: str) -> np.ndarray:
+            return ident
+
+    for start in range(0, len(usable), batch_size):
+        group = usable[start : start + batch_size]
+        b = batch_size if pad_to_batch else len(group)
+        t_pad = round_up(max(rows for _, _, _, rows in group), bucket_multiple)
+        inputs = np.zeros((b, t_pad, dim * (2 * c + 1)), np.float32)
+        lengths = np.ones(b, np.int32)  # filler rows: length 1
+        by_path: dict[str, list[int]] = {}
+        for j, (_, path, _, _) in enumerate(group):
+            by_path.setdefault(path, []).append(j)
+        for path, js in by_path.items():
+            offsets = np.asarray([group[j][2] for j in js], np.int64)
+            stats = np.stack([utt_stats(group[j][0]) for j in js])
+            feats, rows = native.read_cmvn_splice_batch(
+                path, offsets, stats, c, t_pad, dim
+            )
+            inputs[js] = feats
+            lengths[js] = rows
+        yield [utt for utt, _, _, _ in group], inputs, lengths

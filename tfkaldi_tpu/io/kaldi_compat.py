@@ -36,8 +36,11 @@ ERRORS = {
 }
 
 # retry-allocation cap for malformed/corrupt archives: a garbage dims field
-# must produce a KaldiFormatError, not a giant np.empty (256M floats = 1 GB)
-_MAX_RETRY_ELEMS = 1 << 28
+# must produce a KaldiFormatError, not a giant np.empty. Inclusive bound:
+# the worst ACCEPTED retry allocation is (2^26 - 1) floats ≈ 256 MB; any
+# claim at or above it raises. Real acoustic records are orders of
+# magnitude smaller (an hour of 40-dim frames is ~14M elements).
+_MAX_RETRY_ELEMS = 1 << 26
 
 
 class KaldiFormatError(IOError):
@@ -108,7 +111,7 @@ def seq_read(ark_path: str, index: int, max_elems: int = 1 << 20):
         ctypes.byref(rows), ctypes.byref(cols),
     )
     if rc == -9 and rows.value * cols.value > max_elems:
-        if rows.value * cols.value > _MAX_RETRY_ELEMS:
+        if rows.value * cols.value >= _MAX_RETRY_ELEMS:
             raise KaldiFormatError(
                 -12, f"record {index} in {ark_path} claims {rows.value}x{cols.value}"
             )
@@ -135,7 +138,7 @@ def read_at(ark_path: str, offset: int, max_elems: int = 1 << 20) -> np.ndarray:
         ark_path.encode(), offset, out, max_elems, ctypes.byref(rows), ctypes.byref(cols)
     )
     if rc == -9 and rows.value * cols.value > max_elems:
-        if rows.value * cols.value > _MAX_RETRY_ELEMS:
+        if rows.value * cols.value >= _MAX_RETRY_ELEMS:
             raise KaldiFormatError(
                 -12, f"record at {ark_path}:{offset} claims {rows.value}x{cols.value}"
             )

@@ -15,6 +15,7 @@ joins the in-flight write.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 from typing import Any
@@ -22,6 +23,8 @@ from typing import Any
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+log = logging.getLogger(__name__)
 
 _lock = threading.Lock()
 _ckptr: ocp.StandardCheckpointer | None = None
@@ -45,7 +48,41 @@ def save_state(path: str, state: Any, block: bool = False) -> None:
 def restore_state(path: str, template: Any) -> Any:
     c = _checkpointer()
     c.wait_until_finished()
-    return c.restore(os.path.abspath(path), template)
+    try:
+        return c.restore(os.path.abspath(path), template)
+    except (ValueError, KeyError) as e:
+        migrated = _restore_legacy_no_rng(c, path, template)
+        if migrated is None:
+            raise
+        log.warning(
+            "restored pre-rng-schema checkpoint %s; backfilled the dropout "
+            "rng from the template (draw sequence restarts, training "
+            "semantics otherwise unchanged): %s", path, e,
+        )
+        return migrated
+
+
+def _restore_legacy_no_rng(c, path: str, template: Any):
+    """Checkpoints written before TrainState gained its ``rng`` leaf lack
+    that entry; restore the old schema and inject the template's rng (the
+    deterministic fold_in(PRNGKey(seed), 0x5EED) stream) so pre-existing
+    runs stay resumable."""
+    import dataclasses
+
+    from tfkaldi_tpu.train.trainer import TrainState
+
+    if not isinstance(template, TrainState):
+        return None
+    legacy = {
+        f.name: getattr(template, f.name)
+        for f in dataclasses.fields(template)
+        if f.name != "rng"
+    }
+    try:
+        restored = c.restore(os.path.abspath(path), legacy)
+    except (ValueError, KeyError):
+        return None
+    return TrainState(**restored, rng=template.rng)
 
 
 def wait() -> None:

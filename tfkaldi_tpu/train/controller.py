@@ -103,8 +103,8 @@ class TrainingController:
         self.prefetch_depth = prefetch_depth
         self.mesh = mesh
 
-    def _to_batch(self, inputs, targets) -> PaddedBatch:
-        batch = self.batcher(inputs, targets)
+    def _to_batch(self) -> PaddedBatch:
+        batch = self.dispenser.get_padded_batch(self.batcher)
         return self._place(batch)
 
     def _place(self, batch: PaddedBatch) -> PaddedBatch:
@@ -121,7 +121,7 @@ class TrainingController:
         # validation split (nnet.py:88-96)
         val_batches: list[PaddedBatch] = []
         for _ in range(opt.valid_batches):
-            val_batches.append(self._to_batch(*self.dispenser.get_batch()))
+            val_batches.append(self._to_batch())
         self.dispenser.split()
 
         num_steps = int(self.dispenser.num_batches * opt.num_epochs)
