@@ -499,6 +499,25 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] lstm bench failed: {e}", file=sys.stderr)
 
+    # CTC train step (flagship sequence config; reference counterpart is
+    # broken so the ratio is vs the same-process CE step). Non-fatal.
+    ctc_line = None
+    try:
+        ctc = bench_ctc_tpu()
+        ctc_line = {
+            "metric": "ctc_train_throughput",
+            "value": round(ctc["ctc_fps"], 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(ctc["ctc_fps"] / ctc["ce_fps"], 2),
+            "baseline": {
+                "value": round(ctc["ce_fps"], 1),
+                "source": "same-process CE step on the same 2xBiLSTM-512 (reference CTC is broken, trainer.py:533-570)",
+            },
+        }
+        print(json.dumps(ctc_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] ctc bench failed: {e}", file=sys.stderr)
+
     ref = bench_reference_proxy()
 
     # input-inclusive end-to-end metric (the production native-loader path);
@@ -530,6 +549,8 @@ def main() -> None:
         extra["feature_throughput"] = feat_line
     if lstm_line is not None:
         extra["lstm_train_throughput"] = lstm_line
+    if ctc_line is not None:
+        extra["ctc_train_throughput"] = ctc_line
     if e2e_line is not None:
         extra["e2e_train_throughput"] = e2e_line
     if extra:

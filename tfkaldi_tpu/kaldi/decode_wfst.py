@@ -74,12 +74,20 @@ def decode_wfst(
 
 def best_wer(decode_dir: str) -> str:
     """Scan wer_* files for the best WER line (main.py:198 equivalent,
-    without shelling out to grep | best_wer.sh)."""
+    without shelling out to grep | best_wer.sh).
+
+    Handles the real ``local/score.sh`` output family: ``wer_<lmwt>`` and
+    ``wer_<lmwt>_<penalty>`` files containing full ``compute-wer`` output
+    (echoed command line, ``%WER``/``%SER``/``Scored`` lines — see
+    tests/test_score_parse.py for vendored fixtures). Malformed lines are
+    skipped; ties break deterministically on the sorted filename; non-file
+    ``wer_*`` entries (e.g. scoring subdirs) are ignored."""
     best: tuple[float, str] | None = None
-    for name in os.listdir(decode_dir):
-        if not name.startswith("wer_"):
+    for name in sorted(os.listdir(decode_dir)):
+        path = os.path.join(decode_dir, name)
+        if not name.startswith("wer_") or not os.path.isfile(path):
             continue
-        with open(os.path.join(decode_dir, name)) as f:
+        with open(path, errors="replace") as f:
             for line in f:
                 if "%WER" in line:
                     try:
