@@ -52,6 +52,13 @@ class DNNConfig:
     # (ops/fused_mlp.py): matmul + bias + BN affine + relu in one VMEM pass.
     # Training mode always stays in XLA (batch moments need all-N reductions).
     use_pallas_ffn: bool = False
+    # training-mode BN layers through the fused-backward custom VJP
+    # (ops/bn_fused_bwd.py): the BN input cotangent is computed inside the
+    # Pallas dgrad prologue instead of a separate materializing pass.
+    # Forward numerics are bit-identical; backward matches autodiff to
+    # accumulation-order noise. Only engages for relu+BN layers without
+    # l2norm/dropout at supported shapes.
+    fused_bn_bwd: bool = False
 
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "DNNConfig":
@@ -71,6 +78,7 @@ class DNNConfig:
             layerwise_init=int(conf.get("add_layer_period", 0)) > 0,
             compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
             use_pallas_ffn=str(conf.get("use_pallas_ffn", "False")) == "True",
+            fused_bn_bwd=str(conf.get("fused_bn_bwd", "False")) == "True",
         )
 
 
@@ -195,7 +203,47 @@ class DNN:
             logits = logits.astype(jnp.float32).reshape(b, t, cfg.num_labels)
             return logits, new_state
 
+        # fused-backward BN layers (training): same forward ops, but the
+        # backward computes dz inside the Pallas dgrad prologue
+        # (ops/bn_fused_bwd.py) instead of a separate materializing pass
+        fuse_bn = (
+            cfg.fused_bn_bwd
+            and train
+            and cfg.batch_norm
+            and cfg.nonlin == "relu"
+            and not cfg.l2_norm
+            and not cfg.dropout < 1
+            # the kernel has no GSPMD partitioning rules yet: engage only
+            # single-chip on TPU (CPU interpret mode is test-only)
+            and (jax.device_count() == 1 or jax.default_backend() != "tpu")
+        )
+        if fuse_bn:
+            from tfkaldi_tpu.ops import bn_fused_bwd
+
+            interpret = jax.default_backend() != "tpu"
+
         for l, layer in enumerate(params["hidden"]):
+            if fuse_bn and bn_fused_bwd.supported(
+                h.shape[0], h.shape[1], cfg.num_hidden_units
+            ):
+                z, mean_b, var_b = bn_fused_bwd.bn_relu_layer(
+                    h.astype(cfg.compute_dtype),
+                    layer["w"],
+                    layer["b"],
+                    layer["beta"],
+                    mask,
+                    cfg.bn_eps,
+                    interpret,
+                )
+                new_state["bn_mean"] = new_state["bn_mean"].at[l].set(
+                    state["bn_mean"][l] * cfg.bn_decay + mean_b * (1.0 - cfg.bn_decay)
+                )
+                new_state["bn_var"] = new_state["bn_var"].at[l].set(
+                    state["bn_var"][l] * cfg.bn_decay + var_b * (1.0 - cfg.bn_decay)
+                )
+                activations.append(z)
+                h = z
+                continue
             z = _affine(h, layer["w"], layer["b"], cfg.compute_dtype)
             if cfg.batch_norm:
                 z, new_mean, new_var = _masked_batchnorm(

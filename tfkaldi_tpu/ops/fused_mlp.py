@@ -16,14 +16,15 @@ into the epilogue. Training-mode BN needs batch moments over all N and
 stays in XLA.
 
 Measured on v5e (flagship layer shape [65536,2048]x[2048,2048] + bias +
-relu, bf16): XLA 4.14 ms vs this kernel 4.56 ms at the tuned full-K
-default tiling (round-1's 512^3 tiling measured 5.62 ms; the sweep and the
-fusion cost/benefit analysis live in docs/PERF_DNN_STEP.md). Outputs are
-bit-identical to the XLA path. XLA's matmul pipeline is still ~7% faster,
-so ``use_pallas_ffn`` stays **off by default** and the kernel serves as
-the verified template for fusions XLA can't express (BN-backward applies
-in the dgrad prologues) — worth revisiting only once the plain kernel
-matches XLA.
+relu, bf16): the round-3 tiling sweep found ``(tile_n=256, full-M,
+full-K)`` — the whole weight matrix VMEM-resident, 256-row activation
+tiles streaming past it — measures 4.147 ms vs XLA's 4.172 ms (−0.6%,
+parity; round 2's ``(512,512,K)`` was +7%). Outputs are bit-identical to
+the XLA path. With the gap closed, the kernel's epilogue/prologue shape
+now backs the training-mode BN-backward fusion XLA cannot express
+(``ops/bn_fused_bwd.py``); ``use_pallas_ffn`` itself remains opt-in since
+parity alone is no reason to leave XLA's scheduler. Sweep table and
+history: docs/PERF_DNN_STEP.md.
 """
 
 from __future__ import annotations
@@ -65,17 +66,26 @@ def fused_ffn_block(
     shift=None,
     *,
     relu: bool = True,
-    tile_n: int = 512,
-    tile_m: int = 512,
+    tile_n: int = 256,
+    tile_m: int | None = None,
     tile_k: int | None = None,
     interpret: bool | None = None,
 ):
     """See :func:`_fused_ffn_block`. ``interpret=None`` auto-selects the
-    Pallas interpreter off-TPU (CPU test meshes). ``tile_k=None`` uses the
-    full contraction when it divides into <=2048 (measured 19% faster than
-    512^3 tiling on v5e; docs/PERF_DNN_STEP.md), else 512."""
+    Pallas interpreter off-TPU (CPU test meshes).
+
+    Default tiling (round-3 sweep, docs/PERF_DNN_STEP.md): ``(256, full-M,
+    full-K)`` — the whole weight matrix stays VMEM-resident while 256-row
+    activation tiles stream past it. On the flagship layer shape this
+    measured 4.147 ms vs XLA's 4.172 (−0.6%, i.e. parity), closing the 7%
+    gap of the round-2 ``(512, 512, K)`` tiling. ``tile_m=None`` uses
+    full M when it divides into <=2048, else 512; same rule for
+    ``tile_k``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_m is None:
+        m = w.shape[1]
+        tile_m = m if m <= 2048 else (2048 if m % 2048 == 0 else 512)
     if tile_k is None:
         k = x.shape[1]
         tile_k = k if k <= 2048 else (2048 if k % 2048 == 0 else 512)
