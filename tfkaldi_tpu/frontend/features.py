@@ -153,7 +153,15 @@ class FeatureExtractor:
         ang = 2.0 * np.pi * n * k / opts.nfft
         self._dft_cos = np.cos(ang)
         self._dft_sin = -np.sin(ang)
+        # Fused Pallas framing kernel (ops/pallas_frontend.py): OFF by
+        # default — measured 0.87x the XLA framing on v5e (the kernel's
+        # (rows, g) output blocks pay Mosaic's (8,128) tile padding, ~2.6x
+        # HBM write amplification + a relayout, which XLA's dense gather
+        # never pays; docs/PERF_FEATURES.md). Kept as the verified
+        # bit-identical implementation for future Mosaic layout work.
+        self.use_frontend_kernel = False
         self._batch_fn = jax.jit(self._compute_batch, static_argnames=("padded_len",))
+        self._finish_from_split_fn = jax.jit(self._finish_from_split)
 
     # ------------------------------------------------------------------
     # frame geometry — host-side float64, replicating the reference's float
@@ -272,6 +280,19 @@ class FeatureExtractor:
             sinb = jnp.asarray(self._dft_sin).astype(work_dtype)
             xr = jax.lax.dot_general(dft_in, cosb, **mm_dft)
             xi = jax.lax.dot_general(dft_in, sinb, **mm_dft)
+        return self._finish_batch(xr, xi, num_frames, work_dtype)
+
+    def _finish_from_split(self, frames_split, num_frames):
+        """f64 tail fed by the fused frontend kernel's split frames:
+        double-float DFT → power → mel/DCT/ssc → dynamics → mask."""
+        xr = _df_matmul(frames_split, self._dft_cos)
+        xi = _df_matmul(frames_split, self._dft_sin)
+        return self._finish_batch(xr, xi, num_frames, jnp.float64)
+
+    def _finish_batch(self, xr, xi, num_frames, work_dtype):
+        """Post-DFT tail: power spectrum → energy → mel/DCT/ssc → dynamics
+        → frame masking (shared by the XLA and fused-kernel framing paths)."""
+        opts = self.opts
         pspec = (xr * xr + xi * xi) * (1.0 / opts.nfft)
 
         energy = jnp.sum(pspec, axis=-1)
@@ -341,7 +362,7 @@ class FeatureExtractor:
             else:
                 raise ValueError(f"unknown dynamic type {opts.dynamic!r}")
 
-        frame_ok = jnp.arange(t_max)[None, :] < num_frames[:, None]
+        frame_ok = jnp.arange(feat.shape[1])[None, :] < num_frames[:, None]
         feat = jnp.where(frame_ok[..., None], feat.astype(jnp.float32), 0.0)
         return feat, num_frames
 
@@ -364,6 +385,36 @@ class FeatureExtractor:
         if signals.ndim != 2:
             raise ValueError("signals must be [batch, samples]")
         num_frames, eff_len = self.frame_geometry(np.asarray(lengths))
+
+        # fused frontend kernel (TPU high path): preemphasis + double-float
+        # split + framing in one VMEM pass (ops/pallas_frontend.py),
+        # replacing the emulated-f64 preemph + gather — ~half the call
+        # (docs/PERF_FEATURES.md). (a, b) are bit-identical to the split of
+        # the f64 frames; lo matches to ~2^-48 relative. Requires f32-exact
+        # samples (wav int16 data always is). The kernel runs as its own
+        # f32-world jit OUTSIDE the x64 scope (tracing a Pallas kernel
+        # under enable_x64 stalls the Mosaic pipeline); its split output
+        # stays on device and feeds the f64 tail jit.
+        from tfkaldi_tpu.ops import pallas_frontend
+
+        if (
+            self.spectrum_precision == "high"
+            and jax.default_backend() == "tpu"
+            and signals.dtype != jnp.float64
+            and self.use_frontend_kernel
+            and pallas_frontend.supported(self._dft_rows, self.frame_step)
+        ):
+            frames_split = pallas_frontend.frame_preemph_split(
+                signals.astype(jnp.float32),
+                jnp.asarray(eff_len),
+                preemph=self.opts.preemph,
+                frame_step=self.frame_step,
+                dft_rows=self._dft_rows,
+                t_max=self.max_frames(signals.shape[1]),
+            )
+            with jax.enable_x64():
+                return self._finish_from_split_fn(frames_split, jnp.asarray(num_frames))
+
         if self.spectrum_precision in ("high", "exact"):
             # scoped x64 so the f64 stages trace/execute in real float64
             # without flipping process-global precision semantics
