@@ -121,6 +121,49 @@ def bench_lstm_tpu() -> float:
     return fps
 
 
+def bench_tdnn_tpu() -> float:
+    """TDNN family train throughput (beyond the reference): 5×1024 TDNN
+    with Kaldi-style sub-sampled context over raw 40-dim fbank (no input
+    splicing — the time-delay layers provide the context), CE, batch
+    128×512. All static-shift splices + dense MXU matmuls — the modern
+    hybrid acoustic model at DNN-class step cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import TDNN, TDNNConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f, h = 128, 512, 40, 1024
+    model = TDNN(TDNNConfig(
+        input_dim=f, num_labels=O, num_hidden_layers=5, num_hidden_units=h,
+        context="-2,-1,0,1,2;-1,0,1;-1,0,1;-3,0,3;-3,0,3",
+        batch_norm=True, compute_dtype=jnp.bfloat16,
+    ))
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=1e-3, num_steps=1000))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, O, (b, t)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), t, jnp.int32),
+    )
+    state, loss = trainer.update(state, batch)
+    _ = float(loss)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    fps = b * t / best
+    print(f"[bench] tdnn train: {best * 1000:.1f} ms/step -> {fps:,.0f} frames/s",
+          file=sys.stderr)
+    return fps
+
+
 def bench_ctc_tpu() -> dict:
     """CTC train step: the flagship sequence configuration (2xBiLSTM-512 +
     CTC over the 39-class character alphabet) the reference's broken
@@ -499,6 +542,26 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] lstm bench failed: {e}", file=sys.stderr)
 
+    # TDNN family (beyond the reference — no counterpart exists; the
+    # ratio is vs this round's DNN step measured in the same process,
+    # i.e. the cost of the time-delay splices). Non-fatal.
+    tdnn_line = None
+    try:
+        tdnn_fps = bench_tdnn_tpu()
+        tdnn_line = {
+            "metric": "tdnn_train_throughput",
+            "value": round(tdnn_fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(tdnn_fps / ours, 2),
+            "baseline": {
+                "value": round(ours, 1),
+                "source": "same-process flagship DNN step (no reference TDNN exists)",
+            },
+        }
+        print(json.dumps(tdnn_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] tdnn bench failed: {e}", file=sys.stderr)
+
     # CTC train step (flagship sequence config; reference counterpart is
     # broken so the ratio is vs the same-process CE step). Non-fatal.
     ctc_line = None
@@ -549,6 +612,8 @@ def main() -> None:
         extra["feature_throughput"] = feat_line
     if lstm_line is not None:
         extra["lstm_train_throughput"] = lstm_line
+    if tdnn_line is not None:
+        extra["tdnn_train_throughput"] = tdnn_line
     if ctc_line is not None:
         extra["ctc_train_throughput"] = ctc_line
     if e2e_line is not None:

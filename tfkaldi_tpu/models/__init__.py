@@ -8,5 +8,6 @@ tensor lists with gather-based un-padding (seq_convertors.py).
 
 from tfkaldi_tpu.models.dnn import DNN, DNNConfig
 from tfkaldi_tpu.models.rnn import LSTM, RNNConfig
+from tfkaldi_tpu.models.tdnn import TDNN, TDNNConfig
 
-__all__ = ["DNN", "DNNConfig", "LSTM", "RNNConfig"]
+__all__ = ["DNN", "DNNConfig", "LSTM", "RNNConfig", "TDNN", "TDNNConfig"]

@@ -41,6 +41,7 @@ class Nnet:
 
         context_width = int(self.conf.get("context_width", 0))
         self.context_width = context_width
+        self.raw_input_dim = input_dim  # pre-splice dim (SpecAugment bands)
         # spliced input dimension (nnet.py:39-40)
         self.input_dim = input_dim * (2 * context_width + 1)
         self.num_labels = num_labels
@@ -61,6 +62,14 @@ class Nnet:
             if int(self.conf.get("add_layer_period", 0)) > 0:
                 raise ValueError("layerwise init (add_layer_period) requires model = dnn")
             self.model = LSTM(RNNConfig.from_config(self.conf, self.input_dim, output_dim))
+        elif model_type == "tdnn":
+            # Kaldi-era TDNN family (models/tdnn.py) — dense static-shift
+            # splices, no recurrence; `tdnn_context` sets per-layer offsets
+            from tfkaldi_tpu.models import TDNN, TDNNConfig
+
+            if int(self.conf.get("add_layer_period", 0)) > 0:
+                raise ValueError("layerwise init (add_layer_period) requires model = dnn")
+            self.model = TDNN(TDNNConfig.from_config(self.conf, self.input_dim, output_dim))
         elif model_type == "dnn":
             self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))
         else:
@@ -112,6 +121,13 @@ class Nnet:
             loss_type=self.loss_type,
             micro_batches=self._micro_batches(opts.batch_size),
             ctc_blank_id=self.blank_id if self.blank_id is not None else 0,
+            # SpecAugment (beyond the reference): [nnet] specaugment = True
+            spec_augment=str(self.conf.get("specaugment", "False")) == "True",
+            spec_time_masks=int(self.conf.get("spec_time_masks", 2)),
+            spec_time_width=int(self.conf.get("spec_time_width", 20)),
+            spec_freq_masks=int(self.conf.get("spec_freq_masks", 2)),
+            spec_freq_width=int(self.conf.get("spec_freq_width", 8)),
+            spec_raw_dim=self.raw_input_dim,
         )
         trainer = Trainer(self.model, trainer_cfg)
         from tfkaldi_tpu.utils import MetricsLogger

@@ -45,8 +45,14 @@ def _ffn_kernel(x_ref, w_ref, b_ref, scale_ref, shift_ref, o_ref, acc_ref, *, n_
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # f32 operands must NOT silently truncate to bf16 (the MXU default):
+    # HIGHEST runs the multi-pass f32 matmul so f32-mode numerics match a
+    # true f32 contraction. bf16 operands are exact in one pass either way.
+    precision = (
+        jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32 else None
+    )
     acc_ref[:] += jnp.dot(
-        x_ref[:], w_ref[:], preferred_element_type=jnp.float32
+        x_ref[:], w_ref[:], preferred_element_type=jnp.float32, precision=precision
     )
 
     @pl.when(k == n_k - 1)

@@ -43,6 +43,21 @@ class TrainerConfig:
     loss_type: str = "cross_entropy"  # cross_entropy | ctc
     micro_batches: int = 1  # grad-accumulation factor (1 = whole batch at once)
     ctc_blank_id: int = 0  # blank class for CTC (model emits num_labels+1 classes)
+    # SpecAugment (Park et al., 2019) — beyond the reference (which has no
+    # augmentation at all): train-only input masking, applied ON DEVICE
+    # inside the jitted step from the same per-step rng stream as dropout,
+    # so resume/rollback replay identical masks. Frequency masks cut a
+    # band of the RAW feature dim and repeat it across every spliced
+    # context copy (spec_raw_dim = pre-splice dim; 0 masks the whole
+    # input dim directly). Time masks zero whole frames within each
+    # utterance's real length; loss masking is untouched (standard
+    # SpecAugment masks inputs, not targets).
+    spec_augment: bool = False
+    spec_time_masks: int = 2
+    spec_time_width: int = 20
+    spec_freq_masks: int = 2
+    spec_freq_width: int = 8
+    spec_raw_dim: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -197,11 +212,51 @@ class Trainer:
         )
         return grads, loss, frames, new_state
 
+    def _spec_augment(self, batch: PaddedBatch, rng: jax.Array) -> PaddedBatch:
+        """Apply SpecAugment time/frequency masks to the padded inputs."""
+        cfg = self.config
+        x = batch.inputs
+        b, t, d = x.shape
+        kt, kf = jax.random.split(jax.random.fold_in(rng, 0x5AEC))
+
+        def band_keep(key, n_masks, max_width, size, limits):
+            """[B, size] float 0/1: 1 minus the union of n random bands.
+            ``limits`` [B] bounds the band starts (per-utterance length)."""
+            kw, ks = jax.random.split(key)
+            widths = jax.random.randint(kw, (b, n_masks), 0, max_width + 1)
+            starts = jax.random.randint(ks, (b, n_masks), 0, jnp.iinfo(jnp.int32).max)
+            span = jnp.maximum(limits[:, None] - widths, 1)
+            starts = starts % span  # uniform-ish over the valid range
+            idx = jnp.arange(size)[None, :, None]  # [1, size, 1]
+            in_band = (idx >= starts[:, None, :]) & (idx < (starts + widths)[:, None, :])
+            return 1.0 - jnp.any(in_band, axis=-1).astype(x.dtype)
+
+        keep = jnp.ones((b, t, 1), x.dtype)
+        if cfg.spec_time_masks > 0 and cfg.spec_time_width > 0:
+            tk = band_keep(
+                kt, cfg.spec_time_masks, cfg.spec_time_width, t, batch.input_lengths
+            )
+            keep = keep * tk[:, :, None]
+        x = x * keep
+        if cfg.spec_freq_masks > 0 and cfg.spec_freq_width > 0:
+            raw = cfg.spec_raw_dim or d
+            fk = band_keep(
+                kf, cfg.spec_freq_masks, cfg.spec_freq_width, raw,
+                jnp.full((b,), raw, jnp.int32),
+            )
+            if raw != d:
+                # repeat the raw-dim band across every spliced context copy
+                fk = jnp.tile(fk, (1, d // raw))
+            x = x * fk[:, None, :]
+        return dataclasses.replace(batch, inputs=x)
+
     def _step(self, state: TrainState, batch: PaddedBatch, rng: jax.Array, *, train):
         if rng is None:
             # derive the step key on device: no host round-trips, and
             # deterministic in (seed, step) so resume replays it exactly
             rng = jax.random.fold_in(state.rng, state.step)
+        if train and self.config.spec_augment:
+            batch = self._spec_augment(batch, rng)
         grads, loss, frames, new_model_state = self._grads_accumulated(
             state.params, state.model_state, batch, rng
         )
