@@ -164,6 +164,48 @@ def bench_tdnn_tpu() -> float:
     return fps
 
 
+def bench_cnn_tpu() -> float:
+    """CNN family train throughput (beyond the reference): classic speech
+    CNN — 64/128-filter 9x3/3x3 conv frontend with 3-band freq pooling
+    over 40-dim fbank, 4×1024 dense stack, CE, batch 128×512. Convs lower
+    to implicit-GEMM on the MXU (NHWC, static shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import CNN, CNNConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f = 128, 512, 40
+    model = CNN(CNNConfig(
+        input_dim=f, num_labels=O, filters="64,128", kernels="9x3;3x3",
+        pool="3,1", num_channels=1, num_hidden_layers=4,
+        num_hidden_units=1024, batch_norm=True, compute_dtype=jnp.bfloat16,
+    ))
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=1e-3, num_steps=1000))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, O, (b, t)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), t, jnp.int32),
+    )
+    state, loss = trainer.update(state, batch)
+    _ = float(loss)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    fps = b * t / best
+    print(f"[bench] cnn train: {best * 1000:.1f} ms/step -> {fps:,.0f} frames/s",
+          file=sys.stderr)
+    return fps
+
+
 def bench_ctc_tpu() -> dict:
     """CTC train step: the flagship sequence configuration (2xBiLSTM-512 +
     CTC over the 39-class character alphabet) the reference's broken
@@ -562,6 +604,25 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] tdnn bench failed: {e}", file=sys.stderr)
 
+    # CNN family (beyond the reference — no counterpart exists; ratio vs
+    # the same-process DNN step, like the TDNN line). Non-fatal.
+    cnn_line = None
+    try:
+        cnn_fps = bench_cnn_tpu()
+        cnn_line = {
+            "metric": "cnn_train_throughput",
+            "value": round(cnn_fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(cnn_fps / ours, 2),
+            "baseline": {
+                "value": round(ours, 1),
+                "source": "same-process flagship DNN step (no reference CNN exists)",
+            },
+        }
+        print(json.dumps(cnn_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] cnn bench failed: {e}", file=sys.stderr)
+
     # CTC train step (flagship sequence config; reference counterpart is
     # broken so the ratio is vs the same-process CE step). Non-fatal.
     ctc_line = None
@@ -614,6 +675,8 @@ def main() -> None:
         extra["lstm_train_throughput"] = lstm_line
     if tdnn_line is not None:
         extra["tdnn_train_throughput"] = tdnn_line
+    if cnn_line is not None:
+        extra["cnn_train_throughput"] = cnn_line
     if ctc_line is not None:
         extra["ctc_train_throughput"] = ctc_line
     if e2e_line is not None:

@@ -79,3 +79,43 @@ def test_multi_step_training_descends_on_mesh():
         state, loss = trainer.update(state, b, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("family", ["tdnn", "cnn"])
+def test_mesh_step_matches_single_device_new_families(family):
+    """The TDNN/CNN families shard with the same rules (dense stack over
+    `model`, conv filters replicated) and must match single-device."""
+    from tfkaldi_tpu.models import CNN, CNNConfig, TDNN, TDNNConfig
+
+    if family == "tdnn":
+        model = TDNN(TDNNConfig(
+            input_dim=24, num_labels=10, num_hidden_layers=2,
+            num_hidden_units=32, context="-1,0,1;-3,0,3",
+        ))
+    else:
+        model = CNN(CNNConfig(
+            input_dim=24, num_labels=10, filters="4,6", kernels="5x3;3x3",
+            pool="2,1", num_channels=1, num_hidden_layers=2,
+            num_hidden_units=32,
+        ))
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=1e-3, num_steps=20))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, t = 8, 16
+    lengths = rng.integers(4, t + 1, size=b).astype(np.int32)
+    batch = PaddedBatch(
+        rng.standard_normal((b, t, 24)).astype(np.float32),
+        rng.integers(0, 10, (b, t)).astype(np.int32),
+        lengths, lengths,
+    )
+
+    s_ref, loss_ref = trainer.update(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    sharded_state = shard_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+    sharded_batch = shard_batch(batch, mesh)
+    s_out, loss = trainer.update(sharded_state, sharded_batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+    for a, bb in zip(jax.tree.leaves(s_out.params), jax.tree.leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)

@@ -6,8 +6,12 @@ batches with frame masks, instead of TF variable scopes over time-major
 tensor lists with gather-based un-padding (seq_convertors.py).
 """
 
+from tfkaldi_tpu.models.cnn import CNN, CNNConfig
 from tfkaldi_tpu.models.dnn import DNN, DNNConfig
 from tfkaldi_tpu.models.rnn import LSTM, RNNConfig
 from tfkaldi_tpu.models.tdnn import TDNN, TDNNConfig
 
-__all__ = ["DNN", "DNNConfig", "LSTM", "RNNConfig", "TDNN", "TDNNConfig"]
+__all__ = [
+    "CNN", "CNNConfig", "DNN", "DNNConfig", "LSTM", "RNNConfig",
+    "TDNN", "TDNNConfig",
+]

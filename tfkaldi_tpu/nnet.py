@@ -70,6 +70,17 @@ class Nnet:
             if int(self.conf.get("add_layer_period", 0)) > 0:
                 raise ValueError("layerwise init (add_layer_period) requires model = dnn")
             self.model = TDNN(TDNNConfig.from_config(self.conf, self.input_dim, output_dim))
+        elif model_type == "cnn":
+            # 2D-conv frontend + dense stack (models/cnn.py) — the splice
+            # copies become the conv input channels
+            from tfkaldi_tpu.models import CNN, CNNConfig
+
+            if int(self.conf.get("add_layer_period", 0)) > 0:
+                raise ValueError("layerwise init (add_layer_period) requires model = dnn")
+            self.model = CNN(CNNConfig.from_config(
+                self.conf, self.input_dim, output_dim,
+                num_channels=2 * context_width + 1,
+            ))
         elif model_type == "dnn":
             self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))
         else:

@@ -61,10 +61,18 @@ def _param_shardings(params: Any, mesh: Mesh) -> Any:
         if "beta" in params["hidden"][0]:
             layer["beta"] = ns(P("model"))
         hidden.append(layer)
-    return {
+    sh = {
         "hidden": hidden,
         "out": {"w": ns(P("model", None)), "b": ns(P())},
     }
+    if not params["hidden"]:
+        # dense-stack-free CNN: out reads the conv features directly
+        sh["out"] = {"w": ns(P()), "b": ns(P())}
+    if "conv" in params:
+        # CNN frontend: small filter tensors replicate (channel counts
+        # rarely divide the model axis); the dense stack shards as above
+        sh["conv"] = jax.tree.map(lambda _: ns(P()), params["conv"])
+    return sh
 
 
 def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
@@ -78,6 +86,11 @@ def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
     for key in state.model_state:
         if key == "depth":
             model_state_sh[key] = ns(P())
+        elif key.startswith("bn_conv"):
+            # per-conv-layer channel stats: replicate (see conv params)
+            model_state_sh[key] = jax.tree.map(
+                lambda _: ns(P()), state.model_state[key]
+            )
         else:  # bn_mean / bn_var: [L, H] over model
             model_state_sh[key] = ns(P(None, "model"))
     return TrainState(
