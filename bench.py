@@ -121,6 +121,45 @@ def bench_lstm_tpu() -> float:
     return fps
 
 
+def bench_gru_tpu() -> float:
+    """GRU family train throughput (2xBiGRU-512, CE, batch 32x256 — the
+    same shape as the LSTM bench). Runs the interleaved-direction Pallas
+    GRU kernel (ops/pallas_gru.py) under scan_impl='auto'; measured
+    faster than the Pallas LSTM at 3/4 the gate FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import GRU, RNNConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f, o, h = 32, 256, 440, 2000, 512
+    model = GRU(RNNConfig(input_dim=f, num_labels=o, num_layers=2, hidden_units=h,
+                          bidirectional=True, compute_dtype=jnp.bfloat16))
+    trainer = Trainer(model, TrainerConfig(num_steps=1000))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, o, (b, t)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), t, jnp.int32),
+    )
+    state, loss = trainer.update(state, batch)
+    _ = float(loss)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    fps = b * t / best
+    print(f"[bench] gru train: {best * 1000:.1f} ms/step -> {fps:,.0f} frames/s",
+          file=sys.stderr)
+    return fps
+
+
 def bench_tdnn_tpu() -> float:
     """TDNN family train throughput (beyond the reference): 5×1024 TDNN
     with Kaldi-style sub-sampled context over raw 40-dim fbank (no input
@@ -204,6 +243,61 @@ def bench_cnn_tpu() -> float:
     print(f"[bench] cnn train: {best * 1000:.1f} ms/step -> {fps:,.0f} frames/s",
           file=sys.stderr)
     return fps
+
+
+def bench_decode_tpu() -> dict:
+    """Likelihood-emission throughput: the fused forward → softmax → ÷prior
+    → eps-floor → log chain (decode/decoder.py) on the flagship DNN,
+    batch 128×512, device-resident. The reference decodes ONE utterance per
+    ``session.run`` with a batch-1 graph (nnet.py:270-286, decoder.py:49-71),
+    so the baseline is the SAME chain dispatched at batch 1 in the same
+    process — the ratio is the structural win of batched emission."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.decode import Decoder
+    from tfkaldi_tpu.models import DNN, DNNConfig
+
+    model = DNN(DNNConfig(
+        input_dim=F, num_labels=O, num_hidden_layers=L, num_hidden_units=H,
+        nonlin="relu", batch_norm=True, compute_dtype=jnp.bfloat16,
+    ))
+    params, model_state = model.init(jax.random.PRNGKey(0))
+    prior = np.full((O,), 1.0 / O, np.float32)
+    dec = Decoder(model, params, model_state, prior)
+
+    rng = np.random.default_rng(3)
+    batched = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+    lengths = jnp.full((B,), T, jnp.int32)
+    single = batched[:1]
+    single_len = lengths[:1]
+
+    def measure(inputs, lens, n_calls):
+        out = dec.compute_batch(inputs, lens)  # compile + warm
+        _ = float(jnp.sum(out))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                out = dec.compute_batch(inputs, lens)
+            _ = float(jnp.sum(out))
+            best = min(best, (time.perf_counter() - t0) / n_calls)
+        return best
+
+    # interleaved arms (in-process A/B policy)
+    batch_s = measure(batched, lengths, 10)
+    one_s = measure(single, single_len, 20)
+    batch_s = min(batch_s, measure(batched, lengths, 10))
+    one_s = min(one_s, measure(single, single_len, 20))
+    fps = B * T / batch_s
+    one_fps = T / one_s
+    print(
+        f"[bench] decode emission: {batch_s * 1000:.1f} ms per {B}-utt batch -> "
+        f"{fps:,.0f} frames/s (batch-1 reference structure: "
+        f"{one_s * 1000:.2f} ms/utt -> {one_fps:,.0f} frames/s, {fps / one_fps:.1f}x)",
+        file=sys.stderr,
+    )
+    return {"batched_fps": fps, "batch1_fps": one_fps}
 
 
 def bench_ctc_tpu() -> dict:
@@ -584,6 +678,28 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] lstm bench failed: {e}", file=sys.stderr)
 
+    # GRU family (beyond the reference, like the LSTM; the ratio is vs the
+    # same-process LSTM step on the identical shape — i.e. the cell-choice
+    # speedup). Non-fatal.
+    gru_line = None
+    try:
+        gru_fps = bench_gru_tpu()
+        if lstm_line is not None:
+            base = {"value": lstm_line["value"],
+                    "source": "same-process LSTM step (identical 32x256 2xBi-512 shape)"}
+        else:
+            base = dict(LSTM_BASELINE)
+        gru_line = {
+            "metric": "gru_train_throughput",
+            "value": round(gru_fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(gru_fps / base["value"], 2),
+            "baseline": base,
+        }
+        print(json.dumps(gru_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] gru bench failed: {e}", file=sys.stderr)
+
     # TDNN family (beyond the reference — no counterpart exists; the
     # ratio is vs this round's DNN step measured in the same process,
     # i.e. the cost of the time-delay splices). Non-fatal.
@@ -622,6 +738,25 @@ def main() -> None:
         print(json.dumps(cnn_line))
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] cnn bench failed: {e}", file=sys.stderr)
+
+    # decode-emission throughput (reference structure = batch-1 dispatches;
+    # the ratio is the batching win). Non-fatal.
+    decode_line = None
+    try:
+        dec = bench_decode_tpu()
+        decode_line = {
+            "metric": "decode_throughput",
+            "value": round(dec["batched_fps"], 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(dec["batched_fps"] / dec["batch1_fps"], 2),
+            "baseline": {
+                "value": round(dec["batch1_fps"], 1),
+                "source": "same-process batch-1 dispatch loop (reference decodes one utt per session.run, nnet.py:270-286)",
+            },
+        }
+        print(json.dumps(decode_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] decode bench failed: {e}", file=sys.stderr)
 
     # CTC train step (flagship sequence config; reference counterpart is
     # broken so the ratio is vs the same-process CE step). Non-fatal.
@@ -673,10 +808,14 @@ def main() -> None:
         extra["feature_throughput"] = feat_line
     if lstm_line is not None:
         extra["lstm_train_throughput"] = lstm_line
+    if gru_line is not None:
+        extra["gru_train_throughput"] = gru_line
     if tdnn_line is not None:
         extra["tdnn_train_throughput"] = tdnn_line
     if cnn_line is not None:
         extra["cnn_train_throughput"] = cnn_line
+    if decode_line is not None:
+        extra["decode_throughput"] = decode_line
     if ctc_line is not None:
         extra["ctc_train_throughput"] = ctc_line
     if e2e_line is not None:

@@ -8,10 +8,10 @@ tensor lists with gather-based un-padding (seq_convertors.py).
 
 from tfkaldi_tpu.models.cnn import CNN, CNNConfig
 from tfkaldi_tpu.models.dnn import DNN, DNNConfig
-from tfkaldi_tpu.models.rnn import LSTM, RNNConfig
+from tfkaldi_tpu.models.rnn import GRU, LSTM, RNNConfig
 from tfkaldi_tpu.models.tdnn import TDNN, TDNNConfig
 
 __all__ = [
-    "CNN", "CNNConfig", "DNN", "DNNConfig", "LSTM", "RNNConfig",
+    "CNN", "CNNConfig", "DNN", "DNNConfig", "GRU", "LSTM", "RNNConfig",
     "TDNN", "TDNNConfig",
 ]

@@ -35,7 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tfkaldi_tpu.ops import pallas_lstm
+from tfkaldi_tpu.ops.gru_scan import gru_scan
 from tfkaldi_tpu.ops.lstm_scan import lstm_scan
+from tfkaldi_tpu.ops.pallas_gru import gru_scan_bidi
 from tfkaldi_tpu.ops.pallas_lstm import lstm_scan_bidi
 
 Params = Any
@@ -83,8 +85,15 @@ class RNNConfig:
 class LSTM:
     """Stateless model object: owns the config, provides init/apply."""
 
+    # gate blocks per cell (4 = i,f,g,o); the GRU subclass narrows to 3
+    GATES = 4
+
     def __init__(self, config: RNNConfig):
         self.config = config
+
+    def _init_bias(self, h: int) -> jnp.ndarray:
+        # forget-gate bias 1.0 (standard LSTM practice)
+        return jnp.zeros((4 * h,), jnp.float32).at[h : 2 * h].set(1.0)
 
     # ------------------------------------------------------------------
 
@@ -101,17 +110,15 @@ class LSTM:
                 h = cfg.hidden_units
                 dirs.append(
                     {
-                        # gate order: i, f, g, o
+                        # gate order: i, f, g, o (GRU: r, z, n)
                         "wx": (
-                            jax.random.normal(next(k), (fan_in, 4 * h)) / np.sqrt(fan_in)
+                            jax.random.normal(next(k), (fan_in, self.GATES * h))
+                            / np.sqrt(fan_in)
                         ).astype(jnp.float32),
                         "wh": (
-                            jax.random.normal(next(k), (h, 4 * h)) / np.sqrt(h)
+                            jax.random.normal(next(k), (h, self.GATES * h)) / np.sqrt(h)
                         ).astype(jnp.float32),
-                        # forget-gate bias 1.0 (standard LSTM practice)
-                        "b": jnp.zeros((4 * h,), jnp.float32)
-                        .at[h : 2 * h]
-                        .set(1.0),
+                        "b": self._init_bias(h),
                     }
                 )
             layers.append(dirs)
@@ -158,23 +165,28 @@ class LSTM:
                 d["wx"].astype(cfg.compute_dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(t, b, 4 * h_units) + d["b"].astype(jnp.float32)
+            ).reshape(t, b, self.GATES * h_units) + d["b"].astype(jnp.float32)
 
         if len(dirs) == 2 and self._use_pallas(t, b, h_units):
-            ysf, ysb = lstm_scan_bidi(
+            ysf, ysb = self._scan_bidi(
                 gates(dirs[0]), gates(dirs[1]), dirs[0]["wh"], dirs[1]["wh"],
-                mask, cfg.compute_dtype,
+                mask,
             )
             return jnp.concatenate([ysf, ysb], axis=-1)
 
         outs = [
-            lstm_scan(
-                gates(d), d["wh"], mask, cfg.compute_dtype, cfg.scan_unroll,
-                reverse=k == 1,
-            )
+            self._scan(gates(d), d["wh"], mask, reverse=k == 1)
             for k, d in enumerate(dirs)
         ]
         return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+
+    def _scan(self, gx, wh, mask, *, reverse):
+        cfg = self.config
+        return lstm_scan(gx, wh, mask, cfg.compute_dtype, cfg.scan_unroll,
+                         reverse=reverse)
+
+    def _scan_bidi(self, gxf, gxb, whf, whb, mask):
+        return lstm_scan_bidi(gxf, gxb, whf, whb, mask, self.config.compute_dtype)
 
     def _use_pallas(self, t: int, b: int, h_units: int) -> bool:
         impl = self.config.scan_impl
@@ -238,3 +250,28 @@ class LSTM:
         ) + params["out"]["b"]
         logits = logits.reshape(t, b, cfg.num_labels).transpose(1, 0, 2)
         return logits.astype(jnp.float32), state
+
+
+class GRU(LSTM):
+    """GRU acoustic model (``model = gru``): same Classifier contract,
+    config keys, masking, bidirectionality, ``scan_impl`` selector and
+    trainer/decoder integration as the LSTM — only the cell differs
+    (fused/CuDNN GRU formulation, ops/gru_scan.py: one ``[B,H]@[H,3H]``
+    recurrent matmul per step, custom-VJP backward; bidirectional layers
+    ride the interleaved-direction Pallas kernel, ops/pallas_gru.py).
+    ~3/4 of the LSTM's gate FLOPs and no cell state, so it trades a
+    little capacity for step speed.
+    """
+
+    GATES = 3
+
+    def _init_bias(self, h: int) -> jnp.ndarray:
+        return jnp.zeros((3 * h,), jnp.float32)
+
+    def _scan(self, gx, wh, mask, *, reverse):
+        cfg = self.config
+        return gru_scan(gx, wh, mask, cfg.compute_dtype, cfg.scan_unroll,
+                        reverse=reverse)
+
+    def _scan_bidi(self, gxf, gxb, whf, whb, mask):
+        return gru_scan_bidi(gxf, gxb, whf, whb, mask, self.config.compute_dtype)

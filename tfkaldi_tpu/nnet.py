@@ -56,12 +56,13 @@ class Nnet:
         # DNN (classifiers/classifier.py); `model = lstm` adds the sequence
         # model its unfinished CTC path was meant for
         model_type = self.conf.get("model", "dnn")
-        if model_type == "lstm":
-            from tfkaldi_tpu.models import LSTM, RNNConfig
+        if model_type in ("lstm", "gru"):
+            from tfkaldi_tpu.models import GRU, LSTM, RNNConfig
 
             if int(self.conf.get("add_layer_period", 0)) > 0:
                 raise ValueError("layerwise init (add_layer_period) requires model = dnn")
-            self.model = LSTM(RNNConfig.from_config(self.conf, self.input_dim, output_dim))
+            cell = LSTM if model_type == "lstm" else GRU
+            self.model = cell(RNNConfig.from_config(self.conf, self.input_dim, output_dim))
         elif model_type == "tdnn":
             # Kaldi-era TDNN family (models/tdnn.py) — dense static-shift
             # splices, no recurrence; `tdnn_context` sets per-layer offsets
