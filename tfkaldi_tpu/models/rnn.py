@@ -188,6 +188,80 @@ class LSTM:
     def _scan_bidi(self, gxf, gxb, whf, whb, mask):
         return lstm_scan_bidi(gxf, gxb, whf, whb, mask, self.config.compute_dtype)
 
+    # -- streaming (online) inference --------------------------------------
+    #
+    # The reference has no serving story (a batch-1 graph rebuilt per
+    # decode run, decoder.py:8-47); this adds low-latency STREAMING
+    # inference: process feature chunks as they arrive, carrying the
+    # recurrent state across calls, with valid-frame outputs identical to
+    # the offline whole-utterance forward (same per-step op order as
+    # lstm_scan/gru_scan). Unidirectional models only — the backward
+    # direction would need the whole future.
+
+    _CARRIES = 2  # (h, c); the GRU narrows to 1
+
+    def init_stream_carry(self, batch_size: int):
+        """Zero recurrent state: one tuple per layer."""
+        cfg = self.config
+        if cfg.bidirectional:
+            raise ValueError(
+                "streaming requires a unidirectional model (bidirectional "
+                "= False): the backward direction needs the whole future"
+            )
+        zeros = jnp.zeros((batch_size, cfg.hidden_units), jnp.float32)
+        return [tuple(zeros for _ in range(self._CARRIES))
+                for _ in range(cfg.num_layers)]
+
+    def _stream_step(self, cd, whc):
+        return _lstm_stream_step(cd, whc)
+
+    def apply_stream(
+        self,
+        params: Params,
+        state: Params,
+        chunk: jnp.ndarray,  # [B, Tc, F]
+        seq_lengths: jnp.ndarray,  # [B] valid frames in THIS chunk
+        carry,
+    ) -> tuple[jnp.ndarray, Any]:
+        """One streaming step: ``[B, Tc, F]`` chunk → ``([B, Tc, O]``
+        logits, updated carry). Eval mode only (no dropout). Frames past
+        ``seq_lengths`` leave the carry untouched, so a ragged final
+        chunk behaves like the offline mask freeze."""
+        cfg = self.config
+        if cfg.bidirectional:
+            raise ValueError("streaming requires bidirectional = False")
+        b, t, _ = chunk.shape
+        x = jnp.transpose(chunk, (1, 0, 2)).astype(jnp.float32)  # [T, B, F]
+        mask = (jnp.arange(t)[:, None] < seq_lengths[None, :])[:, :, None].astype(
+            jnp.float32
+        )
+
+        new_carry = []
+        for l, dirs in enumerate(params["layers"]):
+            d = dirs[0]
+            tt, bb, f = x.shape
+            gx = jax.lax.dot_general(
+                x.reshape(tt * bb, f).astype(cfg.compute_dtype),
+                d["wx"].astype(cfg.compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(tt, bb, -1) + d["b"].astype(jnp.float32)
+            step = self._stream_step(cfg.compute_dtype,
+                                     d["wh"].astype(cfg.compute_dtype))
+            layer_carry, x = jax.lax.scan(
+                step, tuple(carry[l]), (gx, mask), unroll=cfg.scan_unroll
+            )
+            new_carry.append(layer_carry)
+
+        logits = jax.lax.dot_general(
+            x.reshape(t * b, x.shape[-1]).astype(cfg.compute_dtype),
+            params["out"]["w"].astype(cfg.compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + params["out"]["b"]
+        logits = logits.reshape(t, b, cfg.num_labels).transpose(1, 0, 2)
+        return logits.astype(jnp.float32), new_carry
+
     def _use_pallas(self, t: int, b: int, h_units: int) -> bool:
         impl = self.config.scan_impl
         if impl == "xla":
@@ -264,6 +338,7 @@ class GRU(LSTM):
     """
 
     GATES = 3
+    _CARRIES = 1  # (h,)
 
     def _init_bias(self, h: int) -> jnp.ndarray:
         return jnp.zeros((3 * h,), jnp.float32)
@@ -275,3 +350,59 @@ class GRU(LSTM):
 
     def _scan_bidi(self, gxf, gxb, whf, whb, mask):
         return gru_scan_bidi(gxf, gxb, whf, whb, mask, self.config.compute_dtype)
+
+    def _stream_step(self, cd, whc):
+        return _gru_stream_step(cd, whc)
+
+
+# ---------------------------------------------------------------------------
+# streaming (online) inference for the recurrent families
+# ---------------------------------------------------------------------------
+#
+# The reference has no serving story at all (a batch-1 graph rebuilt per
+# decode run, decoder.py:8-47); tfkaldi_tpu.serve adds batch serving, and
+# this adds LOW-LATENCY streaming: process feature chunks as they arrive,
+# carrying the recurrent state across calls, with outputs bit-identical
+# to the offline whole-utterance forward (eval mode, same op order as
+# lstm_scan/gru_scan). Unidirectional models only — a backward direction
+# would need the future.
+
+
+def _lstm_stream_step(cd, whc):
+    def step(carry, xs):
+        h, c = carry
+        gxt, m = xs
+        gates = gxt + jax.lax.dot_general(
+            h.astype(cd), whc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hdim = h.shape[1]
+        i = jax.nn.sigmoid(gates[:, :hdim])
+        f = jax.nn.sigmoid(gates[:, hdim: 2 * hdim])
+        g = jnp.tanh(gates[:, 2 * hdim: 3 * hdim])
+        o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+        c_cand = f * c + i * g
+        h_cand = o * jnp.tanh(c_cand)
+        h_new = jnp.where(m, h_cand, h)
+        c_new = jnp.where(m, c_cand, c)
+        return (h_new, c_new), h_new * m
+
+    return step
+
+
+def _gru_stream_step(cd, whc):
+    def step(carry, xs):
+        (h,) = carry
+        gxt, m = xs
+        gh = jax.lax.dot_general(
+            h.astype(cd), whc, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hdim = h.shape[1]
+        r = jax.nn.sigmoid(gxt[:, :hdim] + gh[:, :hdim])
+        z = jax.nn.sigmoid(gxt[:, hdim: 2 * hdim] + gh[:, hdim: 2 * hdim])
+        n = jnp.tanh(gxt[:, 2 * hdim:] + r * gh[:, 2 * hdim:])
+        h_new = jnp.where(m, (1.0 - z) * n + z * h, h)
+        return (h_new,), h_new * m
+
+    return step
+
+
