@@ -131,3 +131,54 @@ def test_online_decoder_requires_reset():
     )
     with pytest.raises(RuntimeError, match="reset"):
         dec.step(np.zeros((1, 4, 8), np.float32), np.asarray([4]))
+
+
+@pytest.mark.parametrize("cls", [LSTM, GRU])
+@pytest.mark.parametrize("chunk_len", [1, 5, 24])
+def test_online_ctc_matches_offline_greedy(cls, chunk_len):
+    """Accumulated streaming CTC output == offline best-path decoding,
+    including repeat-merging across chunk boundaries."""
+    from tfkaldi_tpu.decode import CTCDecoder
+    from tfkaldi_tpu.decode.online import OnlineCTCDecoder
+
+    model = _model(cls, num_labels=6)  # 5 chars + blank
+    params, state = _params(model, seed=7)
+    blank = 5
+    rng = np.random.default_rng(3)
+    b, total = 3, 24
+    lengths = np.asarray([24, 17, 4], np.int32)
+    x = rng.standard_normal((b, total, 8)).astype(np.float32)
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    offline = CTCDecoder(model, params, state, _IdCoder(), blank).decode_batch(
+        x, lengths
+    )
+
+    dec = OnlineCTCDecoder(model, params, state, blank)
+    dec.reset(b)
+    got = [[] for _ in range(b)]
+    for pos in range(0, total, chunk_len):
+        chunk = x[:, pos : pos + chunk_len]
+        chunk_lens = np.clip(lengths - pos, 0, chunk.shape[1]).astype(np.int32)
+        for row, new_ids in enumerate(dec.step(chunk, chunk_lens)):
+            got[row].extend(new_ids.tolist())
+    for row in range(b):
+        np.testing.assert_array_equal(np.asarray(got[row], np.int32), offline[row])
+
+
+def test_online_ctc_requires_reset_and_unidirectional():
+    from tfkaldi_tpu.decode.online import OnlineCTCDecoder
+
+    model = _model(GRU, num_labels=6)
+    params, state = _params(model)
+    dec = OnlineCTCDecoder(model, params, state, blank_id=5)
+    with pytest.raises(RuntimeError, match="reset"):
+        dec.step(np.zeros((1, 4, 8), np.float32), np.asarray([4]))
+
+    bidi = _model(LSTM, num_labels=6, bidirectional=True)
+    bparams, bstate = bidi.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="unidirectional"):
+        OnlineCTCDecoder(bidi, bparams, bstate, blank_id=5)

@@ -76,3 +76,73 @@ class OnlineRecurrentDecoder:
             self.model_state,
         )
         return out
+
+
+class OnlineCTCDecoder:
+    """Streaming greedy (best-path) CTC transcription for unidirectional
+    LSTM/GRU: each ``step`` returns the label ids newly emitted by that
+    chunk, with repeats merged correctly across chunk boundaries. The
+    accumulated stream equals offline best-path decoding of the whole
+    utterance (decode/ctc.py with ``beam_width=1``).
+
+    Usage::
+
+        dec = OnlineCTCDecoder(model, params, model_state, blank_id)
+        dec.reset(batch_size)
+        for chunk, lengths in feature_chunks:
+            for row, new_ids in enumerate(dec.step(chunk, lengths)):
+                transcript[row].extend(new_ids)   # partial results
+    """
+
+    def __init__(self, model, params, model_state, blank_id: int):
+        if model.config.bidirectional:
+            raise ValueError(
+                "online decoding requires a unidirectional model "
+                "(bidirectional = False)"
+            )
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.blank_id = int(blank_id)
+        self._carry = None
+        self._prev = None  # last raw frame label per row (cross-chunk dedupe)
+
+        def compute(chunk, lengths, carry, params, model_state):
+            logits, new_carry = model.apply_stream(
+                params, model_state, chunk, lengths, carry
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_carry
+
+        self._fn = jax.jit(compute)
+
+    def reset(self, batch_size: int) -> None:
+        self._carry = self.model.init_stream_carry(batch_size)
+        self._prev = np.full((batch_size,), -1, np.int64)
+
+    def step(self, chunk, lengths) -> list[np.ndarray]:
+        """``[B, Tc, F]`` chunk → per-row arrays of NEWLY emitted label
+        ids (repeats merged across the chunk boundary, blanks dropped)."""
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        lengths = np.asarray(lengths, np.int32)
+        paths, self._carry = self._fn(
+            jnp.asarray(chunk, jnp.float32),
+            jnp.asarray(lengths, jnp.int32),
+            self._carry,
+            self.params,
+            self.model_state,
+        )
+        paths = np.asarray(paths)
+        out = []
+        for row in range(paths.shape[0]):
+            p = paths[row, : int(lengths[row])]
+            if p.size == 0:
+                out.append(np.zeros((0,), np.int32))
+                continue
+            keep = np.ones(p.shape[0], dtype=bool)
+            keep[0] = p[0] != self._prev[row]
+            keep[1:] = p[1:] != p[:-1]
+            collapsed = p[keep]
+            out.append(collapsed[collapsed != self.blank_id].astype(np.int32))
+            self._prev[row] = p[-1]
+        return out
