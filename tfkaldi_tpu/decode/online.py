@@ -68,6 +68,12 @@ class OnlineRecurrentDecoder:
         ``[B, Tc, O]`` log pseudo-likelihoods; advances the carry."""
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before step()")
+        chunk = np.asarray(chunk)
+        if chunk.shape[1] == 0:
+            # empty chunk (e.g. a feature flush that added no frames)
+            return jnp.zeros(
+                (chunk.shape[0], 0, self.prior.shape[0]), jnp.float32
+            )
         out, self._carry = self._fn(
             jnp.asarray(chunk, jnp.float32),
             jnp.asarray(lengths, jnp.int32),
@@ -124,7 +130,11 @@ class OnlineCTCDecoder:
         ids (repeats merged across the chunk boundary, blanks dropped)."""
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before step()")
+        chunk = np.asarray(chunk)
         lengths = np.asarray(lengths, np.int32)
+        if chunk.shape[1] == 0:
+            # empty chunk (e.g. a feature flush that added no frames)
+            return [np.zeros((0,), np.int32) for _ in range(chunk.shape[0])]
         paths, self._carry = self._fn(
             jnp.asarray(chunk, jnp.float32),
             jnp.asarray(lengths, jnp.int32),

@@ -162,6 +162,8 @@ class FeatureExtractor:
         self.use_frontend_kernel = False
         self._batch_fn = jax.jit(self._compute_batch, static_argnames=("padded_len",))
         self._finish_from_split_fn = jax.jit(self._finish_from_split)
+        # frames → features entry for the online extractor (frontend/online.py)
+        self._frames_fn = jax.jit(self._frames_to_feats)
 
     # ------------------------------------------------------------------
     # frame geometry — host-side float64, replicating the reference's float
@@ -230,6 +232,15 @@ class FeatureExtractor:
             + jnp.arange(wl, dtype=jnp.int32)[None, :]
         )
         frames = y[:, idx]  # [B, T, wl] — rectangular window (sigproc.py:33)
+        return self._frames_to_feats(frames, num_frames)
+
+    def _frames_to_feats(self, frames, num_frames):
+        """Post-framing pipeline: DFT → power → mel/DCT/ssc → dynamics →
+        mask. Shared seam between the offline batch path above and the
+        online (chunked) extractor in frontend/online.py, so streamed
+        frames go through the byte-identical compute."""
+        high = self.spectrum_precision in ("high", "exact")
+        work_dtype = jnp.float64 if high else jnp.float32
 
         # real DFT as matmuls (sigproc.py:119-153); the TPU rfft lowering is
         # slower at these sizes and pathologically slow to compile, while

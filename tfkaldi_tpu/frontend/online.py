@@ -1,0 +1,204 @@
+"""Streaming (chunked) acoustic feature extraction.
+
+``OnlineFeatureExtractor`` consumes raw audio in arbitrary chunks and
+emits feature frames as soon as enough samples exist, producing exactly
+the frames the offline batched ``FeatureExtractor`` would produce for the
+whole utterance (reference semantics: feat.py:42-69 over
+sigproc.py:33-68's framing). Together with ``decode/online.py`` this
+closes the low-latency path: wav chunks → features → likelihoods or CTC
+labels, all incremental.
+
+How exactness is achieved:
+
+- Preemphasis is a one-sample recurrence ``y[n] = x[n] - a·x[n-1]``
+  (sigproc.py:180-191); the last raw sample of each chunk is carried so
+  chunk boundaries are invisible. It runs on device in the same working
+  dtype as the offline path (f64 for ``high``/``exact``, f32 for
+  ``fast``), so per-sample results are bit-identical to the offline
+  elementwise op.
+- Framing keeps a per-row buffer of not-yet-consumed *preemphasized*
+  samples. A frame is emitted once all ``frame_len`` of its samples
+  exist; with ``snip_edges`` (feat.py:86-88) that is precisely the
+  offline frame set, because snipping makes every frame fully interior.
+- The emitted frames feed ``FeatureExtractor._frames_to_feats`` — the
+  very code the offline path runs after its gather — so DFT, mel, log,
+  energy and masking are the byte-identical compute.
+- ``flush()`` finishes the utterance: the zero-padded final frame(s)
+  that depend on knowing the true length (the ``snip_edges = False``
+  tail, and the short-utterance single frame) are emitted there, again
+  matching the offline geometry (``FeatureExtractor.frame_geometry``).
+
+Delta/double-delta dynamics are whole-utterance operators with a
+reflected boundary at *both* ends (base.py:249-284) — emitting them
+incrementally would require lookahead latency and end-of-utterance
+recomputation, so this extractor requires ``dynamic = "nodelta"``
+(the standard configuration for recurrent/CTC streaming models, which
+learn their own dynamics).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfkaldi_tpu.frontend.features import FeatureExtractor
+
+
+class OnlineFeatureExtractor:
+    """Chunked feature computation over a batch of parallel audio streams.
+
+    Usage::
+
+        ext = FeatureExtractor(opts, samplerate)
+        online = OnlineFeatureExtractor(ext)
+        online.reset(batch_size)
+        for chunk, chunk_lengths in audio_chunks:   # [B, S], [B]
+            feats, n_new = online.step(chunk, chunk_lengths)
+        feats, n_new = online.flush()               # final padded frame(s)
+
+    Rows may advance at different rates (per-chunk ``lengths``); a row
+    whose stream has ended simply passes length 0 until ``flush``.
+    """
+
+    def __init__(self, extractor: FeatureExtractor, frame_bucket: int = 8):
+        """Args:
+            extractor: the configured offline extractor to mirror.
+            frame_bucket: emitted frame counts are padded up to a multiple
+                of this so jit recompiles stay bounded for varying chunk
+                sizes (outputs carry true counts; padding frames are
+                zeroed).
+        """
+        if extractor.opts.dynamic != "nodelta":
+            raise ValueError(
+                "online extraction requires dynamic = 'nodelta'; delta "
+                "dynamics are whole-utterance operators with an end-of-"
+                "utterance reflected boundary (base.py:249-284)"
+            )
+        self.extractor = extractor
+        self.frame_bucket = int(frame_bucket)
+        high = extractor.spectrum_precision in ("high", "exact")
+        self._x64 = high
+        self._np_dtype = np.float64 if high else np.float32
+        self._buf = None  # per-row preemphasized, not-yet-consumed samples
+        self._dim = None
+
+        a = float(extractor.opts.preemph)
+
+        def preemph(x, prev):
+            shifted = jnp.concatenate([prev[:, None], x[:, :-1]], axis=1)
+            return x - a * shifted
+
+        self._preemph_fn = jax.jit(preemph)
+
+    @property
+    def dim(self) -> int:
+        """Feature dimension (probed once on first use; cached)."""
+        if self._dim is None:
+            wl = self.extractor.frame_len
+            feats, _ = self._run_frames(
+                np.zeros((1, 1, wl), self._np_dtype), np.asarray([1])
+            )
+            self._dim = int(feats.shape[-1])
+        return self._dim
+
+    def reset(self, batch_size: int) -> None:
+        self._buf = [np.zeros((0,), self._np_dtype) for _ in range(batch_size)]
+        self._prev = np.zeros((batch_size,), self._np_dtype)
+        self._total = np.zeros((batch_size,), np.int64)
+        self._emitted = np.zeros((batch_size,), np.int64)
+
+    # ------------------------------------------------------------------
+
+    def _run_frames(self, frames: np.ndarray, num_frames: np.ndarray):
+        """[B, T, wl] work-dtype frames → ([B, T, D] f32 feats, counts)."""
+        if self._x64:
+            with jax.enable_x64():
+                feats, nf = self.extractor._frames_fn(
+                    jnp.asarray(frames), jnp.asarray(num_frames, jnp.int32)
+                )
+        else:
+            feats, nf = self.extractor._frames_fn(
+                jnp.asarray(frames), jnp.asarray(num_frames, jnp.int32)
+            )
+        return np.asarray(feats), np.asarray(nf)
+
+    def _emit(self, navail: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Cut ``navail[row]`` frames from the head of each row's buffer,
+        advance the buffers, and run the feature tail."""
+        wl = self.extractor.frame_len
+        ws = self.extractor.frame_step
+        navail = navail.astype(np.int64)
+        t_new = int(navail.max(initial=0))
+        if t_new == 0:
+            b = len(self._buf)
+            return np.zeros((b, 0, self.dim), np.float32), navail.astype(np.int32)
+        t_pad = -(-t_new // self.frame_bucket) * self.frame_bucket
+        frames = np.zeros((len(self._buf), t_pad, wl), self._np_dtype)
+        for row, n in enumerate(navail):
+            if n == 0:
+                continue
+            span = self._buf[row][: (n - 1) * ws + wl]
+            # one strided view, then copy into the padded batch
+            view = np.lib.stride_tricks.sliding_window_view(span, wl)[::ws]
+            frames[row, :n] = view
+            self._buf[row] = self._buf[row][n * ws :]
+            self._emitted[row] += n
+        feats, _ = self._run_frames(frames, navail)
+        return feats, navail.astype(np.int32)
+
+    def step(self, chunk, lengths) -> tuple[np.ndarray, np.ndarray]:
+        """Feed ``[B, S]`` raw samples (``lengths[B]`` valid per row);
+        returns ``(feats[B, T, D], new_frames[B])`` for every frame whose
+        window is now complete. ``T`` is bucket-padded; frames beyond
+        ``new_frames[row]`` are zeros."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        chunk = np.asarray(chunk)
+        lengths = np.asarray(lengths, np.int64)
+        wl = self.extractor.frame_len
+        ws = self.extractor.frame_step
+
+        x = chunk.astype(self._np_dtype)
+        if self._x64:
+            with jax.enable_x64():
+                y = np.asarray(self._preemph_fn(jnp.asarray(x), jnp.asarray(self._prev)))
+        else:
+            y = np.asarray(self._preemph_fn(jnp.asarray(x), jnp.asarray(self._prev)))
+
+        navail = np.zeros((len(self._buf),), np.int64)
+        for row, n in enumerate(lengths):
+            n = int(n)
+            if n > 0:
+                self._buf[row] = np.concatenate([self._buf[row], y[row, :n]])
+                self._prev[row] = x[row, n - 1]
+                self._total[row] += n
+            have = self._buf[row].shape[0]
+            navail[row] = 0 if have < wl else (have - wl) // ws + 1
+        return self._emit(navail)
+
+    def flush(self) -> tuple[np.ndarray, np.ndarray]:
+        """End every stream: emit the remaining frames the offline
+        geometry produces for the now-known total lengths (zero-padded
+        tail frames under ``snip_edges = False``; the single padded frame
+        of a shorter-than-one-window utterance), then require ``reset``."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before flush()")
+        wl = self.extractor.frame_len
+        ws = self.extractor.frame_step
+        target, _ = self.extractor.frame_geometry(self._total)
+        rem = np.maximum(target.astype(np.int64) - self._emitted, 0)
+        for row, r in enumerate(rem):
+            if r == 0:
+                continue
+            needed = (int(r) - 1) * ws + wl
+            have = self._buf[row].shape[0]
+            if needed > have:
+                # literal zeros past the utterance end, exactly as the
+                # offline path masks-then-frames (features.py step 3)
+                self._buf[row] = np.concatenate(
+                    [self._buf[row], np.zeros((needed - have,), self._np_dtype)]
+                )
+        out = self._emit(rem)
+        self._buf = None
+        return out
