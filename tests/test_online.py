@@ -182,3 +182,157 @@ def test_online_ctc_requires_reset_and_unidirectional():
     bparams, bstate = bidi.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="unidirectional"):
         OnlineCTCDecoder(bidi, bparams, bstate, blank_id=5)
+
+
+@pytest.mark.parametrize("c", [0, 2])
+@pytest.mark.parametrize("chunk_len", [1, 5, 64])
+def test_online_spliced_dnn_matches_offline(c, chunk_len):
+    """Streaming DNN emission (c-frame lookahead, edge zero-splice) ==
+    offline Decoder on offline-spliced features, any chunking."""
+    from tfkaldi_tpu.decode.decoder import Decoder
+    from tfkaldi_tpu.decode.online import OnlineSplicedDecoder
+    from tfkaldi_tpu.frontend.cmvn import splice
+    from tfkaldi_tpu.models.dnn import DNN, DNNConfig
+
+    dim = 6
+    model = DNN(
+        DNNConfig(
+            input_dim=dim * (2 * c + 1), num_labels=7, num_hidden_layers=2,
+            num_hidden_units=16, batch_norm=True,
+        )
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["out"]["w"].shape) * 0.4
+    )
+    prior = np.full((7,), 1.0 / 7, np.float32)
+
+    rng = np.random.default_rng(6)
+    b, total = 3, 64
+    lengths = np.asarray([64, 37, 1], np.int32)
+    feats = rng.standard_normal((b, total, dim)).astype(np.float32)
+    for row, n in enumerate(lengths):
+        feats[row, n:] = 0
+
+    offline = np.asarray(
+        Decoder(model, params, state, prior).compute_batch(
+            np.asarray(splice(feats, c)), lengths
+        )
+    )
+
+    dec = OnlineSplicedDecoder(model, params, state, prior, context_width=c)
+    dec.reset(b)
+    got = [[] for _ in range(b)]
+    for pos in range(0, total, chunk_len):
+        ck = feats[:, pos : pos + chunk_len]
+        cl = np.clip(lengths - pos, 0, ck.shape[1]).astype(np.int32)
+        likes, nnew = dec.step(ck, cl)
+        for row in range(b):
+            got[row].append(likes[row, : nnew[row]])
+    likes, nnew = dec.flush()
+    for row in range(b):
+        got[row].append(likes[row, : nnew[row]])
+    for row in range(b):
+        g = np.concatenate(got[row], axis=0)
+        assert g.shape[0] == lengths[row]
+        np.testing.assert_allclose(
+            g, offline[row, : lengths[row]], rtol=0, atol=1e-5
+        )
+
+
+def test_online_spliced_requires_reset():
+    from tfkaldi_tpu.decode.online import OnlineSplicedDecoder
+    from tfkaldi_tpu.models.dnn import DNN, DNNConfig
+
+    model = DNN(DNNConfig(input_dim=6, num_labels=4, num_hidden_layers=1,
+                          num_hidden_units=8))
+    dec = OnlineSplicedDecoder(model, *model.init(jax.random.PRNGKey(0)),
+                               np.full((4,), 0.25, np.float32), context_width=1)
+    with pytest.raises(RuntimeError, match="reset"):
+        dec.step(np.zeros((1, 4, 6), np.float32), np.asarray([4]))
+    with pytest.raises(RuntimeError, match="reset"):
+        dec.flush()
+
+
+@pytest.mark.parametrize("chunk_len", [1, 5, 64])
+def test_online_ctc_beam_matches_offline(chunk_len):
+    """Streaming prefix beam search == offline ctc_beam_search_py on the
+    whole utterance, at any chunking (the beam state is the recursion's
+    only state, advanced by the shared beam_step)."""
+    from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
+    from tfkaldi_tpu.decode.online import OnlineCTCBeamDecoder
+
+    model = _model(GRU, num_labels=6)
+    params, state = _params(model, seed=3)
+    blank, beam = 5, 8
+    rng = np.random.default_rng(7)
+    b, total = 3, 48
+    lengths = np.asarray([48, 31, 1], np.int32)
+    x = rng.standard_normal((b, total, 8)).astype(np.float32)
+
+    logits, _ = model.apply(params, state, jnp.asarray(x),
+                            jnp.asarray(lengths), train=False)
+    log_probs = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(logits).astype(jnp.float32), axis=-1)
+    ).astype(np.float64)
+    offline = [
+        ctc_beam_search_py(log_probs[row, : int(n)], blank, beam)
+        for row, n in enumerate(lengths)
+    ]
+
+    dec = OnlineCTCBeamDecoder(model, params, state, blank, beam_width=beam)
+    dec.reset(b)
+    for pos in range(0, total, chunk_len):
+        ck = x[:, pos : pos + chunk_len]
+        cl = np.clip(lengths - pos, 0, ck.shape[1]).astype(np.int32)
+        dec.step(ck, cl)
+    got = dec.best()
+    for row in range(b):
+        np.testing.assert_array_equal(got[row], offline[row])
+
+
+def test_online_ctc_beam_stable_prefix_monotone():
+    """stable_prefixes() only ever grows and is always a prefix of the
+    final best hypothesis of the same stream."""
+    from tfkaldi_tpu.decode.online import OnlineCTCBeamDecoder
+
+    model = _model(LSTM, num_labels=6, num_layers=1)
+    params, state = _params(model, seed=4)
+    rng = np.random.default_rng(9)
+    b, total = 2, 40
+    x = rng.standard_normal((b, total, 8)).astype(np.float32)
+
+    dec = OnlineCTCBeamDecoder(model, params, state, blank_id=5, beam_width=4)
+    dec.reset(b)
+    prev = [np.zeros((0,), np.int32)] * b
+    for pos in range(0, total, 4):
+        ck = x[:, pos : pos + 4]
+        dec.step(ck, np.asarray([4, 4], np.int32))
+        stable = dec.stable_prefixes()
+        for row in range(b):
+            # monotone growth: previous stable is a prefix of the new one
+            n = prev[row].shape[0]
+            assert stable[row].shape[0] >= n
+            np.testing.assert_array_equal(stable[row][:n], prev[row])
+        prev = stable
+    final = dec.best()
+    for row in range(b):
+        n = prev[row].shape[0]
+        np.testing.assert_array_equal(final[row][:n], prev[row])
+
+
+def test_online_ctc_beam_requires_reset_and_unidirectional():
+    from tfkaldi_tpu.decode.online import OnlineCTCBeamDecoder
+
+    model = _model(GRU, num_labels=6)
+    params, state = _params(model)
+    dec = OnlineCTCBeamDecoder(model, params, state, blank_id=5)
+    with pytest.raises(RuntimeError, match="reset"):
+        dec.step(np.zeros((1, 4, 8), np.float32), np.asarray([4]))
+    with pytest.raises(RuntimeError, match="reset"):
+        dec.best()
+
+    bidi = _model(LSTM, bidirectional=True)
+    bparams, bstate = bidi.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="unidirectional"):
+        OnlineCTCBeamDecoder(bidi, bparams, bstate, blank_id=5)

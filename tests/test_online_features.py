@@ -212,3 +212,90 @@ def test_wav_to_text_streaming_equals_offline_pipeline():
         np.testing.assert_array_equal(
             np.asarray(got[row], np.int32), offline_ids[row]
         )
+
+
+@pytest.mark.parametrize("beam_width", [1, 8])
+def test_streaming_transcriber_equals_offline(beam_width):
+    """StreamingTranscriber (audio chunks -> features -> CMVN -> CTC) ends
+    at exactly the offline pipeline's transcripts, greedy and beam."""
+    import jax
+
+    from tfkaldi_tpu.decode import CTCDecoder, StreamingTranscriber
+    from tfkaldi_tpu.decode.online import OnlineCTCBeamDecoder  # noqa: F401
+    from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import GRU, RNNConfig
+
+    rate = 8000
+    opts = FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256)
+    ext = FeatureExtractor(opts, rate, spectrum_precision="high")
+
+    rng = np.random.default_rng(11)
+    lengths = np.asarray([8000, 5003])
+    sig = _signals(rng, lengths, 8000)
+
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    stats = cmvn_stats(off_feats, off_nf)
+    off_norm = np.asarray(apply_cmvn(off_feats, stats)).astype(np.float32)
+
+    blank = 7
+    model = GRU(
+        RNNConfig(input_dim=10, num_labels=8, num_layers=1, hidden_units=16,
+                  bidirectional=False, scan_unroll=1)
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["out"]["w"].shape) * 0.5
+    )
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    offline_ids = CTCDecoder(
+        model, params, state, _IdCoder(), blank, beam_width=beam_width
+    ).decode_batch(off_norm, off_nf)
+    offline_text = [_IdCoder().decode(ids) for ids in offline_ids]
+
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), blank,
+        cmvn=stats, beam_width=beam_width,
+    )
+    tx.reset(2)
+    for pos in range(0, 8000, 1000):
+        c = sig[:, pos : pos + 1000]
+        cl = np.clip(lengths - pos, 0, c.shape[1])
+        partial = tx.push(c, cl)
+        assert len(partial) == 2  # partials available mid-stream
+    final = tx.finish()
+    assert final == offline_text
+
+
+def test_streaming_transcriber_requires_reset():
+    import jax
+
+    from tfkaldi_tpu.decode import StreamingTranscriber
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import GRU, RNNConfig
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256),
+        8000,
+    )
+    model = GRU(
+        RNNConfig(input_dim=10, num_labels=8, num_layers=1, hidden_units=16,
+                  bidirectional=False, scan_unroll=1)
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), 7
+    )
+    with pytest.raises(RuntimeError, match="reset"):
+        tx.push(np.zeros((1, 100), np.float32), np.asarray([100]))
+    with pytest.raises(RuntimeError, match="reset"):
+        tx.finish()

@@ -2,6 +2,21 @@
 
 from tfkaldi_tpu.decode.ctc import CTCDecoder, collapse_ctc_path
 from tfkaldi_tpu.decode.decoder import Decoder
-from tfkaldi_tpu.decode.online import OnlineRecurrentDecoder
+from tfkaldi_tpu.decode.online import (
+    OnlineCTCBeamDecoder,
+    OnlineCTCDecoder,
+    OnlineRecurrentDecoder,
+    OnlineSplicedDecoder,
+    StreamingTranscriber,
+)
 
-__all__ = ["CTCDecoder", "Decoder", "OnlineRecurrentDecoder", "collapse_ctc_path"]
+__all__ = [
+    "CTCDecoder",
+    "Decoder",
+    "OnlineCTCBeamDecoder",
+    "OnlineCTCDecoder",
+    "OnlineRecurrentDecoder",
+    "OnlineSplicedDecoder",
+    "StreamingTranscriber",
+    "collapse_ctc_path",
+]

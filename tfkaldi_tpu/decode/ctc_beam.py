@@ -30,6 +30,66 @@ def _logsumexp2(a: float, b: float) -> float:
     return m + math.log1p(math.exp(-abs(a - b)))
 
 
+def initial_beams() -> dict[tuple, list[float]]:
+    """The beam state before any frame: the empty prefix, blank-ended
+    with probability 1."""
+    return {(): [0.0, _NEG_INF]}
+
+
+def beam_step(
+    beams: dict[tuple, list[float]],
+    frame: np.ndarray,
+    blank_id: int,
+    beam_width: int,
+) -> dict[tuple, list[float]]:
+    """Advance the prefix-beam state by ONE frame of log-posteriors.
+
+    ``beams`` maps prefix tuples to ``[log P(ends in blank), log P(ends in
+    non-blank)]``. Shared by the whole-utterance search below and the
+    streaming ``decode.online.OnlineCTCBeamDecoder`` — chunked decoding is
+    exactly the offline recursion because this is its only state.
+    """
+    # prune the vocabulary to labels that could matter this frame
+    order = np.argsort(frame)[::-1]
+    cand = order[: max(beam_width, 8)]
+    nxt: dict[tuple, list[float]] = {}
+
+    def acc(prefix, idx, val):
+        slot = nxt.get(prefix)
+        if slot is None:
+            slot = [_NEG_INF, _NEG_INF]
+            nxt[prefix] = slot
+        slot[idx] = _logsumexp2(slot[idx], val)
+
+    for prefix, (p_b, p_nb) in beams.items():
+        p_tot = _logsumexp2(p_b, p_nb)
+        last = prefix[-1] if prefix else None
+        for v in cand:
+            p = float(frame[v])
+            if v == blank_id:
+                acc(prefix, 0, p_tot + p)
+            elif v == last:
+                # repeat without separator extends the SAME prefix...
+                acc(prefix, 1, p_nb + p)
+                # ...and extends it only from the blank-ended mass
+                acc(prefix + (v,), 1, p_b + p)
+            else:
+                acc(prefix + (v,), 1, p_tot + p)
+    return dict(
+        sorted(
+            nxt.items(),
+            key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]),
+            reverse=True,
+        )[:beam_width]
+    )
+
+
+def best_prefix(beams: dict[tuple, list[float]]) -> np.ndarray:
+    """Highest-marginal prefix in a beam state, as int32 label ids."""
+    best = max(beams.items(), key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]))[0]
+    return np.asarray(best, dtype=np.int32)
+
+
 def ctc_beam_search_py(
     log_probs: np.ndarray, blank_id: int, beam_width: int = 16
 ) -> np.ndarray:
@@ -44,43 +104,7 @@ def ctc_beam_search_py(
         1-D int32 array of label ids (collapsed; no blanks).
     """
     log_probs = np.asarray(log_probs, dtype=np.float64)
-    t_len, _v = log_probs.shape
-    # beams: prefix tuple -> [log P(prefix ends in blank), ends in non-blank]
-    beams: dict[tuple, list[float]] = {(): [0.0, _NEG_INF]}
-    for t in range(t_len):
-        frame = log_probs[t]
-        # prune the vocabulary to labels that could matter this frame
-        order = np.argsort(frame)[::-1]
-        cand = order[: max(beam_width, 8)]
-        nxt: dict[tuple, list[float]] = {}
-
-        def acc(prefix, idx, val):
-            slot = nxt.get(prefix)
-            if slot is None:
-                slot = [_NEG_INF, _NEG_INF]
-                nxt[prefix] = slot
-            slot[idx] = _logsumexp2(slot[idx], val)
-
-        for prefix, (p_b, p_nb) in beams.items():
-            p_tot = _logsumexp2(p_b, p_nb)
-            last = prefix[-1] if prefix else None
-            for v in cand:
-                p = float(frame[v])
-                if v == blank_id:
-                    acc(prefix, 0, p_tot + p)
-                elif v == last:
-                    # repeat without separator extends the SAME prefix...
-                    acc(prefix, 1, p_nb + p)
-                    # ...and extends it only from the blank-ended mass
-                    acc(prefix + (v,), 1, p_b + p)
-                else:
-                    acc(prefix + (v,), 1, p_tot + p)
-        beams = dict(
-            sorted(
-                nxt.items(),
-                key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]),
-                reverse=True,
-            )[:beam_width]
-        )
-    best = max(beams.items(), key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]))[0]
-    return np.asarray(best, dtype=np.int32)
+    beams = initial_beams()
+    for t in range(log_probs.shape[0]):
+        beams = beam_step(beams, log_probs[t], blank_id, beam_width)
+    return best_prefix(beams)

@@ -156,3 +156,327 @@ class OnlineCTCDecoder:
             out.append(collapsed[collapsed != self.blank_id].astype(np.int32))
             self._prev[row] = p[-1]
         return out
+
+
+class OnlineCTCBeamDecoder:
+    """Streaming CTC prefix beam search for unidirectional LSTM/GRU.
+
+    The device emits each chunk's frame log-posteriors through the carried
+    recurrent state (one dispatch per chunk); the prefix-beam recursion
+    advances on the host frame by frame using the SAME ``beam_step`` as
+    the offline search (`decode/ctc_beam.py`), whose only state is the
+    prefix→(p_blank, p_nonblank) map — so the chunked decode is exactly
+    the offline `ctc_beam_search_py` on the concatenated utterance,
+    regardless of chunking. ``step`` returns the current best hypothesis
+    per row; ``stable_prefixes`` returns the committed part (the longest
+    prefix shared by every live beam entry), which can only grow and is
+    safe to surface to the user mid-utterance.
+
+    Usage::
+
+        dec = OnlineCTCBeamDecoder(model, params, state, blank_id, beam_width=16)
+        dec.reset(batch_size)
+        for chunk, lengths in feature_chunks:
+            best = dec.step(chunk, lengths)     # per-row current-best ids
+            stable = dec.stable_prefixes()      # per-row committed ids
+        final = dec.best()                      # == offline beam search
+    """
+
+    def __init__(
+        self, model, params, model_state, blank_id: int, beam_width: int = 16
+    ):
+        if model.config.bidirectional:
+            raise ValueError(
+                "online decoding requires a unidirectional model "
+                "(bidirectional = False)"
+            )
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.blank_id = int(blank_id)
+        self.beam_width = int(beam_width)
+        self._carry = None
+        self._beams = None
+
+        def compute(chunk, lengths, carry, params, model_state):
+            logits, new_carry = model.apply_stream(
+                params, model_state, chunk, lengths, carry
+            )
+            return (
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                new_carry,
+            )
+
+        self._fn = jax.jit(compute)
+
+    def reset(self, batch_size: int) -> None:
+        from tfkaldi_tpu.decode.ctc_beam import initial_beams
+
+        self._carry = self.model.init_stream_carry(batch_size)
+        self._beams = [initial_beams() for _ in range(batch_size)]
+
+    def step(self, chunk, lengths) -> list[np.ndarray]:
+        """``[B, Tc, F]`` chunk → per-row CURRENT-BEST label ids (the full
+        hypothesis so far, which may still change as frames arrive)."""
+        from tfkaldi_tpu.decode.ctc_beam import beam_step
+
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        chunk = np.asarray(chunk)
+        lengths = np.asarray(lengths, np.int32)
+        if chunk.shape[1] > 0:
+            log_probs, self._carry = self._fn(
+                jnp.asarray(chunk, jnp.float32),
+                jnp.asarray(lengths, jnp.int32),
+                self._carry,
+                self.params,
+                self.model_state,
+            )
+            # offline search runs in f64 (ctc_beam.py); match it exactly
+            log_probs = np.asarray(log_probs, np.float64)
+            for row in range(chunk.shape[0]):
+                for t in range(int(lengths[row])):
+                    self._beams[row] = beam_step(
+                        self._beams[row], log_probs[row, t],
+                        self.blank_id, self.beam_width,
+                    )
+        return self.best()
+
+    def best(self) -> list[np.ndarray]:
+        """Per-row highest-marginal hypothesis over all frames seen."""
+        from tfkaldi_tpu.decode.ctc_beam import best_prefix
+
+        if self._beams is None:
+            raise RuntimeError("call reset(batch_size) before best()")
+        return [best_prefix(b) for b in self._beams]
+
+    def stable_prefixes(self) -> list[np.ndarray]:
+        """Per-row committed label ids: the longest common prefix of every
+        live beam entry. Future frames only extend live prefixes, so this
+        can never shrink — safe for incremental display."""
+        if self._beams is None:
+            raise RuntimeError("call reset(batch_size) before stable_prefixes()")
+        out = []
+        for beams in self._beams:
+            prefixes = list(beams.keys())
+            common = prefixes[0]
+            for p in prefixes[1:]:
+                n = 0
+                for a, b in zip(common, p):
+                    if a != b:
+                        break
+                    n += 1
+                common = common[:n]
+                if not common:
+                    break
+            out.append(np.asarray(common, dtype=np.int32))
+        return out
+
+
+class StreamingTranscriber:
+    """Raw audio chunks → incremental CTC transcripts, end to end.
+
+    Packages the full streaming chain — ``frontend.online.
+    OnlineFeatureExtractor`` (frames emitted as their analysis windows
+    complete) → optional CMVN (precomputed speaker stats, as the offline
+    pipeline applies them, feature_reader.py:91-115) → streaming CTC
+    decoding (greedy for ``beam_width<=1``, prefix beam search otherwise)
+    — behind one push/finish API. The final transcripts equal the offline
+    batched pipeline's (FeatureExtractor → apply_cmvn → CTCDecoder) on
+    the concatenated audio; the per-push partials are usable mid-stream.
+
+    Usage::
+
+        tx = StreamingTranscriber(online_extractor, model, params, state,
+                                  coder, blank_id, cmvn=stats, beam_width=8)
+        tx.reset(batch_size)
+        for chunk, lengths in audio_chunks:      # [B, S], [B]
+            partial = tx.push(chunk, lengths)    # list[str], so far
+        final = tx.finish()                      # list[str]
+    """
+
+    def __init__(
+        self,
+        online_extractor,  # frontend.online.OnlineFeatureExtractor
+        model, params, model_state, coder, blank_id: int,
+        *, cmvn: np.ndarray | None = None, beam_width: int = 1,
+    ):
+        self.extractor = online_extractor
+        self.coder = coder
+        self.cmvn = None if cmvn is None else np.asarray(cmvn)
+        self.beam_width = int(beam_width)
+        if self.beam_width > 1:
+            self._dec = OnlineCTCBeamDecoder(
+                model, params, model_state, blank_id, beam_width=self.beam_width
+            )
+        else:
+            self._dec = OnlineCTCDecoder(model, params, model_state, blank_id)
+        self._ids = None
+
+    def reset(self, batch_size: int) -> None:
+        self.extractor.reset(batch_size)
+        self._dec.reset(batch_size)
+        self._ids = [[] for _ in range(batch_size)]
+
+    def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
+        if self.cmvn is not None:
+            from tfkaldi_tpu.frontend.cmvn import apply_cmvn
+
+            feats = np.asarray(apply_cmvn(feats, self.cmvn))
+        feats = feats.astype(np.float32)
+        if self.beam_width > 1:
+            ids = self._dec.step(feats, n_new)
+            return [self.coder.decode(row) for row in ids]
+        for row, new_ids in enumerate(self._dec.step(feats, n_new)):
+            self._ids[row].extend(new_ids.tolist())
+        return [
+            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
+        ]
+
+    def push(self, audio_chunk, lengths) -> list[str]:
+        """``[B, S]`` audio samples (``lengths`` valid per row) → current
+        partial transcripts."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before push()")
+        return self._feed(*self.extractor.step(audio_chunk, lengths))
+
+    def finish(self) -> list[str]:
+        """Flush the feature tail through the decoder; final transcripts."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before finish()")
+        out = self._feed(*self.extractor.flush())
+        self._ids = None
+        return out
+
+
+class OnlineSplicedDecoder:
+    """Streaming likelihood emission for the frame-independent DNN family.
+
+    The DNN consumes CMVN'd features spliced with ±``context_width``
+    neighbor frames (reference feature_reader.py:117-156); in eval mode it
+    is per-frame independent (stored BN statistics, no time coupling), so
+    streaming needs only a ``context_width``-frame LOOKAHEAD: frame ``t``
+    is emitted once frame ``t + c`` has arrived, with the splice's zero
+    padding applied at the stream edges — the left edge immediately, the
+    right edge at ``flush()``. Emitted log pseudo-likelihoods equal the
+    offline batched ``Decoder`` on offline-spliced features.
+
+    Usage::
+
+        dec = OnlineSplicedDecoder(model, params, state, prior, context_width)
+        dec.reset(batch_size)
+        for feats, lengths in feature_chunks:      # [B, Tc, F] unspliced
+            likes, n_new = dec.step(feats, lengths)
+        likes, n_new = dec.flush()                 # last c frames per row
+    """
+
+    def __init__(
+        self, model, params, model_state, prior: np.ndarray,
+        context_width: int, frame_bucket: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.prior = np.asarray(prior, dtype=np.float32)
+        self.c = int(context_width)
+        self.frame_bucket = int(frame_bucket)
+        self._buf = None
+
+        def compute(spliced, lengths, params, model_state):
+            logits, _ = model.apply(params, model_state, spliced, lengths, train=False)
+            posteriors = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            likes = posteriors / jnp.asarray(self.prior)[None, None, :]
+            likes = jnp.where(likes == 0, _EPS, likes)  # nnet.py:283, fixed
+            return jnp.log(likes)
+
+        self._fn = jax.jit(compute)
+
+    def reset(self, batch_size: int) -> None:
+        # buffers hold frames from global index max(0, emitted - c) on;
+        # _start tracks the global index of each buffer's first frame
+        self._buf = [None] * batch_size
+        self._start = np.zeros((batch_size,), np.int64)
+        self._total = np.zeros((batch_size,), np.int64)
+        self._emitted = np.zeros((batch_size,), np.int64)
+
+    def _emit(self, navail: np.ndarray):
+        c = self.c
+        b = len(self._buf)
+        t_new = int(navail.max(initial=0))
+        if t_new == 0:
+            return (
+                np.zeros((b, 0, self.prior.shape[0]), np.float32),
+                navail.astype(np.int32),
+            )
+        t_pad = -(-t_new // self.frame_bucket) * self.frame_bucket
+        dim = next(f.shape[1] for f in self._buf if f is not None)
+        spliced = np.zeros((b, t_pad, dim * (2 * c + 1)), np.float32)
+        for row, n in enumerate(navail):
+            n = int(n)
+            if n == 0:
+                continue
+            e = int(self._emitted[row])
+            # span covers global [e - c, e + n - 1 + c]; zeros on the left
+            # edge replicate the offline splice's boundary padding
+            lead = max(0, c - e)
+            first = int(e - c + lead - self._start[row])  # buffer index of span start
+            span = self._buf[row][first : first + (n + 2 * c - lead)]
+            if lead:
+                span = np.concatenate(
+                    [np.zeros((lead, span.shape[1]), span.dtype), span]
+                )
+            win = np.lib.stride_tricks.sliding_window_view(span, 2 * c + 1, axis=0)
+            spliced[row, :n] = win.transpose(0, 2, 1).reshape(n, -1)
+            self._emitted[row] = e + n
+            keep_from = int(max(0, self._emitted[row] - c) - self._start[row])
+            if keep_from > 0:
+                self._buf[row] = self._buf[row][keep_from:]
+                self._start[row] += keep_from
+        likes = np.asarray(
+            self._fn(
+                jnp.asarray(spliced),
+                jnp.asarray(navail, jnp.int32),
+                self.params,
+                self.model_state,
+            )
+        )
+        return likes, navail.astype(np.int32)
+
+    def step(self, feats, lengths):
+        """``[B, Tc, F]`` unspliced CMVN'd feature chunk (``lengths`` valid
+        frames per row) → ``([B, T, O]`` log pseudo-likelihoods, counts``)``
+        for every frame whose right context is now complete."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        feats = np.asarray(feats, np.float32)
+        lengths = np.asarray(lengths, np.int64)
+        navail = np.zeros((len(self._buf),), np.int64)
+        for row, n in enumerate(lengths):
+            n = int(n)
+            if n > 0:
+                new = feats[row, :n]
+                self._buf[row] = (
+                    new.copy()
+                    if self._buf[row] is None
+                    else np.concatenate([self._buf[row], new])
+                )
+                self._total[row] += n
+            navail[row] = max(0, self._total[row] - self.c - self._emitted[row])
+        return self._emit(navail)
+
+    def flush(self):
+        """Emit the last ``c`` frames per row with the offline splice's
+        zero right-edge padding, then require ``reset``."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before flush()")
+        rem = self._total - self._emitted
+        if self.c > 0:
+            for row, r in enumerate(rem):
+                if r > 0:
+                    dim = self._buf[row].shape[1]
+                    self._buf[row] = np.concatenate(
+                        [self._buf[row], np.zeros((self.c, dim), np.float32)]
+                    )
+        out = self._emit(rem.astype(np.int64))
+        self._buf = None
+        return out
