@@ -245,6 +245,49 @@ def bench_cnn_tpu() -> float:
     return fps
 
 
+def bench_conformer_tpu() -> float:
+    """Conformer family train throughput (beyond the reference): 12-block
+    Conformer (d=256, 4 heads, ffn 1024, depthwise k=15) over raw 40-dim
+    fbank, CE, batch 32×512. Every projection/attention/FFN contraction is
+    a static-shape bf16 MXU matmul with f32 accumulation; the f32 softmax
+    and masked conv BN run on the VPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import Transformer, TransformerConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f = 32, 512, 40
+    model = Transformer(TransformerConfig(
+        input_dim=f, num_labels=O, num_blocks=12, d_model=256, num_heads=4,
+        ffn_dim=1024, conformer=True, conv_kernel=15,
+        compute_dtype=jnp.bfloat16,
+    ))
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=1e-3, num_steps=1000))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, O, (b, t)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), t, jnp.int32),
+    )
+    state, loss = trainer.update(state, batch)
+    _ = float(loss)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    fps = b * t / best
+    print(f"[bench] conformer train: {best * 1000:.1f} ms/step -> {fps:,.0f} frames/s",
+          file=sys.stderr)
+    return fps
+
+
 def bench_decode_tpu() -> dict:
     """Likelihood-emission throughput: the fused forward → softmax → ÷prior
     → eps-floor → log chain (decode/decoder.py) on the flagship DNN,
@@ -739,6 +782,28 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] cnn bench failed: {e}", file=sys.stderr)
 
+    # Conformer family (beyond the reference — no counterpart exists;
+    # ratio vs the same-process LSTM step, the sequence family it
+    # supersedes in modern recipes). Non-fatal.
+    conformer_line = None
+    try:
+        conf_fps = bench_conformer_tpu()
+        if lstm_line is not None:
+            conf_base = {"value": lstm_line["value"],
+                         "source": "same-process LSTM step (the sequence family conformers replace)"}
+        else:
+            conf_base = dict(LSTM_BASELINE)
+        conformer_line = {
+            "metric": "conformer_train_throughput",
+            "value": round(conf_fps, 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(conf_fps / conf_base["value"], 2),
+            "baseline": conf_base,
+        }
+        print(json.dumps(conformer_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] conformer bench failed: {e}", file=sys.stderr)
+
     # decode-emission throughput (reference structure = batch-1 dispatches;
     # the ratio is the batching win). Non-fatal.
     decode_line = None
@@ -814,6 +879,8 @@ def main() -> None:
         extra["tdnn_train_throughput"] = tdnn_line
     if cnn_line is not None:
         extra["cnn_train_throughput"] = cnn_line
+    if conformer_line is not None:
+        extra["conformer_train_throughput"] = conformer_line
     if decode_line is not None:
         extra["decode_throughput"] = decode_line
     if ctc_line is not None:

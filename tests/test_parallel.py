@@ -81,13 +81,21 @@ def test_multi_step_training_descends_on_mesh():
     assert losses[-1] < losses[0]
 
 
-@pytest.mark.parametrize("family", ["tdnn", "cnn"])
+@pytest.mark.parametrize("family", ["tdnn", "cnn", "transformer", "conformer"])
 def test_mesh_step_matches_single_device_new_families(family):
-    """The TDNN/CNN families shard with the same rules (dense stack over
-    `model`, conv filters replicated) and must match single-device."""
-    from tfkaldi_tpu.models import CNN, CNNConfig, TDNN, TDNNConfig
+    """The TDNN/CNN/Transformer families shard with the same rules (dense
+    stack / attention heads / FFN over `model`, conv filters replicated)
+    and must match single-device."""
+    from tfkaldi_tpu.models import (
+        CNN, CNNConfig, TDNN, TDNNConfig, Transformer, TransformerConfig,
+    )
 
-    if family == "tdnn":
+    if family in ("transformer", "conformer"):
+        model = Transformer(TransformerConfig(
+            input_dim=24, num_labels=10, num_blocks=2, d_model=16,
+            num_heads=2, ffn_dim=32, conformer=family == "conformer",
+        ))
+    elif family == "tdnn":
         model = TDNN(TDNNConfig(
             input_dim=24, num_labels=10, num_hidden_layers=2,
             num_hidden_units=32, context="-1,0,1;-3,0,3",

@@ -1,0 +1,264 @@
+"""Transformer/Conformer acoustic model family (models/transformer.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfkaldi_tpu.data.batching import PaddedBatch
+from tfkaldi_tpu.models import Transformer, TransformerConfig
+from tfkaldi_tpu.models.transformer import sinusoidal_positions
+from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+
+def _model(**over):
+    cfg = dict(
+        input_dim=8, num_labels=5, num_blocks=2, d_model=16, num_heads=2,
+        ffn_dim=32,
+    )
+    cfg.update(over)
+    return Transformer(TransformerConfig(**cfg))
+
+
+def _rand_params(model, seed=0):
+    params, state = model.init(jax.random.PRNGKey(seed))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(seed + 1), params["out"]["w"].shape)
+        * 0.3
+    )
+    return params, state
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        TransformerConfig(input_dim=8, num_labels=5, d_model=16, num_heads=3)
+    with pytest.raises(ValueError, match="odd"):
+        TransformerConfig(
+            input_dim=8, num_labels=5, conformer=True, conv_kernel=4
+        )
+
+
+def test_shapes_state_and_zero_init_output():
+    model = _model(conformer=True)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert state["bn_conv_mean"].shape == (2, 16)
+    np.testing.assert_array_equal(np.asarray(params["out"]["w"]), 0.0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, 8)), jnp.float32)
+    lengths = jnp.asarray([12, 7], jnp.int32)
+    logits, new_state = model.apply(params, state, x, lengths, train=True,
+                                    dropout_rng=jax.random.PRNGKey(1))
+    assert logits.shape == (2, 12, 5)
+    # zero-init output layer -> zero logits at init (family convention)
+    np.testing.assert_allclose(np.asarray(logits), 0.0, atol=1e-6)
+    # training updates conformer conv BN stats
+    assert not np.allclose(np.asarray(new_state["bn_conv_mean"]), 0.0)
+
+
+@pytest.mark.parametrize("conformer", [False, True])
+def test_padding_invariance(conformer):
+    """Valid-frame logits must not depend on the amount OR the content of
+    padding (masked attention keys, masked conv input, inter-block
+    re-masking)."""
+    model = _model(conformer=conformer)
+    params, state = _rand_params(model)
+    rng = np.random.default_rng(1)
+    b, t, f = 3, 20, 8
+    lengths = np.asarray([20, 13, 4], np.int32)
+    x = rng.standard_normal((b, t, f)).astype(np.float32)
+
+    base, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(lengths),
+                          train=False)
+    base = np.asarray(base)
+
+    # garbage in the padding
+    x_garbage = x.copy()
+    for row, n in enumerate(lengths):
+        x_garbage[row, n:] = 1e3 * rng.standard_normal((t - n, f))
+    got, _ = model.apply(params, state, jnp.asarray(x_garbage),
+                         jnp.asarray(lengths), train=False)
+    for row, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(got)[row, :n], base[row, :n], rtol=0, atol=1e-5
+        )
+
+    # longer padding
+    x_long = np.concatenate([x, np.zeros((b, 9, f), np.float32)], axis=1)
+    got, _ = model.apply(params, state, jnp.asarray(x_long),
+                         jnp.asarray(lengths), train=False)
+    for row, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(got)[row, :n], base[row, :n], rtol=0, atol=1e-5
+        )
+
+
+def test_rows_are_independent():
+    model = _model()
+    params, state = _rand_params(model)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 10, 8)).astype(np.float32)
+    lengths = jnp.asarray([10, 10], jnp.int32)
+    a, _ = model.apply(params, state, jnp.asarray(x), lengths, train=False)
+    x2 = x.copy()
+    x2[1] = rng.standard_normal((10, 8))
+    b, _ = model.apply(params, state, jnp.asarray(x2), lengths, train=False)
+    np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(b)[0])
+    assert not np.allclose(np.asarray(a)[1], np.asarray(b)[1])
+
+
+def test_numpy_oracle_single_block():
+    """Full forward (1 block, plain transformer) against an independent
+    numpy implementation: in_proj+PE -> preLN MHSA -> preLN FFN -> final
+    LN -> output layer."""
+    model = _model(num_blocks=1, d_model=8, num_heads=2, ffn_dim=12)
+    params, state = _rand_params(model, seed=5)
+    rng = np.random.default_rng(3)
+    b, t, f = 2, 6, 8
+    lengths = np.asarray([6, 4], np.int32)
+    x = rng.standard_normal((b, t, f)).astype(np.float32)
+
+    got, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(lengths),
+                         train=False)
+    got = np.asarray(got)
+
+    p = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+
+    def ln(h, g, bb, eps=1e-6):
+        m = h.mean(-1, keepdims=True)
+        v = ((h - m) ** 2).mean(-1, keepdims=True)
+        return (h - m) / np.sqrt(v + eps) * g + bb
+
+    mask = (np.arange(t)[None, :] < lengths[:, None])
+    h = x.astype(np.float64) @ p["in_proj"]["w"] + p["in_proj"]["b"]
+    h = h + sinusoidal_positions(t, 8).astype(np.float64)
+    h = h * mask[:, :, None]
+    blk = p["blocks"][0]
+
+    z = ln(h, blk["ln_attn"]["g"], blk["ln_attn"]["b"])
+    a = blk["attn"]
+    q = (z @ a["wq"] + a["bq"]).reshape(b, t, 2, 4)
+    k = (z @ a["wk"] + a["bk"]).reshape(b, t, 2, 4)
+    v = (z @ a["wv"] + a["bv"]).reshape(b, t, 2, 4)
+    scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(4.0)
+    scores = np.where(mask[:, None, None, :], scores, -1e30)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    ctx = np.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, 8)
+    h = h + (ctx @ a["wo"] + a["bo"])
+
+    z = ln(h, blk["ln_ffn"]["g"], blk["ln_ffn"]["b"])
+    u = z @ blk["ffn"]["w1"] + blk["ffn"]["b1"]
+    u = u / (1 + np.exp(-u))  # swish
+    h = h + (u @ blk["ffn"]["w2"] + blk["ffn"]["b2"])
+    h = h * mask[:, :, None]
+
+    h = ln(h, p["ln_final"]["g"], p["ln_final"]["b"])
+    want = h @ p["out"]["w"] + p["out"]["b"]
+
+    for row, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            got[row, :n], want[row, :n], rtol=0, atol=2e-4
+        )
+
+
+def test_dropout_needs_rng_and_is_deterministic():
+    model = _model(dropout=0.5)
+    params, state = _rand_params(model)
+    x = jnp.ones((1, 4, 8), jnp.float32)
+    lengths = jnp.asarray([4], jnp.int32)
+    with pytest.raises(ValueError, match="dropout_rng"):
+        model.apply(params, state, x, lengths, train=True)
+    a, _ = model.apply(params, state, x, lengths, train=True,
+                       dropout_rng=jax.random.PRNGKey(7))
+    b_, _ = model.apply(params, state, x, lengths, train=True,
+                        dropout_rng=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_reinit_output_layer():
+    model = _model()
+    params, _ = _rand_params(model)
+    out = model.reinit_output_layer(params)
+    np.testing.assert_array_equal(np.asarray(out["out"]["w"]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(out["blocks"][0]["attn"]["wq"]),
+        np.asarray(params["blocks"][0]["attn"]["wq"]),
+    )
+
+
+@pytest.mark.parametrize("conformer", [False, True])
+def test_trains_on_learnable_synthetic(conformer):
+    model = _model(conformer=conformer, num_blocks=2)
+    trainer = Trainer(model, TrainerConfig(init_learning_rate=0.02, num_steps=50))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    label_map = rng.standard_normal((8, 5))
+    x = rng.standard_normal((8, 30, 8)).astype(np.float32)
+    y = np.argmax(x @ label_map, axis=-1).astype(np.int32)
+    lengths = np.full(8, 30, np.int32)
+    batch = PaddedBatch(jnp.asarray(x), jnp.asarray(y), jnp.asarray(lengths),
+                        jnp.asarray(lengths))
+    losses = []
+    for _ in range(25):
+        state, loss = trainer.update(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[:: max(len(losses) // 5, 1)]
+
+
+def test_nnet_selector_and_full_train_decode(tmp_path):
+    """`model = transformer` drives the whole pipeline: controller
+    training, prior, batched likelihood decode to ark."""
+    from configparser import ConfigParser
+
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.data import AlignmentBatchDispenser, AlignmentCoder, FeatureReader
+    from tfkaldi_tpu.data.target_normalizers import identity_normalizer
+    from tfkaldi_tpu.io import ArkReader, ArkWriter
+    from tfkaldi_tpu.nnet import Nnet
+
+    featdir, alifile, info = make_featdir(tmp_path, learnable=True)
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": str(tmp_path / "exp")}
+    cfg["nnet"] = {
+        "name": "xfnet", "model": "transformer", "context_width": "0",
+        "num_blocks": "2", "d_model": "16", "num_heads": "2",
+        "ffn_dim": "32", "conformer": "True",
+        "add_layer_period": "0", "starting_step": "0", "nonlin": "relu",
+        "l2_norm": "False", "dropout": "1", "batch_norm": "True",
+        "num_epochs": "2", "initial_learning_rate": "0.01",
+        "learning_rate_decay": "1", "batch_size": "4",
+        "numutterances_per_minibatch": "-1", "valid_batches": "1",
+        "valid_frequency": "4", "valid_adapt": "False", "valid_retries": "0",
+        "check_freq": "10", "visualise": "False",
+    }
+
+    def reader():
+        return FeatureReader(
+            f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk", 0, 60
+        )
+
+    coder = AlignmentCoder(identity_normalizer, info["num_labels"])
+    disp = AlignmentBatchDispenser(reader(), coder, 4, alifile)
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=info["num_labels"])
+    net.train(disp)
+
+    writer = ArkWriter(str(tmp_path / "likes.scp"), str(tmp_path / "likes.ark"))
+    n = net.decode(reader(), writer)
+    assert n == 12
+    back = ArkReader(str(tmp_path / "likes.scp"))
+    _, mat, _ = back.read_next_utt()
+    assert mat.shape[1] == info["num_labels"] and np.isfinite(mat).all()
+
+
+def test_layerwise_init_rejected():
+    from configparser import ConfigParser
+
+    from tfkaldi_tpu.nnet import Nnet
+
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": "/tmp/xfnet-reject"}
+    cfg["nnet"] = {
+        "name": "x", "model": "transformer", "context_width": "0",
+        "add_layer_period": "5",
+    }
+    with pytest.raises(ValueError, match="layerwise"):
+        Nnet(cfg, input_dim=8, num_labels=5)

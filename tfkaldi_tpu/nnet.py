@@ -8,6 +8,7 @@ and the layerwise/validation/checkpoint knobs.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 
@@ -82,6 +83,18 @@ class Nnet:
                 self.conf, self.input_dim, output_dim,
                 num_channels=2 * context_width + 1,
             ))
+        elif model_type in ("transformer", "conformer"):
+            # self-attention encoder (models/transformer.py); `conformer =
+            # True` (or `model = conformer`) adds the macaron FFNs + the
+            # depthwise conv module
+            from tfkaldi_tpu.models import Transformer, TransformerConfig
+
+            if int(self.conf.get("add_layer_period", 0)) > 0:
+                raise ValueError("layerwise init (add_layer_period) requires model = dnn")
+            cfg = TransformerConfig.from_config(self.conf, self.input_dim, output_dim)
+            if model_type == "conformer" and not cfg.conformer:
+                cfg = dataclasses.replace(cfg, conformer=True)
+            self.model = Transformer(cfg)
         elif model_type == "dnn":
             self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))
         else:

@@ -49,6 +49,34 @@ def _param_shardings(params: Any, mesh: Mesh) -> Any:
     def ns(spec):
         return NamedSharding(mesh, spec)
 
+    if "blocks" in params:
+        # transformer/conformer: Megatron-style split — attention heads
+        # (qkv columns / output rows) and the FFN up/down projections
+        # shard over 'model'; LN, conv module and biases-of-row-sharded
+        # matmuls replicate
+        def block_sh(blk):
+            sh = jax.tree.map(lambda _: ns(P()), blk)
+            for f in ("ffn", "ffn1"):
+                if f in blk:
+                    sh[f] = {
+                        "w1": ns(P(None, "model")), "b1": ns(P("model")),
+                        "w2": ns(P("model", None)), "b2": ns(P()),
+                    }
+            sh["attn"] = {
+                "wq": ns(P(None, "model")), "bq": ns(P("model")),
+                "wk": ns(P(None, "model")), "bk": ns(P("model")),
+                "wv": ns(P(None, "model")), "bv": ns(P("model")),
+                "wo": ns(P("model", None)), "bo": ns(P()),
+            }
+            return sh
+
+        return {
+            "in_proj": jax.tree.map(lambda _: ns(P()), params["in_proj"]),
+            "blocks": [block_sh(blk) for blk in params["blocks"]],
+            "ln_final": jax.tree.map(lambda _: ns(P()), params["ln_final"]),
+            "out": {"w": ns(P()), "b": ns(P())},
+        }
+
     if "hidden" not in params:
         # non-DNN models (e.g. the LSTM, whose 4H gate blocks interleave
         # i/f/g/o): replicate params — they train data-parallel, grads
