@@ -140,3 +140,131 @@ def test_service_quarantines_bad_jobs(trained, tmp_path):
     failed.unlink()
     assert service.process_pending() == 0
     assert failed.exists()
+
+
+def test_streaming_server_matches_offline_pipeline():
+    """StreamingServer: PCM chunks over a real socket -> partials + final;
+    final == the offline batched pipeline's transcript."""
+    import threading
+
+    import jax
+
+    from tfkaldi_tpu.decode import CTCDecoder, StreamingTranscriber
+    from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import GRU, RNNConfig
+    from tfkaldi_tpu.serve import StreamingServer, stream_transcribe
+
+    rate = 8000
+    opts = FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256)
+    ext = FeatureExtractor(opts, rate, spectrum_precision="high")
+    rng = np.random.default_rng(21)
+    n = 6500
+    sig = np.zeros((1, 8000), np.float32)
+    sig[0, :n] = rng.standard_normal(n).astype(np.float32)
+    lengths = np.asarray([n])
+
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    stats = cmvn_stats(off_feats, off_nf)
+    off_norm = np.asarray(apply_cmvn(off_feats, stats)).astype(np.float32)
+
+    blank = 7
+    model = GRU(RNNConfig(input_dim=10, num_labels=8, num_layers=1,
+                          hidden_units=16, bidirectional=False, scan_unroll=1))
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["out"]["w"].shape) * 0.5
+    )
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    offline_ids = CTCDecoder(model, params, state, _IdCoder(), blank).decode_batch(
+        off_norm, off_nf
+    )
+    offline_text = _IdCoder().decode(offline_ids[0])
+
+    server = StreamingServer(
+        lambda: StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(),
+            blank, cmvn=stats,
+        ),
+        pool_size=1,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # two sequential sessions through the same pooled transcriber:
+        # state must fully reset between utterances
+        for _ in range(2):
+            gen = stream_transcribe(server.host, server.port, sig[0, :n], 1000)
+            partials = []
+            try:
+                while True:
+                    partials.append(next(gen))
+            except StopIteration as stop:
+                final = stop.value
+            assert len(partials) == -(-n // 1000)
+            assert final == offline_text
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
+def test_streaming_server_reports_errors():
+    """A malformed message type surfaces as an E reply, and the pooled
+    transcriber survives for the next session."""
+    import socket as socketlib
+    import threading
+
+    import jax
+
+    from tfkaldi_tpu.decode import StreamingTranscriber
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import GRU, RNNConfig
+    from tfkaldi_tpu.serve import (
+        MSG_ERROR, StreamingServer, _recv_msg, _send_msg, stream_transcribe,
+    )
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256),
+        8000,
+    )
+    model = GRU(RNNConfig(input_dim=10, num_labels=8, num_layers=1,
+                          hidden_units=16, bidirectional=False, scan_unroll=1))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    server = StreamingServer(
+        lambda: StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), 7
+        ),
+        pool_size=1,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socketlib.create_connection((server.host, server.port)) as sock:
+            _send_msg(sock, b"Z", b"junk")
+            mtype, payload = _recv_msg(sock)
+            assert mtype == MSG_ERROR
+            assert b"unknown message type" in payload
+        # the pool must have recovered the transcriber
+        gen = stream_transcribe(
+            server.host, server.port,
+            np.zeros((4000,), np.float32), 1000,
+        )
+        try:
+            while True:
+                next(gen)
+        except StopIteration as stop:
+            assert isinstance(stop.value, str)
+    finally:
+        server.close()
+        t.join(timeout=5)

@@ -150,3 +150,160 @@ class DecodeService:
         while not stop():
             if self.process_pending() == 0:
                 time.sleep(poll_seconds)
+
+
+# ----------------------------------------------------------------------
+# Low-latency streaming service (socket, partial transcripts per chunk)
+# ----------------------------------------------------------------------
+
+MSG_AUDIO = b"A"  # client -> server: float32 LE PCM samples
+MSG_FINISH = b"F"  # client -> server: end of utterance
+MSG_PARTIAL = b"P"  # server -> client: partial transcript (UTF-8)
+MSG_FINAL = b"T"  # server -> client: final transcript (UTF-8)
+MSG_ERROR = b"E"  # server -> client: error text (UTF-8), then close
+
+_HDR = 5  # 1-byte type + 4-byte big-endian payload length
+
+
+def _send_msg(sock, mtype: bytes, payload: bytes) -> None:
+    import struct
+
+    sock.sendall(mtype + struct.pack(">I", len(payload)) + payload)
+
+
+def _recv_exact(sock, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        part = sock.recv(n - len(buf))
+        if not part:
+            return None
+        buf += part
+    return buf
+
+
+def _recv_msg(sock, max_payload: int = 1 << 26):
+    import struct
+
+    hdr = _recv_exact(sock, _HDR)
+    if hdr is None:
+        return None, None
+    (length,) = struct.unpack(">I", hdr[1:])
+    if length > max_payload:
+        raise ValueError(f"oversized message: {length} bytes")
+    return hdr[:1], _recv_exact(sock, length) if length else b""
+
+
+class StreamingServer:
+    """Socket front-end for ``decode.online.StreamingTranscriber``.
+
+    The reference has no serving story at all (decode rebuilds a batch-1
+    TF graph per run, decoder.py:8-47); ``DecodeService`` above is the
+    batch spool, and this is the LOW-LATENCY counterpart: one TCP
+    connection per utterance, float32 PCM chunks in, a partial transcript
+    after every chunk, the final transcript on finish. Wire format (all
+    integers big-endian): ``type:1 | length:4 | payload``; client sends
+    ``A`` (audio) / ``F`` (finish), server answers ``P`` (partial) /
+    ``T`` (final) / ``E`` (error).
+
+    Transcribers hold per-stream state (feature buffers, recurrent carry,
+    beams), so the server keeps a pool of them; a connection checks one
+    out for its whole utterance and returns it on close. ``pool_size``
+    bounds concurrent utterances (further connections queue on accept).
+    Keep the client's audio chunk size fixed — each distinct chunk length
+    compiles its own device program (static shapes under jit).
+    """
+
+    def __init__(
+        self,
+        make_transcriber,  # () -> decode.online.StreamingTranscriber
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        pool_size: int = 1,
+    ):
+        import queue
+        import socket as socketlib
+
+        self._pool: "queue.Queue" = queue.Queue()
+        for _ in range(pool_size):
+            self._pool.put(make_transcriber())
+        self._sock = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+        self._sock.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen()
+        self.host, self.port = self._sock.getsockname()
+        self._closing = False
+
+    # ------------------------------------------------------------------
+
+    def _handle(self, conn) -> None:
+        tx = self._pool.get()
+        try:
+            tx.reset(1)
+            while True:
+                mtype, payload = _recv_msg(conn)
+                if mtype is None:  # client hung up mid-stream
+                    return
+                if mtype == MSG_AUDIO:
+                    samples = np.frombuffer(payload, dtype="<f4")
+                    partial = tx.push(samples[None, :], np.asarray([len(samples)]))
+                    _send_msg(conn, MSG_PARTIAL, partial[0].encode())
+                elif mtype == MSG_FINISH:
+                    final = tx.finish()
+                    _send_msg(conn, MSG_FINAL, final[0].encode())
+                    return
+                else:
+                    raise ValueError(f"unknown message type {mtype!r}")
+        except Exception as exc:  # noqa: BLE001 — surfaced to the client
+            log.exception("streaming session failed")
+            try:
+                _send_msg(conn, MSG_ERROR, str(exc).encode())
+            except OSError:
+                pass
+        finally:
+            conn.close()
+            self._pool.put(tx)  # reset(1) on next checkout clears any state
+
+    def serve_forever(self, stop=lambda: False, poll_seconds: float = 0.2) -> None:
+        """Accept loop; one thread per connection. Returns when ``stop()``
+        is True (checked between accepts) or ``close()`` is called."""
+        import threading
+
+        self._sock.settimeout(poll_seconds)
+        while not (stop() or self._closing):
+            try:
+                conn, _ = self._sock.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return  # closed
+            threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+
+    def close(self) -> None:
+        self._closing = True
+        self._sock.close()
+
+
+def stream_transcribe(
+    host: str, port: int, samples: np.ndarray, chunk_size: int
+):
+    """Client helper: stream ``samples`` (float32 PCM) in fixed-size
+    chunks; yields each partial transcript, then returns the final via
+    StopIteration.value (use ``yield from`` or collect the generator)."""
+    import socket as socketlib
+
+    samples = np.ascontiguousarray(samples, dtype="<f4")
+    with socketlib.create_connection((host, port)) as sock:
+        for pos in range(0, len(samples), chunk_size):
+            _send_msg(sock, MSG_AUDIO, samples[pos : pos + chunk_size].tobytes())
+            mtype, payload = _recv_msg(sock)
+            if mtype == MSG_ERROR:
+                raise RuntimeError(payload.decode())
+            assert mtype == MSG_PARTIAL, mtype
+            yield payload.decode()
+        _send_msg(sock, MSG_FINISH, b"")
+        mtype, payload = _recv_msg(sock)
+        if mtype == MSG_ERROR:
+            raise RuntimeError(payload.decode())
+        assert mtype == MSG_FINAL, mtype
+        return payload.decode()
