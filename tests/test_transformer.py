@@ -262,3 +262,140 @@ def test_layerwise_init_rejected():
     }
     with pytest.raises(ValueError, match="layerwise"):
         Nnet(cfg, input_dim=8, num_labels=5)
+
+
+# ----------------------------------------------------------------------
+# time-restricted attention + streaming
+# ----------------------------------------------------------------------
+
+
+def test_right_context_zero_is_causal():
+    """With attention_right_context = 0 (+ causal conv), changing future
+    frames must not change current logits."""
+    model = _model(conformer=True, causal_conv=True, conv_kernel=5,
+                   left_context=4, right_context=0)
+    params, state = _rand_params(model)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 12, 8)).astype(np.float32)
+    lengths = jnp.asarray([12], jnp.int32)
+    base, _ = model.apply(params, state, jnp.asarray(x), lengths, train=False)
+    x2 = x.copy()
+    x2[0, 7:] = rng.standard_normal((5, 8))
+    got, _ = model.apply(params, state, jnp.asarray(x2), lengths, train=False)
+    np.testing.assert_array_equal(np.asarray(got)[0, :7], np.asarray(base)[0, :7])
+    assert not np.allclose(np.asarray(got)[0, 7:], np.asarray(base)[0, 7:])
+
+
+def test_left_context_restricts_attention():
+    """A 1-block model with left_context = L must ignore frames older
+    than L (the single attention layer is the only time mixing)."""
+    model = _model(num_blocks=1, left_context=3, right_context=0)
+    params, state = _rand_params(model)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 10, 8)).astype(np.float32)
+    lengths = jnp.asarray([10], jnp.int32)
+    base, _ = model.apply(params, state, jnp.asarray(x), lengths, train=False)
+    x2 = x.copy()
+    x2[0, 0] = rng.standard_normal(8)  # frame 0 is outside frame 9's [6, 9]
+    got, _ = model.apply(params, state, jnp.asarray(x2), lengths, train=False)
+    np.testing.assert_array_equal(np.asarray(got)[0, 9], np.asarray(base)[0, 9])
+    assert not np.allclose(np.asarray(got)[0, 0], np.asarray(base)[0, 0])
+
+
+def test_validate_streamable():
+    with pytest.raises(ValueError, match="right_context"):
+        _model().validate_streamable()
+    with pytest.raises(ValueError, match="right_context"):
+        _model(left_context=4, right_context=2).validate_streamable()
+    with pytest.raises(ValueError, match="causal_conv"):
+        _model(conformer=True, left_context=4,
+               right_context=0).validate_streamable()
+    _model(left_context=4, right_context=0).validate_streamable()
+    _model(conformer=True, causal_conv=True, conv_kernel=5, left_context=0,
+           right_context=0).validate_streamable()
+
+
+@pytest.mark.parametrize("conformer", [False, True])
+@pytest.mark.parametrize("splits", [[4, 8, 20], [1] * 32, [20, 12], [32]])
+def test_stream_equals_offline(conformer, splits):
+    """apply_stream over any chunking == offline apply at valid frames
+    (cached keys + causal conv cache + per-row positions)."""
+    model = _model(
+        conformer=conformer, causal_conv=conformer, conv_kernel=5,
+        left_context=6, right_context=0, num_blocks=2,
+    )
+    params, state = _rand_params(model)
+    rng = np.random.default_rng(8)
+    b, total = 3, 32
+    lengths = np.asarray([32, 19, 3], np.int32)
+    x = rng.standard_normal((b, total, 8)).astype(np.float32)
+    for row, n in enumerate(lengths):
+        x[row, n:] = 0
+
+    offline, _ = model.apply(params, state, jnp.asarray(x),
+                             jnp.asarray(lengths), train=False)
+
+    carry = model.init_stream_carry(b)
+    outs = []
+    pos = 0
+    for tc in splits:
+        chunk = x[:, pos : pos + tc]
+        chunk_len = np.clip(lengths - pos, 0, chunk.shape[1]).astype(np.int32)
+        logits, carry = model.apply_stream(
+            params, state, jnp.asarray(chunk), jnp.asarray(chunk_len), carry
+        )
+        outs.append(np.asarray(logits))
+        pos += chunk.shape[1]
+    streamed = np.concatenate(outs, axis=1)[:, :total]
+
+    for row, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            streamed[row, :n], np.asarray(offline)[row, :n], rtol=0, atol=2e-5
+        )
+
+
+def test_streaming_ctc_decoder_accepts_streamable_conformer():
+    """The online decoders accept a streamable conformer and reproduce
+    offline best-path CTC, chunked."""
+    from tfkaldi_tpu.decode import CTCDecoder
+    from tfkaldi_tpu.decode.online import OnlineCTCDecoder
+
+    model = _model(
+        num_labels=6, conformer=True, causal_conv=True, conv_kernel=5,
+        left_context=6, right_context=0, num_blocks=2,
+    )
+    params, state = _rand_params(model, seed=9)
+    rng = np.random.default_rng(10)
+    b, total = 2, 24
+    lengths = np.asarray([24, 13], np.int32)
+    x = rng.standard_normal((b, total, 8)).astype(np.float32)
+    for row, n in enumerate(lengths):
+        x[row, n:] = 0
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    offline = CTCDecoder(model, params, state, _IdCoder(), 5).decode_batch(
+        x, lengths
+    )
+
+    dec = OnlineCTCDecoder(model, params, state, blank_id=5)
+    dec.reset(b)
+    got = [[] for _ in range(b)]
+    for pos in range(0, total, 8):
+        ck = x[:, pos : pos + 8]
+        cl = np.clip(lengths - pos, 0, 8).astype(np.int32)
+        for row, ids in enumerate(dec.step(ck, cl)):
+            got[row].extend(ids.tolist())
+    for row in range(b):
+        np.testing.assert_array_equal(np.asarray(got[row], np.int32), offline[row])
+
+
+def test_online_decoder_rejects_unstreamable_transformer():
+    from tfkaldi_tpu.decode.online import OnlineCTCDecoder
+
+    model = _model()
+    params, state = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="right_context"):
+        OnlineCTCDecoder(model, params, state, blank_id=4)

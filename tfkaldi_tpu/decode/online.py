@@ -23,6 +23,20 @@ import numpy as np
 _EPS = float(np.finfo(np.float64).eps)
 
 
+def _validate_streamable(model) -> None:
+    """Streaming needs a strictly causal model: unidirectional RNNs, or a
+    transformer that declares itself streamable (finite left context,
+    zero right context, causal conv — models/transformer.py)."""
+    if getattr(model.config, "bidirectional", False):
+        raise ValueError(
+            "online decoding requires a unidirectional model "
+            "(bidirectional = False)"
+        )
+    check = getattr(model, "validate_streamable", None)
+    if check is not None:
+        check()
+
+
 class OnlineRecurrentDecoder:
     """Carry-based streaming emitter for unidirectional LSTM/GRU models.
 
@@ -35,11 +49,7 @@ class OnlineRecurrentDecoder:
     """
 
     def __init__(self, model, params, model_state, prior: np.ndarray):
-        if model.config.bidirectional:
-            raise ValueError(
-                "online decoding requires a unidirectional model "
-                "(bidirectional = False)"
-            )
+        _validate_streamable(model)
         self.model = model
         self.params = params
         self.model_state = model_state
@@ -101,11 +111,7 @@ class OnlineCTCDecoder:
     """
 
     def __init__(self, model, params, model_state, blank_id: int):
-        if model.config.bidirectional:
-            raise ValueError(
-                "online decoding requires a unidirectional model "
-                "(bidirectional = False)"
-            )
+        _validate_streamable(model)
         self.model = model
         self.params = params
         self.model_state = model_state
@@ -185,11 +191,7 @@ class OnlineCTCBeamDecoder:
     def __init__(
         self, model, params, model_state, blank_id: int, beam_width: int = 16
     ):
-        if model.config.bidirectional:
-            raise ValueError(
-                "online decoding requires a unidirectional model "
-                "(bidirectional = False)"
-            )
+        _validate_streamable(model)
         self.model = model
         self.params = params
         self.model_state = model_state

@@ -72,6 +72,13 @@ class TransformerConfig:
     ffn_dim: int = 1024
     conformer: bool = False  # macaron FFN pair + depthwise conv module
     conv_kernel: int = 15  # conformer depthwise kernel (odd)
+    # time-restricted self-attention (Povey et al. 2018-style): each query
+    # attends keys in [t - left_context, t + right_context]; -1 = unlimited.
+    # left_context >= 0 with right_context = 0 (+ causal_conv for the
+    # conformer) makes the model exactly streamable (apply_stream).
+    left_context: int = -1
+    right_context: int = -1
+    causal_conv: bool = False  # depthwise conv sees [t-k+1, t] not [t±k/2]
     dropout: float = 1.0  # KEEP probability (reference dropout semantics)
     compute_dtype: Any = jnp.float32
     ln_eps: float = 1e-6
@@ -83,8 +90,10 @@ class TransformerConfig:
             raise ValueError(
                 f"d_model {self.d_model} not divisible by num_heads {self.num_heads}"
             )
-        if self.conformer and self.conv_kernel % 2 == 0:
+        if self.conformer and not self.causal_conv and self.conv_kernel % 2 == 0:
             raise ValueError("conv_kernel must be odd (SAME-centered depthwise)")
+        if self.left_context < -1 or self.right_context < -1:
+            raise ValueError("attention contexts must be >= 0 or -1 (unlimited)")
 
     @classmethod
     def from_config(
@@ -99,6 +108,9 @@ class TransformerConfig:
             ffn_dim=int(conf.get("ffn_dim", 1024)),
             conformer=str(conf.get("conformer", "False")) == "True",
             conv_kernel=int(conf.get("conv_kernel", 15)),
+            left_context=int(conf.get("attention_left_context", -1)),
+            right_context=int(conf.get("attention_right_context", -1)),
+            causal_conv=str(conf.get("causal_conv", "False")) == "True",
             dropout=float(conf.get("dropout", 1)),
             compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
         )
@@ -112,6 +124,21 @@ def sinusoidal_positions(t: int, d: int) -> np.ndarray:
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
     return pe.astype(np.float32)
+
+
+def _sinusoidal_at(positions: jnp.ndarray, d: int) -> jnp.ndarray:
+    """``sinusoidal_positions`` at arbitrary (traced) frame indices:
+    ``[...,]`` int32 → ``[..., d]`` f32. Used by both the offline forward
+    (indices ``0..T-1``) and the streaming forward (per-row global
+    indices), so the two paths add bit-identical position terms."""
+    pos = positions.astype(jnp.float32)[..., None]
+    div = jnp.exp(
+        jnp.arange(0, d, 2, dtype=jnp.float32) * (-np.log(10000.0) / d)
+    )
+    out = jnp.zeros(positions.shape + (d,), jnp.float32)
+    out = out.at[..., 0::2].set(jnp.sin(pos * div))
+    out = out.at[..., 1::2].set(jnp.cos(pos * div[: d // 2]))
+    return out
 
 
 def _layernorm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float):
@@ -247,24 +274,41 @@ class Transformer:
 
     # ------------------------------------------------------------------
 
-    def _attention(self, h, blk, key_mask, dtype):
+    def _rel_mask(self, rel: jnp.ndarray) -> jnp.ndarray:
+        """``rel[i, p] = q_global(i) - k_global(p)`` → band-mask bool
+        (True = attendable) per the configured time restriction."""
         cfg = self.config
-        b, t, d = h.shape
+        if cfg.right_context == -1:
+            ok = jnp.ones_like(rel, bool)
+        else:
+            ok = rel >= -cfg.right_context
+        if cfg.left_context != -1:
+            ok = ok & (rel <= cfg.left_context)
+        return ok
+
+    def _attention(self, hq, hkv, blk, key_valid, rel_mask, dtype):
+        """``hq [B,Tq,D]`` queries over ``hkv [B,Tk,D]`` keys/values;
+        ``key_valid [B,Tk]`` per-row real-frame mask, ``rel_mask [Tq,Tk]``
+        the (row-independent) time-restriction band."""
+        cfg = self.config
+        b, tq, d = hq.shape
+        tk = hkv.shape[1]
         nh, dh = cfg.num_heads, d // cfg.num_heads
         a = blk["attn"]
-        q = _dense(h, a["wq"], a["bq"], dtype).reshape(b, t, nh, dh)
-        k = _dense(h, a["wk"], a["bk"], dtype).reshape(b, t, nh, dh)
-        v = _dense(h, a["wv"], a["bv"], dtype).reshape(b, t, nh, dh)
+        q = _dense(hq, a["wq"], a["bq"], dtype).reshape(b, tq, nh, dh)
+        k = _dense(hkv, a["wk"], a["bk"], dtype).reshape(b, tk, nh, dh)
+        v = _dense(hkv, a["wv"], a["bv"], dtype).reshape(b, tk, nh, dh)
         # [B, h, Tq, Tk] scores, f32 accumulation + f32 softmax
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (1.0 / np.sqrt(dh))
-        scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+        mask = key_valid[:, None, None, :] & rel_mask[None, None, :, :]
+        scores = jnp.where(mask, scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1).astype(dtype)
         ctx = jnp.einsum(
             "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
         ).astype(dtype)
-        return _dense(ctx.reshape(b, t, d), a["wo"], a["bo"], dtype)
+        return _dense(ctx.reshape(b, tq, d), a["wo"], a["bo"], dtype)
 
     def _ffn(self, h, p, dtype):
         z = _dense(h, p["w1"], p["b1"], dtype)
@@ -290,7 +334,8 @@ class Transformer:
             z.astype(jnp.float32),
             p["w_dw"],
             window_strides=(1,),
-            padding="SAME",
+            # causal: frame t sees [t-k+1, t] (streamable); else centered
+            padding=[(cfg.conv_kernel - 1, 0)] if cfg.causal_conv else "SAME",
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=d,
         )
@@ -333,8 +378,11 @@ class Transformer:
         eps = cfg.ln_eps
 
         h = _dense(inputs, params["in_proj"]["w"], params["in_proj"]["b"], dtype)
-        h = h + jnp.asarray(sinusoidal_positions(t, cfg.d_model), dtype)
+        h = h + _sinusoidal_at(jnp.arange(t), cfg.d_model).astype(dtype)
         h = h * mask_btf.astype(h.dtype)
+
+        # row-independent time-restriction band: rel[i, j] = i - j
+        rel_mask = self._rel_mask(jnp.arange(t)[:, None] - jnp.arange(t)[None, :])
 
         new_state = dict(state)
         for l, blk in enumerate(params["blocks"]):
@@ -346,7 +394,7 @@ class Transformer:
                 )
             z = _layernorm(h, blk["ln_attn"]["g"], blk["ln_attn"]["b"], eps)
             h = h + _dropout(
-                self._attention(z, blk, key_mask, dtype),
+                self._attention(z, z, blk, key_mask, rel_mask, dtype),
                 cfg.dropout, rng, site + 1, train,
             )
             if cfg.conformer:
@@ -376,3 +424,183 @@ class Transformer:
         )
         logits = (logits + params["out"]["b"]).astype(jnp.float32)
         return logits.reshape(b, t, cfg.num_labels), new_state
+
+    # ------------------------------------------------------------------
+    # streaming (decode/online.py seam, eval mode)
+    # ------------------------------------------------------------------
+
+    def validate_streamable(self) -> None:
+        cfg = self.config
+        if cfg.left_context < 0 or cfg.right_context != 0:
+            raise ValueError(
+                "streaming a transformer requires time-restricted, "
+                "strictly-causal attention: attention_left_context >= 0 "
+                "and attention_right_context = 0 (a full/right-context "
+                "model is the attention analog of a bidirectional RNN)"
+            )
+        if cfg.conformer and not cfg.causal_conv:
+            raise ValueError(
+                "streaming a conformer requires causal_conv = True (the "
+                "centered depthwise conv has (k-1)/2 frames of lookahead)"
+            )
+
+    def init_stream_carry(self, batch_size: int):
+        """Per-stream state: global frame counters plus, per block, the
+        last ``left_context`` attention-sublayer inputs and (conformer)
+        the last ``k-1`` pre-depthwise activations. Zeros in unfilled
+        slots reproduce the offline edge padding exactly."""
+        self.validate_streamable()
+        cfg = self.config
+        nb, d, L = cfg.num_blocks, cfg.d_model, cfg.left_context
+        carry = {
+            "pos": jnp.zeros((batch_size,), jnp.int32),
+            "h_cache": jnp.zeros((nb, batch_size, L, d), jnp.float32),
+        }
+        if cfg.conformer:
+            carry["conv_cache"] = jnp.zeros(
+                (nb, batch_size, cfg.conv_kernel - 1, d), jnp.float32
+            )
+        return carry
+
+    def apply_stream(self, params, state, chunk, seq_lengths, carry):
+        """One eval-mode chunk: ``[B, Tc, F]`` (``seq_lengths`` valid
+        frames per row) → ``([B, Tc, O] logits, new_carry)``. Valid-frame
+        logits equal the offline ``apply`` on the concatenated stream.
+
+        Cache index identity: with a cache of length C holding global
+        frames ``pos-C .. pos-1`` right-aligned and a chunk of ``v`` valid
+        frames, slot ``m`` of the updated cache holds global frame
+        ``(pos+v) - C + m`` = concat index ``v + m`` of
+        ``[cache ++ chunk]`` — one ``take_along_axis``, no per-row
+        Python."""
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        eps = cfg.ln_eps
+        L = cfg.left_context
+        b, tc, _ = chunk.shape
+        v = jnp.asarray(seq_lengths, jnp.int32)  # [B] valid frames in chunk
+        pos = carry["pos"]
+        n_cached = jnp.minimum(pos, L)  # filled cache slots per row
+
+        valid_q = jnp.arange(tc)[None, :] < v[:, None]  # [B, Tc]
+        mask_btf = valid_q[:, :, None]
+
+        def roll(cache, new_rows):
+            full = jnp.concatenate([cache, new_rows], axis=1)
+            c = cache.shape[1]
+            idx = v[:, None] + jnp.arange(c)[None, :]  # [B, C]
+            return jnp.take_along_axis(full, idx[:, :, None], axis=1)
+
+        # input projection + positions at the rows' global indices
+        positions = pos[:, None] + jnp.arange(tc)[None, :]  # [B, Tc]
+        h = _dense(chunk.astype(jnp.float32), params["in_proj"]["w"],
+                   params["in_proj"]["b"], dtype)
+        h = h + _sinusoidal_at(positions, cfg.d_model).astype(dtype)
+        h = h * mask_btf.astype(h.dtype)
+
+        # attention geometry over [cache ++ chunk] (concat index p has
+        # global frame pos - L + p, query i has global pos + i):
+        # rel[i, p] = (L + i) - p; key validity: cache slot filled /
+        # chunk frame within the row's length
+        rel = (L + jnp.arange(tc))[:, None] - jnp.arange(L + tc)[None, :]
+        rel_mask = self._rel_mask(rel)
+        p_idx = jnp.arange(L + tc)[None, :]
+        key_valid = jnp.where(
+            p_idx < L,
+            p_idx >= (L - n_cached)[:, None],
+            (p_idx - L) < v[:, None],
+        )
+
+        new_carry = {"pos": pos + v, "h_cache": []}
+        if cfg.conformer:
+            new_carry["conv_cache"] = []
+
+        for l, blk in enumerate(params["blocks"]):
+            if cfg.conformer:
+                z = _layernorm(h, blk["ln_ffn1"]["g"], blk["ln_ffn1"]["b"], eps)
+                h = h + 0.5 * self._ffn(z, blk["ffn1"], dtype)
+                h = h * mask_btf.astype(h.dtype)
+            # cache the attention-sublayer input stream
+            h_f32 = h.astype(jnp.float32)
+            full = jnp.concatenate(
+                [carry["h_cache"][l], h_f32], axis=1
+            )  # [B, L+Tc, D]
+            new_carry["h_cache"].append(roll(carry["h_cache"][l], h_f32))
+            z_full = _layernorm(
+                full.astype(dtype), blk["ln_attn"]["g"], blk["ln_attn"]["b"], eps
+            )
+            h = h + self._attention(
+                z_full[:, L:], z_full, blk, key_valid, rel_mask, dtype
+            )
+            if cfg.conformer:
+                h = self._stream_conv(
+                    h, blk, l, mask_btf, state, carry, new_carry, dtype, eps
+                )
+            z = _layernorm(h, blk["ln_ffn"]["g"], blk["ln_ffn"]["b"], eps)
+            ffn_out = self._ffn(z, blk["ffn"], dtype)
+            if cfg.conformer:
+                h = h + 0.5 * ffn_out
+                h = _layernorm(h, blk["ln_out"]["g"], blk["ln_out"]["b"], eps)
+            else:
+                h = h + ffn_out
+            h = h * mask_btf.astype(h.dtype)
+
+        new_carry["h_cache"] = jnp.stack(new_carry["h_cache"])
+        if cfg.conformer:
+            new_carry["conv_cache"] = jnp.stack(new_carry["conv_cache"])
+        h = _layernorm(h, params["ln_final"]["g"], params["ln_final"]["b"], eps)
+        logits = jax.lax.dot_general(
+            h.reshape(b * tc, cfg.d_model).astype(dtype),
+            params["out"]["w"].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = (logits + params["out"]["b"]).astype(jnp.float32)
+        return logits.reshape(b, tc, cfg.num_labels), new_carry
+
+    def _stream_conv(
+        self, h, blk, l, mask_btf, state, carry, new_carry, dtype, eps
+    ):
+        """Conformer conv module over [conv_cache ++ chunk] with VALID
+        padding — identical to the offline causal conv (its left zero pad
+        is exactly the zeros in unfilled cache slots)."""
+        cfg = self.config
+        b, tc, d = h.shape
+        p = blk["conv"]
+        z = _layernorm(h, blk["ln_conv"]["g"], blk["ln_conv"]["b"], eps)
+        zin = _dense(z, p["w_in"], p["b_in"], dtype)
+        zf = zin.astype(jnp.float32)
+        glu = (zf[..., :d] * jax.nn.sigmoid(zf[..., d:]))
+        glu = glu * mask_btf.astype(glu.dtype)
+
+        def roll(cache, new_rows):
+            full = jnp.concatenate([cache, new_rows], axis=1)
+            idx = (
+                jnp.sum(mask_btf[:, :, 0].astype(jnp.int32), axis=1)[:, None]
+                + jnp.arange(cache.shape[1])[None, :]
+            )
+            return jnp.take_along_axis(full, idx[:, :, None], axis=1)
+
+        fullc = jnp.concatenate([carry["conv_cache"][l], glu], axis=1)
+        new_carry["conv_cache"].append(roll(carry["conv_cache"][l], glu))
+        conv = jax.lax.conv_general_dilated(
+            fullc,
+            p["w_dw"],
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=d,
+        )  # [B, Tc, D]
+        zbn, _, _ = _masked_batchnorm(
+            conv.reshape(b * tc, d),
+            mask_btf.reshape(b * tc, 1).astype(jnp.float32),
+            p["bn_beta"],
+            state["bn_conv_mean"][l],
+            state["bn_conv_var"][l],
+            train=False,
+            eps=cfg.bn_eps,
+            decay=cfg.bn_decay,
+        )
+        zc = jax.nn.swish(zbn.astype(jnp.float32)).astype(dtype).reshape(b, tc, d)
+        out = _dense(zc, p["w_out"], p["b_out"], dtype)
+        return (h + out) * mask_btf.astype(h.dtype)
