@@ -134,7 +134,7 @@ def test_stream_requires_reset_and_nodelta():
         online.step(np.zeros((1, 100), np.float32), np.asarray([100]))
     with pytest.raises(RuntimeError, match="reset"):
         online.flush()
-    with pytest.raises(ValueError, match="nodelta"):
+    with pytest.raises(ValueError, match="OnlineDynamicExtractor"):
         OnlineFeatureExtractor(FeatureExtractor(FeatureOpts(dynamic="ddelta"), RATE))
 
 
@@ -299,3 +299,89 @@ def test_streaming_transcriber_requires_reset():
         tx.push(np.zeros((1, 100), np.float32), np.asarray([100]))
     with pytest.raises(RuntimeError, match="reset"):
         tx.finish()
+
+
+# ----------------------------------------------------------------------
+# streaming delta / double-delta (OnlineDynamicExtractor)
+# ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dynamic", ["delta", "ddelta"])
+@pytest.mark.parametrize("chunk", [160, 1000, 7777])
+def test_dynamic_stream_matches_offline(dynamic, chunk):
+    """Streamed delta/ddelta features equal the offline batch in high
+    precision: the STATIC columns are bit-identical after the f32 cast;
+    the derivative columns carry ≤ a few f64 ulps of noise because the
+    f64 statics differ by ~1 ulp between differently-shaped compiled
+    programs (f64 matmul reduction order) — invisible after the f32 cast
+    everywhere except the derivative's exact-cancellation frames
+    (|true value| ~ 0), where the noise IS the value. Verified by
+    feeding the streamed f64 statics through the full-shape dynamics fn:
+    the tiny diff persists, so it is not a windowing artifact. Hence
+    exact statics + tiny-atol dynamics."""
+    from tfkaldi_tpu.frontend import OnlineDynamicExtractor
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="mfcc", dynamic=dynamic, nfilt=20, numcep=13),
+        RATE, spectrum_precision="high",
+    )
+    rng = np.random.default_rng(31)
+    lengths = np.asarray([16000, 9973, 400])
+    sig = _signals(rng, lengths, 16000)
+
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    online = OnlineDynamicExtractor(ext)
+    assert online.dim == off_feats.shape[2]
+    sdim = online._static.dim
+    got = _stream(online, sig, lengths, chunk)
+    for row in range(len(lengths)):
+        assert got[row].shape[0] == off_nf[row]
+        want = off_feats[row, : off_nf[row]]
+        np.testing.assert_array_equal(got[row][:, :sdim], want[:, :sdim])
+        np.testing.assert_allclose(
+            got[row][:, sdim:], want[:, sdim:], rtol=1e-7, atol=1e-10
+        )
+
+
+def test_dynamic_stream_fast_mode_close():
+    from tfkaldi_tpu.frontend import OnlineDynamicExtractor
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="delta", nfilt=12),
+        RATE, spectrum_precision="fast",
+    )
+    rng = np.random.default_rng(32)
+    lengths = np.asarray([8000, 5000])
+    sig = _signals(rng, lengths, 8000)
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    got = _stream(OnlineDynamicExtractor(ext), sig, lengths, 1000)
+    for row in range(len(lengths)):
+        np.testing.assert_allclose(
+            got[row], off_feats[row, : off_nf[row]], rtol=2e-4, atol=2e-4
+        )
+
+
+def test_dynamic_stream_short_utterance_and_guards():
+    """A shorter-than-lookahead utterance emits everything at flush with
+    the right reflections; guards mirror the static extractor's."""
+    from tfkaldi_tpu.frontend import OnlineDynamicExtractor
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="ddelta", nfilt=8),
+        RATE, spectrum_precision="high",
+    )
+    rng = np.random.default_rng(33)
+    lengths = np.asarray([720])  # ~3 frames < lookahead 4
+    sig = _signals(rng, lengths, 720)
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    got = _stream(OnlineDynamicExtractor(ext), sig, lengths, 100)
+    assert got[0].shape[0] == off_nf[0]
+    np.testing.assert_array_equal(got[0], off_feats[0, : off_nf[0]])
+
+    with pytest.raises(ValueError, match="nodelta"):
+        OnlineDynamicExtractor(FeatureExtractor(FeatureOpts(dynamic="nodelta"), RATE))
+    online = OnlineDynamicExtractor(ext)
+    with pytest.raises(RuntimeError, match="reset"):
+        online.step(np.zeros((1, 100), np.float32), np.asarray([100]))
+    with pytest.raises(RuntimeError, match="reset"):
+        online.flush()

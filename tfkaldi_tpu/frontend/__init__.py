@@ -18,7 +18,7 @@ energy and filterbank outputs (base.py:87,96), mel bin edges
 """
 
 from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
-from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+from tfkaldi_tpu.frontend.online import OnlineDynamicExtractor, OnlineFeatureExtractor
 from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats, splice
 from tfkaldi_tpu.frontend.functional import (
     fbank,
@@ -33,6 +33,8 @@ from tfkaldi_tpu.frontend.functional import (
 __all__ = [
     "FeatureExtractor",
     "FeatureOpts",
+    "OnlineDynamicExtractor",
+    "OnlineFeatureExtractor",
     "apply_cmvn",
     "cmvn_stats",
     "splice",

@@ -164,6 +164,10 @@ class FeatureExtractor:
         self._finish_from_split_fn = jax.jit(self._finish_from_split)
         # frames → features entry for the online extractor (frontend/online.py)
         self._frames_fn = jax.jit(self._frames_to_feats)
+        # split seams for the streaming delta extractor (frontend/online.py):
+        # statics per chunk, dynamics over lookahead windows
+        self._static_fn = jax.jit(self._frames_to_static)
+        self._dynamics_fn = jax.jit(self._apply_dynamics)
 
     # ------------------------------------------------------------------
     # frame geometry — host-side float64, replicating the reference's float
@@ -239,6 +243,15 @@ class FeatureExtractor:
         mask. Shared seam between the offline batch path above and the
         online (chunked) extractor in frontend/online.py, so streamed
         frames go through the byte-identical compute."""
+        return self._apply_dynamics(
+            self._frames_to_static(frames, num_frames), num_frames
+        )
+
+    def _frames_to_static(self, frames, num_frames):
+        """The per-frame (dynamics-free) portion of ``_frames_to_feats``,
+        returning WORK-dtype static features — the seam the streaming
+        delta extractor buffers (its lookahead windows then run
+        ``_apply_dynamics`` on these exact values)."""
         high = self.spectrum_precision in ("high", "exact")
         work_dtype = jnp.float64 if high else jnp.float32
 
@@ -363,6 +376,14 @@ class FeatureExtractor:
         if opts.include_energy:
             feat = jnp.concatenate([feat, log_energy[..., None]], axis=-1)
 
+        return feat
+
+    def _apply_dynamics(self, feat, num_frames):
+        """Dynamics (reflect-boundary deriv/concat) + mask + f32 cast on a
+        work-dtype static-feature batch. Factored out so the streaming
+        delta extractor (frontend/online.py) runs the byte-identical
+        traced tail over its lookahead windows."""
+        opts = self.opts
         if opts.dynamic != "nodelta":
             d1 = _reflect_deriv(feat, num_frames)
             if opts.dynamic == "delta":

@@ -61,22 +61,30 @@ class OnlineFeatureExtractor:
     whose stream has ended simply passes length 0 until ``flush``.
     """
 
-    def __init__(self, extractor: FeatureExtractor, frame_bucket: int = 8):
+    def __init__(
+        self, extractor: FeatureExtractor, frame_bucket: int = 8,
+        _emit_static: bool = False,
+    ):
         """Args:
             extractor: the configured offline extractor to mirror.
             frame_bucket: emitted frame counts are padded up to a multiple
                 of this so jit recompiles stay bounded for varying chunk
                 sizes (outputs carry true counts; padding frames are
                 zeroed).
+            _emit_static: internal (OnlineDynamicExtractor): emit the
+                WORK-dtype static features (pre-dynamics, pre-f32-cast)
+                instead of the finished f32 features.
         """
-        if extractor.opts.dynamic != "nodelta":
+        if extractor.opts.dynamic != "nodelta" and not _emit_static:
             raise ValueError(
-                "online extraction requires dynamic = 'nodelta'; delta "
-                "dynamics are whole-utterance operators with an end-of-"
-                "utterance reflected boundary (base.py:249-284)"
+                "online extraction of delta features goes through "
+                "OnlineDynamicExtractor (delta dynamics are whole-"
+                "utterance operators, base.py:249-284; it buffers the "
+                "lookahead they need)"
             )
         self.extractor = extractor
         self.frame_bucket = int(frame_bucket)
+        self._emit_static = bool(_emit_static)
         high = extractor.spectrum_precision in ("high", "exact")
         self._x64 = high
         self._np_dtype = np.float64 if high else np.float32
@@ -111,16 +119,24 @@ class OnlineFeatureExtractor:
     # ------------------------------------------------------------------
 
     def _run_frames(self, frames: np.ndarray, num_frames: np.ndarray):
-        """[B, T, wl] work-dtype frames → ([B, T, D] f32 feats, counts)."""
-        if self._x64:
-            with jax.enable_x64():
-                feats, nf = self.extractor._frames_fn(
+        """[B, T, wl] work-dtype frames → ([B, T, D] feats, counts) —
+        finished f32 features, or work-dtype statics in static mode."""
+
+        def run():
+            if self._emit_static:
+                feats = self.extractor._static_fn(
                     jnp.asarray(frames), jnp.asarray(num_frames, jnp.int32)
                 )
-        else:
-            feats, nf = self.extractor._frames_fn(
+                return feats, num_frames
+            return self.extractor._frames_fn(
                 jnp.asarray(frames), jnp.asarray(num_frames, jnp.int32)
             )
+
+        if self._x64:
+            with jax.enable_x64():
+                feats, nf = run()
+        else:
+            feats, nf = run()
         return np.asarray(feats), np.asarray(nf)
 
     def _emit(self, navail: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -132,7 +148,8 @@ class OnlineFeatureExtractor:
         t_new = int(navail.max(initial=0))
         if t_new == 0:
             b = len(self._buf)
-            return np.zeros((b, 0, self.dim), np.float32), navail.astype(np.int32)
+            dt = self._np_dtype if self._emit_static else np.float32
+            return np.zeros((b, 0, self.dim), dt), navail.astype(np.int32)
         t_pad = -(-t_new // self.frame_bucket) * self.frame_bucket
         frames = np.zeros((len(self._buf), t_pad, wl), self._np_dtype)
         for row, n in enumerate(navail):
@@ -200,5 +217,134 @@ class OnlineFeatureExtractor:
                     [self._buf[row], np.zeros((needed - have,), self._np_dtype)]
                 )
         out = self._emit(rem)
+        self._buf = None
+        return out
+
+
+class OnlineDynamicExtractor:
+    """Streaming delta / double-delta features matching the offline batch
+    (static columns bit-identical; derivative columns within a few f64
+    ulps — see tests/test_online_features.py for the exact bar and why).
+
+    The dynamics filter (``[2,1,0,-1,-2]`` reflect-boundary correlation,
+    base.py:249-284) needs ``A`` future frames per output frame (A=2 for
+    ``delta``, 4 for ``ddelta``) plus the true end-of-utterance boundary.
+    This wrapper streams the per-frame STATIC features (work dtype,
+    ``OnlineFeatureExtractor`` in static mode), buffers them, and emits
+    frame ``t`` once frame ``t+A`` exists, running each emission through
+    the offline path's own traced dynamics tail
+    (``FeatureExtractor._apply_dynamics``) over a window of
+    ``[t - lead, t + n - 1 + A]`` — the window's edge reflections then
+    either never reach the emitted frames (interior) or are exactly the
+    true utterance-start reflection (``lead = min(A, t)``). ``flush()``
+    passes the true final frame count so the end reflection matches the
+    offline geometry. Same ``reset/step/flush`` API as
+    ``OnlineFeatureExtractor`` (so ``StreamingTranscriber`` accepts it).
+    """
+
+    def __init__(self, extractor: FeatureExtractor, frame_bucket: int = 8):
+        if extractor.opts.dynamic == "nodelta":
+            raise ValueError(
+                "dynamic = 'nodelta' streams through OnlineFeatureExtractor"
+            )
+        self.extractor = extractor
+        self.frame_bucket = int(frame_bucket)
+        self.lookahead = {"delta": 2, "ddelta": 4}[extractor.opts.dynamic]
+        self._static = OnlineFeatureExtractor(
+            extractor, frame_bucket, _emit_static=True
+        )
+        self._buf = None
+
+    @property
+    def dim(self) -> int:
+        mult = {"delta": 2, "ddelta": 3}[self.extractor.opts.dynamic]
+        return self._static.dim * mult
+
+    def reset(self, batch_size: int) -> None:
+        self._static.reset(batch_size)
+        self._buf = [None] * batch_size  # static frames from index _start on
+        self._start = np.zeros((batch_size,), np.int64)
+        self._total = np.zeros((batch_size,), np.int64)
+        self._emitted = np.zeros((batch_size,), np.int64)
+
+    def _ingest(self, feats: np.ndarray, nnew: np.ndarray) -> None:
+        for row, n in enumerate(nnew):
+            n = int(n)
+            if n == 0:
+                continue
+            new = feats[row, :n]
+            self._buf[row] = (
+                new.copy()
+                if self._buf[row] is None
+                else np.concatenate([self._buf[row], new])
+            )
+            self._total[row] += n
+
+    def _emit(self, navail: np.ndarray, flushing: bool):
+        a = self.lookahead
+        b = len(self._buf)
+        t_new = int(navail.max(initial=0))
+        if t_new == 0:
+            return (
+                np.zeros((b, 0, self.dim), np.float32),
+                navail.astype(np.int32),
+            )
+        sdim = self._static.dim
+        # window = lead frames of left context + n emitted + (A right
+        # context unless flushing, where the buffer ends at the true end)
+        leads = np.minimum(self._emitted, a).astype(np.int64)
+        wlens = leads + navail + (0 if flushing else a)
+        wmax = int(wlens.max())
+        wmax_pad = -(-wmax // self.frame_bucket) * self.frame_bucket
+        windows = np.zeros((b, wmax_pad, sdim), self._static._np_dtype)
+        for row, n in enumerate(navail):
+            n = int(n)
+            if n == 0:
+                continue
+            first = int(self._emitted[row] - leads[row] - self._start[row])
+            windows[row, : int(wlens[row])] = self._buf[row][
+                first : first + int(wlens[row])
+            ]
+        nf = jnp.asarray(wlens, jnp.int32)
+        if self._static._x64:
+            with jax.enable_x64():
+                out, _ = self.extractor._dynamics_fn(jnp.asarray(windows), nf)
+        else:
+            out, _ = self.extractor._dynamics_fn(jnp.asarray(windows), nf)
+        out = np.asarray(out)
+        t_pad = -(-t_new // self.frame_bucket) * self.frame_bucket
+        result = np.zeros((b, t_pad, self.dim), np.float32)
+        for row, n in enumerate(navail):
+            n = int(n)
+            if n == 0:
+                continue
+            lead = int(leads[row])
+            result[row, :n] = out[row, lead : lead + n]
+            self._emitted[row] += n
+            # keep only the frames future windows can still reach
+            keep_from = int(max(0, self._emitted[row] - a) - self._start[row])
+            if keep_from > 0:
+                self._buf[row] = self._buf[row][keep_from:]
+                self._start[row] += keep_from
+        return result, navail.astype(np.int32)
+
+    def step(self, chunk, lengths):
+        """``[B, S]`` raw samples → ``(feats[B, T, D] f32, counts)`` for
+        every frame whose ``A``-frame dynamics lookahead is complete."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        self._ingest(*self._static.step(chunk, lengths))
+        navail = np.maximum(
+            self._total - self.lookahead - self._emitted, 0
+        )
+        return self._emit(navail, flushing=False)
+
+    def flush(self):
+        """Emit the remaining frames with the true end-of-utterance
+        reflection, then require ``reset``."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before flush()")
+        self._ingest(*self._static.flush())
+        out = self._emit(self._total - self._emitted, flushing=True)
         self._buf = None
         return out
