@@ -2,6 +2,7 @@
 
 from tfkaldi_tpu.decode.ctc import CTCDecoder, collapse_ctc_path
 from tfkaldi_tpu.decode.decoder import Decoder
+from tfkaldi_tpu.decode.lm import ArpaLM, FusionScorer
 from tfkaldi_tpu.decode.online import (
     OnlineCTCBeamDecoder,
     OnlineCTCDecoder,
@@ -11,8 +12,10 @@ from tfkaldi_tpu.decode.online import (
 )
 
 __all__ = [
+    "ArpaLM",
     "CTCDecoder",
     "Decoder",
+    "FusionScorer",
     "OnlineCTCBeamDecoder",
     "OnlineCTCDecoder",
     "OnlineRecurrentDecoder",

@@ -51,6 +51,7 @@ class CTCDecoder:
         coder: TargetCoder,
         blank_id: int,
         beam_width: int = 1,
+        fusion_scorer=None,
     ):
         self.model = model
         self.params = params
@@ -58,6 +59,10 @@ class CTCDecoder:
         self.coder = coder
         self.blank_id = int(blank_id)
         self.beam_width = int(beam_width)
+        # optional LM shallow fusion (decode/lm.py::FusionScorer); the
+        # fused search runs the Python beam (the native C++ beam scores
+        # acoustics only)
+        self.fusion_scorer = fusion_scorer
         self._fn = jax.jit(self._compute_argmax)
         self._logprob_fn = jax.jit(self._compute_logprobs)
 
@@ -91,14 +96,15 @@ class CTCDecoder:
         log_probs = np.asarray(self._logprob_fn(*args))
         from tfkaldi_tpu.decode import native_beam
 
-        if native_beam.available():
+        if self.fusion_scorer is None and native_beam.available():
             return native_beam.ctc_beam_search_batch_native(
                 log_probs, lengths, self.blank_id, self.beam_width
             )
         from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
 
         return [
-            ctc_beam_search_py(log_probs[i, : int(lengths[i])], self.blank_id, self.beam_width)
+            ctc_beam_search_py(log_probs[i, : int(lengths[i])], self.blank_id,
+                               self.beam_width, scorer=self.fusion_scorer)
             for i in range(log_probs.shape[0])
         ]
 

@@ -41,6 +41,7 @@ def beam_step(
     frame: np.ndarray,
     blank_id: int,
     beam_width: int,
+    scorer=None,
 ) -> dict[tuple, list[float]]:
     """Advance the prefix-beam state by ONE frame of log-posteriors.
 
@@ -48,6 +49,12 @@ def beam_step(
     non-blank)]``. Shared by the whole-utterance search below and the
     streaming ``decode.online.OnlineCTCBeamDecoder`` — chunked decoding is
     exactly the offline recursion because this is its only state.
+
+    ``scorer`` enables shallow fusion: ``scorer(prefix, new_id)`` returns
+    the additive log-score (e.g. ``alpha·ln P_lm + beta``,
+    `decode/lm.py::FusionScorer`) applied each time a NEW label extends a
+    prefix (repeat-collapses and blanks emit nothing, so they pay
+    nothing — the standard Hannun et al. 2014 fusion points).
     """
     # prune the vocabulary to labels that could matter this frame
     order = np.argsort(frame)[::-1]
@@ -72,9 +79,11 @@ def beam_step(
                 # repeat without separator extends the SAME prefix...
                 acc(prefix, 1, p_nb + p)
                 # ...and extends it only from the blank-ended mass
-                acc(prefix + (v,), 1, p_b + p)
+                bonus = scorer(prefix, int(v)) if scorer is not None else 0.0
+                acc(prefix + (v,), 1, p_b + p + bonus)
             else:
-                acc(prefix + (v,), 1, p_tot + p)
+                bonus = scorer(prefix, int(v)) if scorer is not None else 0.0
+                acc(prefix + (v,), 1, p_tot + p + bonus)
     return dict(
         sorted(
             nxt.items(),
@@ -91,14 +100,17 @@ def best_prefix(beams: dict[tuple, list[float]]) -> np.ndarray:
 
 
 def ctc_beam_search_py(
-    log_probs: np.ndarray, blank_id: int, beam_width: int = 16
+    log_probs: np.ndarray, blank_id: int, beam_width: int = 16,
+    scorer=None,
 ) -> np.ndarray:
-    """Most probable label sequence under the CTC marginal.
+    """Most probable label sequence under the CTC marginal (optionally
+    shallow-fused with a language model via ``scorer`` — see beam_step).
 
     Args:
         log_probs: ``[T, V]`` frame log-posteriors (already length-trimmed).
         blank_id: blank class index.
         beam_width: number of prefixes kept per frame.
+        scorer: optional ``(prefix, new_id) -> additive log-score``.
 
     Returns:
         1-D int32 array of label ids (collapsed; no blanks).
@@ -106,5 +118,5 @@ def ctc_beam_search_py(
     log_probs = np.asarray(log_probs, dtype=np.float64)
     beams = initial_beams()
     for t in range(log_probs.shape[0]):
-        beams = beam_step(beams, log_probs[t], blank_id, beam_width)
+        beams = beam_step(beams, log_probs[t], blank_id, beam_width, scorer)
     return best_prefix(beams)

@@ -1,0 +1,135 @@
+"""Backoff n-gram language models for CTC shallow fusion.
+
+The reference has no language-model rescoring outside Kaldi's WFST (the
+LM is compiled into HCLG.fst, kaldi/decode.sh); the CTC/character path it
+left unfinished has nothing. This module supplies the classic complement:
+a standard ARPA backoff n-gram (Katz-style: use the highest-order hit,
+else back off with the recorded penalty) over the target coder's label
+ids, fused into the prefix beam search (decode/ctc_beam.py) with the
+usual shallow-fusion score ``log P_ctc + alpha·log P_lm + beta·|prefix|``
+(Hannun et al. 2014).
+
+Pure Python on purpose: the LM is consulted only when a beam extends a
+prefix (beam·vocab times per frame on the host), far off the device hot
+path, and the dict-of-tuples representation keeps lookups O(1).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import re
+
+
+class ArpaLM:
+    """Backoff n-gram LM read from an ARPA file (plain or .gz).
+
+    Tokens are looked up as STRINGS (the words of the ARPA file);
+    ``score(context, word)`` returns the natural-log conditional
+    probability with standard backoff:
+
+        P(w | h) = P*(w | h)                       if (h, w) listed
+                 = backoff(h) · P(w | h[1:])       otherwise
+
+    ARPA files store log10; converted to natural log on load.
+    """
+
+    _LN10 = math.log(10.0)
+
+    def __init__(self, order: int, ngrams: dict, backoffs: dict):
+        self.order = order
+        self._ngrams = ngrams  # tuple(words) -> ln P*
+        self._backoffs = backoffs  # tuple(words) -> ln backoff weight
+
+    @classmethod
+    def load(cls, path: str) -> "ArpaLM":
+        opener = gzip.open if path.endswith(".gz") else open
+        ngrams: dict[tuple, float] = {}
+        backoffs: dict[tuple, float] = {}
+        order = 0
+        section = 0  # current n-gram order being read; 0 = header
+        with opener(path, "rt", encoding="utf-8", errors="replace") as fid:
+            for line in fid:
+                line = line.strip()
+                if not line:
+                    continue
+                if line.startswith("\\"):
+                    m = re.match(r"\\(\d+)-grams:", line)
+                    section = int(m.group(1)) if m else 0
+                    continue
+                if section == 0:
+                    continue  # header (ngram N=...) / \data\ / \end\
+                parts = line.split()  # logp word1..wordN [backoff]
+                if len(parts) < section + 1:
+                    raise ValueError(f"malformed {section}-gram line: {line!r}")
+                logp = float(parts[0]) * cls._LN10
+                words = tuple(parts[1 : 1 + section])
+                ngrams[words] = logp
+                if len(parts) > section + 1:
+                    backoffs[words] = float(parts[1 + section]) * cls._LN10
+                order = max(order, section)
+        if order == 0:
+            raise ValueError(f"no n-gram sections found in {path!r}")
+        return cls(order, ngrams, backoffs)
+
+    def score(self, context: tuple, word: str) -> float:
+        """ln P(word | context); context is a tuple of preceding words
+        (any length — only the last ``order-1`` are used)."""
+        context = tuple(context)[-(self.order - 1) :] if self.order > 1 else ()
+        while True:
+            p = self._ngrams.get(context + (word,))
+            if p is not None:
+                return p
+            if not context:
+                # unknown word with an <unk> entry, else hard floor
+                unk = self._ngrams.get(("<unk>",))
+                return unk if unk is not None else -20.0 * self._LN10
+            # back off: drop the oldest context word, pay its penalty if
+            # the context itself is listed (0 otherwise, per ARPA)
+            penalty = self._backoffs.get(context, 0.0)
+            context = context[1:]
+            if penalty:
+                return penalty + self.score(context, word)
+
+
+class FusionScorer:
+    """Shallow-fusion scorer over LABEL IDS for the prefix beam search.
+
+    Maps label ids to LM tokens through the coder's alphabet once at
+    construction, then scores prefix extensions:
+    ``alpha · ln P_lm(token | prefix tokens) + beta`` (beta is the word
+    insertion bonus, applied per emitted label). Labels whose token the
+    LM has never seen still get the backoff/<unk> path — no label is
+    vetoed outright by the LM.
+    """
+
+    def __init__(self, lm: ArpaLM, id_to_token: list, alpha: float = 0.5,
+                 beta: float = 0.0, bos: str | None = "<s>"):
+        self.lm = lm
+        self.id_to_token = list(id_to_token)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.bos = bos
+        self._cache: dict[tuple, float] = {}
+
+    def __call__(self, prefix: tuple, new_id: int) -> float:
+        # only the last order-1 labels matter — cache on that suffix, so
+        # hit rates stay high as prefixes grow
+        key = tuple(prefix[-(self.lm.order - 1) :]) + (new_id,)
+        # a short prefix's true context includes BOS; key it separately
+        if self.bos is not None and len(prefix) < self.lm.order - 1:
+            key = ("<BOS>",) + key
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        context = tuple(self.id_to_token[i] for i in prefix)
+        if self.bos is not None:
+            context = (self.bos,) + context
+        val = (
+            self.alpha * self.lm.score(context, self.id_to_token[new_id])
+            + self.beta
+        )
+        if len(self._cache) > 1 << 20:
+            self._cache.clear()
+        self._cache[key] = val
+        return val

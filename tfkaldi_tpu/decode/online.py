@@ -189,7 +189,8 @@ class OnlineCTCBeamDecoder:
     """
 
     def __init__(
-        self, model, params, model_state, blank_id: int, beam_width: int = 16
+        self, model, params, model_state, blank_id: int, beam_width: int = 16,
+        fusion_scorer=None,
     ):
         _validate_streamable(model)
         self.model = model
@@ -197,6 +198,8 @@ class OnlineCTCBeamDecoder:
         self.model_state = model_state
         self.blank_id = int(blank_id)
         self.beam_width = int(beam_width)
+        # optional LM shallow fusion (decode/lm.py::FusionScorer)
+        self.fusion_scorer = fusion_scorer
         self._carry = None
         self._beams = None
 
@@ -240,7 +243,7 @@ class OnlineCTCBeamDecoder:
                 for t in range(int(lengths[row])):
                     self._beams[row] = beam_step(
                         self._beams[row], log_probs[row, t],
-                        self.blank_id, self.beam_width,
+                        self.blank_id, self.beam_width, self.fusion_scorer,
                     )
         return self.best()
 
@@ -302,14 +305,21 @@ class StreamingTranscriber:
         online_extractor,  # frontend.online.OnlineFeatureExtractor
         model, params, model_state, coder, blank_id: int,
         *, cmvn: np.ndarray | None = None, beam_width: int = 1,
+        fusion_scorer=None,
     ):
         self.extractor = online_extractor
         self.coder = coder
         self.cmvn = None if cmvn is None else np.asarray(cmvn)
         self.beam_width = int(beam_width)
+        if fusion_scorer is not None and self.beam_width <= 1:
+            raise ValueError(
+                "LM shallow fusion needs beam_width > 1 (greedy decoding "
+                "has no hypothesis set to rescore)"
+            )
         if self.beam_width > 1:
             self._dec = OnlineCTCBeamDecoder(
-                model, params, model_state, blank_id, beam_width=self.beam_width
+                model, params, model_state, blank_id,
+                beam_width=self.beam_width, fusion_scorer=fusion_scorer,
             )
         else:
             self._dec = OnlineCTCDecoder(model, params, model_state, blank_id)
