@@ -151,3 +151,65 @@ def test_ctc_e2e_train_and_decode_text(tmp_path):
     for line in lines:
         utt_id = line.split(" ")[0]
         assert utt_id in info["utts"]
+
+
+def test_decode_text_with_lm_fusion(tmp_path):
+    """`[nnet] lm_path` wires ARPA shallow fusion into decode_text; a
+    bad beam_width is rejected."""
+    from configparser import ConfigParser
+
+    from tests.synthetic import make_featdir
+    from tfkaldi_tpu.data import FeatureReader, TextBatchDispenser, TextCoder
+    from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer
+    from tfkaldi_tpu.nnet import Nnet
+
+    featdir, _, info = make_featdir(tmp_path, utts_per_speaker=4)
+    with open(os.path.join(featdir, "text"), "w") as f:
+        for i, utt in enumerate(info["utts"]):
+            f.write(f"{utt} {'HELLO' if i % 2 else 'WORLD'}\n")
+
+    coder = TextCoder(aurora4_normalizer)
+    # character-level unigram LM over the coder's own alphabet
+    chars = [t for t in coder.alphabet]
+    lp = -1.5
+    lm_lines = ["\\data\\", f"ngram 1={len(chars)}", "", "\\1-grams:"]
+    lm_lines += [f"{lp}\t{c}" for c in chars]
+    lm_lines += ["", "\\end\\", ""]
+    lm_path = tmp_path / "chars.arpa"
+    lm_path.write_text("\n".join(lm_lines))
+
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": str(tmp_path / "exp")}
+    cfg["nnet"] = {
+        "name": "ctclm", "context_width": "1", "num_hidden_units": "16",
+        "num_hidden_layers": "1", "add_layer_period": "0",
+        "starting_step": "0", "nonlin": "relu", "l2_norm": "False",
+        "dropout": "1", "batch_norm": "False", "num_epochs": "1",
+        "initial_learning_rate": "0.01", "learning_rate_decay": "1",
+        "batch_size": "4", "numutterances_per_minibatch": "4",
+        "valid_batches": "0", "valid_frequency": "100",
+        "valid_adapt": "False", "valid_retries": "0", "check_freq": "100",
+        "visualise": "False", "loss": "ctc",
+        "beam_width": "4", "lm_path": str(lm_path),
+        "lm_alpha": "0.4", "lm_beta": "0.1",
+    }
+
+    def reader():
+        return FeatureReader(
+            f"{featdir}/feats.scp", f"{featdir}/cmvn.scp",
+            f"{featdir}/utt2spk", 1, 60,
+        )
+
+    dispenser = TextBatchDispenser(reader(), coder, 4,
+                                   os.path.join(featdir, "text"))
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+    net.train(dispenser)
+    out = str(tmp_path / "decoded_lm.txt")
+    n = net.decode_text(reader(), coder, out)
+    assert n == len(open(out).read().splitlines()) == len(info["utts"])
+
+    cfg["nnet"]["beam_width"] = "1"
+    net2 = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="beam_width"):
+        net2.decode_text(reader(), coder, str(tmp_path / "x.txt"))

@@ -294,6 +294,23 @@ class Nnet:
         trainer = Trainer(self.model, TrainerConfig())
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
+        # optional ARPA-LM shallow fusion over the coder's alphabet
+        # ([nnet] lm_path / lm_alpha / lm_beta; needs beam_width > 1)
+        scorer = None
+        lm_path = self.conf.get("lm_path", "")
+        if lm_path:
+            if int(self.conf.get("beam_width", 1)) <= 1:
+                raise ValueError("lm_path needs beam_width > 1 in [nnet]")
+            from tfkaldi_tpu.decode.lm import ArpaLM, FusionScorer
+
+            # the blank is an extra non-text class past the alphabet
+            tokens = list(coder.alphabet) + ["<blank>"]
+            scorer = FusionScorer(
+                ArpaLM.load(lm_path),
+                tokens,
+                alpha=float(self.conf.get("lm_alpha", 0.5)),
+                beta=float(self.conf.get("lm_beta", 0.0)),
+            )
         decoder = CTCDecoder(
             self.model,
             state.params,
@@ -301,6 +318,7 @@ class Nnet:
             coder,
             self.blank_id,
             beam_width=int(self.conf.get("beam_width", 1)),
+            fusion_scorer=scorer,
         )
         count = decoder.decode_to_file(
             reader,
