@@ -288,6 +288,66 @@ def bench_conformer_tpu() -> float:
     return fps
 
 
+def bench_conformer_ctc_tpu() -> dict:
+    """Conformer-CTC with the 4× stacking front-end vs the same model at
+    1:1 frame rate, in-process interleaved (the production conformer-CTC
+    recipe: attention/FFN cost drops ~4×; input frames/sec is the metric
+    that matters to a user feeding audio)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import Transformer, TransformerConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f, v = 32, 512, 40, 40  # ~charset-sized CTC vocabulary
+    l_max = 64
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, v - 1, (b, l_max)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.full((b,), l_max, jnp.int32),
+    )
+
+    def build(sub):
+        model = Transformer(TransformerConfig(
+            input_dim=f, num_labels=v, num_blocks=12, d_model=256,
+            num_heads=4, ffn_dim=1024, conformer=True, conv_kernel=15,
+            subsample=sub, compute_dtype=jnp.bfloat16,
+        ))
+        trainer = Trainer(model, TrainerConfig(
+            init_learning_rate=1e-3, num_steps=1000,
+            loss_type="ctc", ctc_blank_id=v - 1,
+        ))
+        return trainer, trainer.init_state(jax.random.PRNGKey(0))
+
+    arms = {1: build(1), 4: build(4)}
+    states = {}
+    for k, (tr, st) in arms.items():
+        st, loss = tr.update(st, batch)
+        _ = float(loss)
+        states[k] = st
+    best = {k: float("inf") for k in arms}
+    for _ in range(3):
+        for k, (tr, _) in arms.items():
+            st = states[k]
+            t0 = time.perf_counter()
+            for _ in range(10):
+                st, loss = tr.update(st, batch)
+            _ = float(loss)
+            best[k] = min(best[k], (time.perf_counter() - t0) / 10)
+            states[k] = st
+    out = {k: b * t / v_ for k, v_ in best.items()}
+    for k in arms:
+        print(
+            f"[bench] conformer-ctc sub{k}: {best[k] * 1000:.1f} ms/step -> "
+            f"{out[k]:,.0f} input frames/s",
+            file=sys.stderr,
+        )
+    return {"sub4_fps": out[4], "sub1_fps": out[1]}
+
+
 def bench_decode_tpu() -> dict:
     """Likelihood-emission throughput: the fused forward → softmax → ÷prior
     → eps-floor → log chain (decode/decoder.py) on the flagship DNN,
@@ -804,6 +864,26 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] conformer bench failed: {e}", file=sys.stderr)
 
+    # Conformer-CTC with the 4x stacking front-end (the production CTC
+    # recipe); ratio vs the same model at 1:1 frame rate, in-process.
+    # Non-fatal.
+    conformer_ctc_line = None
+    try:
+        cc = bench_conformer_ctc_tpu()
+        conformer_ctc_line = {
+            "metric": "conformer_ctc_train_throughput",
+            "value": round(cc["sub4_fps"], 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(cc["sub4_fps"] / cc["sub1_fps"], 2),
+            "baseline": {
+                "value": round(cc["sub1_fps"], 1),
+                "source": "same-process conformer-CTC at subsample=1 (identical model otherwise)",
+            },
+        }
+        print(json.dumps(conformer_ctc_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] conformer-ctc bench failed: {e}", file=sys.stderr)
+
     # decode-emission throughput (reference structure = batch-1 dispatches;
     # the ratio is the batching win). Non-fatal.
     decode_line = None
@@ -881,6 +961,8 @@ def main() -> None:
         extra["cnn_train_throughput"] = cnn_line
     if conformer_line is not None:
         extra["conformer_train_throughput"] = conformer_line
+    if conformer_ctc_line is not None:
+        extra["conformer_ctc_train_throughput"] = conformer_ctc_line
     if decode_line is not None:
         extra["decode_throughput"] = decode_line
     if ctc_line is not None:

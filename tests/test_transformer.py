@@ -399,3 +399,113 @@ def test_online_decoder_rejects_unstreamable_transformer():
     params, state = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="right_context"):
         OnlineCTCDecoder(model, params, state, blank_id=4)
+
+
+# ----------------------------------------------------------------------
+# stacking front-end (subsample, CTC only)
+# ----------------------------------------------------------------------
+
+
+def test_subsample_shapes_and_output_lengths():
+    model = _model(subsample=4, num_blocks=1)
+    params, state = model.init(jax.random.PRNGKey(0))
+    assert params["in_proj"]["w"].shape == (8 * 4, 16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 22, 8)),
+                    jnp.float32)
+    lengths = jnp.asarray([22, 9], jnp.int32)
+    logits, _ = model.apply(params, state, x, lengths, train=False)
+    assert logits.shape == (2, 6, 5)  # ceil(22/4) with pad -> 24/4
+    np.testing.assert_array_equal(
+        np.asarray(model.output_lengths(lengths)), [6, 3]
+    )
+    assert model.subsample_factor == 4
+    with pytest.raises(ValueError, match="subsample"):
+        _model(subsample=0)
+    with pytest.raises(ValueError, match="subsample"):
+        _model(subsample=4).validate_streamable()
+
+
+def test_subsample_padding_content_invariance():
+    """Padding content must not leak into the boundary stacked group."""
+    model = _model(subsample=4, num_blocks=1, conformer=True,
+                   causal_conv=True, conv_kernel=5)
+    params, state = _rand_params(model)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 16, 8)).astype(np.float32)
+    lengths = np.asarray([16, 10], np.int32)  # row 1 boundary group straddles
+    base, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(lengths),
+                          train=False)
+    x2 = x.copy()
+    for row, n in enumerate(lengths):
+        x2[row, n:] = 1e3 * rng.standard_normal((16 - n, 8))
+    got, _ = model.apply(params, state, jnp.asarray(x2), jnp.asarray(lengths),
+                         train=False)
+    out_n = np.asarray(model.output_lengths(jnp.asarray(lengths)))
+    for row in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got)[row, : out_n[row]],
+            np.asarray(base)[row, : out_n[row]], rtol=0, atol=1e-5,
+        )
+
+
+def test_subsample_ctc_trains_and_ce_rejected():
+    model = _model(subsample=2, num_blocks=2, num_labels=6)
+    trainer = Trainer(model, TrainerConfig(
+        init_learning_rate=0.02, num_steps=50, loss_type="ctc", ctc_blank_id=5,
+    ))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((4, 30, 8)).astype(np.float32)
+    y = rng.integers(0, 5, (4, 5)).astype(np.int32)
+    in_len = np.full(4, 30, np.int32)
+    tgt_len = np.full(4, 5, np.int32)
+    batch = PaddedBatch(jnp.asarray(x), jnp.asarray(y), jnp.asarray(in_len),
+                        jnp.asarray(tgt_len))
+    losses = []
+    for _ in range(20):
+        state, loss = trainer.update(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses[::5]
+
+    ce_trainer = Trainer(model, TrainerConfig(init_learning_rate=0.01))
+    ce_state = ce_trainer.init_state(jax.random.PRNGKey(0))
+    y_frames = rng.integers(0, 6, (4, 30)).astype(np.int32)
+    ce_batch = PaddedBatch(jnp.asarray(x), jnp.asarray(y_frames),
+                           jnp.asarray(in_len), jnp.asarray(in_len))
+    with pytest.raises(ValueError, match="CTC-only"):
+        ce_trainer.update(ce_state, ce_batch)
+
+
+def test_subsample_ctc_decode_uses_output_lengths():
+    from tfkaldi_tpu.decode import CTCDecoder
+
+    model = _model(subsample=4, num_blocks=1, num_labels=6)
+    params, state = _rand_params(model, seed=7)
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    dec = CTCDecoder(model, params, state, _IdCoder(), 5, beam_width=2)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 20, 8)).astype(np.float32)
+    lengths = np.asarray([20, 7], np.int32)
+    out = dec.decode_batch(x, lengths)
+    # at most ceil(n/4) emissions per row (5 and 2 output frames)
+    assert len(out) == 2
+    assert out[0].shape[0] <= 5 and out[1].shape[0] <= 2
+
+
+def test_subsample_requires_ctc_in_facade():
+    from configparser import ConfigParser
+
+    from tfkaldi_tpu.nnet import Nnet
+
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": "/tmp/xf-sub-reject"}
+    cfg["nnet"] = {
+        "name": "x", "model": "conformer", "context_width": "0",
+        "subsample": "4", "add_layer_period": "0",
+    }
+    with pytest.raises(ValueError, match="loss = ctc"):
+        Nnet(cfg, input_dim=8, num_labels=5)

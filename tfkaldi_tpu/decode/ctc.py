@@ -86,6 +86,10 @@ class CTCDecoder:
             self.params,
             self.model_state,
         )
+        # a subsampling front-end emits ceil(n/s) frames per row
+        out_fn = getattr(self.model, "output_lengths", None)
+        if out_fn is not None:
+            lengths = np.asarray(out_fn(np.asarray(lengths)))
         if self.beam_width <= 1:
             paths = np.asarray(self._fn(*args))
             return [

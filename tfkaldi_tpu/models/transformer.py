@@ -79,6 +79,11 @@ class TransformerConfig:
     left_context: int = -1
     right_context: int = -1
     causal_conv: bool = False  # depthwise conv sees [t-k+1, t] not [t±k/2]
+    # frame-rate reduction by stacking `subsample` consecutive frames into
+    # one position before the input projection (the production
+    # conformer-CTC recipe; attention/FFN cost drops ~subsample-fold).
+    # CTC only: frame-level CE targets need the 1:1 alignment.
+    subsample: int = 1
     dropout: float = 1.0  # KEEP probability (reference dropout semantics)
     compute_dtype: Any = jnp.float32
     ln_eps: float = 1e-6
@@ -94,6 +99,8 @@ class TransformerConfig:
             raise ValueError("conv_kernel must be odd (SAME-centered depthwise)")
         if self.left_context < -1 or self.right_context < -1:
             raise ValueError("attention contexts must be >= 0 or -1 (unlimited)")
+        if self.subsample < 1:
+            raise ValueError("subsample must be >= 1")
 
     @classmethod
     def from_config(
@@ -111,6 +118,7 @@ class TransformerConfig:
             left_context=int(conf.get("attention_left_context", -1)),
             right_context=int(conf.get("attention_right_context", -1)),
             causal_conv=str(conf.get("causal_conv", "False")) == "True",
+            subsample=int(conf.get("subsample", 1)),
             dropout=float(conf.get("dropout", 1)),
             compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
         )
@@ -236,11 +244,12 @@ class Transformer:
     def init(self, rng: jax.Array) -> tuple[Params, Params]:
         cfg = self.config
         keys = jax.random.split(rng, cfg.num_blocks + 1)
-        std = 1.0 / np.sqrt(cfg.input_dim)
+        in_dim = cfg.input_dim * cfg.subsample
+        std = 1.0 / np.sqrt(in_dim)
         params: dict[str, Any] = {
             "in_proj": {
                 "w": (
-                    jax.random.normal(keys[0], (cfg.input_dim, cfg.d_model)) * std
+                    jax.random.normal(keys[0], (in_dim, cfg.d_model)) * std
                 ).astype(jnp.float32),
                 "b": jnp.zeros((cfg.d_model,), jnp.float32),
             },
@@ -373,6 +382,20 @@ class Transformer:
         if train and cfg.dropout < 1 and dropout_rng is None:
             raise ValueError("dropout requires dropout_rng in training mode")
         rng = dropout_rng if dropout_rng is not None else jax.random.PRNGKey(0)
+        if cfg.subsample > 1:
+            # stack `subsample` consecutive frames into one position
+            # (decimation front-end). Zero frames beyond each row's
+            # length first: the boundary group may straddle the
+            # utterance end, and padding CONTENT must not leak into it
+            # (the invariance the other families get from masked shifts)
+            frame_ok = jnp.arange(t)[None, :] < seq_lengths[:, None]
+            inputs = inputs * frame_ok[:, :, None].astype(inputs.dtype)
+            pad = -t % cfg.subsample
+            if pad:
+                inputs = jnp.pad(inputs, ((0, 0), (0, pad), (0, 0)))
+            t = (t + pad) // cfg.subsample
+            inputs = inputs.reshape(b, t, -1)
+            seq_lengths = self.output_lengths(seq_lengths)
         key_mask = jnp.arange(t)[None, :] < seq_lengths[:, None]  # [B, T] bool
         mask_btf = key_mask[:, :, None]
         eps = cfg.ln_eps
@@ -425,12 +448,30 @@ class Transformer:
         logits = (logits + params["out"]["b"]).astype(jnp.float32)
         return logits.reshape(b, t, cfg.num_labels), new_state
 
+    def output_lengths(self, seq_lengths):
+        """Valid output frames for given input frame counts (``ceil(n/s)``
+        under the stacking front-end; identity without it). The CTC
+        trainer and decoder consult this instead of assuming 1:1."""
+        s = self.config.subsample
+        if s == 1:
+            return seq_lengths
+        return (seq_lengths + (s - 1)) // s
+
+    @property
+    def subsample_factor(self) -> int:
+        return self.config.subsample
+
     # ------------------------------------------------------------------
     # streaming (decode/online.py seam, eval mode)
     # ------------------------------------------------------------------
 
     def validate_streamable(self) -> None:
         cfg = self.config
+        if cfg.subsample != 1:
+            raise ValueError(
+                "streaming with the stacking front-end (subsample > 1) is "
+                "not supported yet — use subsample = 1 for online models"
+            )
         if cfg.left_context < 0 or cfg.right_context != 0:
             raise ValueError(
                 "streaming a transformer requires time-restricted, "

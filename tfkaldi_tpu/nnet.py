@@ -94,6 +94,11 @@ class Nnet:
             cfg = TransformerConfig.from_config(self.conf, self.input_dim, output_dim)
             if model_type == "conformer" and not cfg.conformer:
                 cfg = dataclasses.replace(cfg, conformer=True)
+            if cfg.subsample > 1 and self.loss_type != "ctc":
+                raise ValueError(
+                    "subsample > 1 needs loss = ctc (frame-level CE targets "
+                    "require the 1:1 alignment)"
+                )
             self.model = Transformer(cfg)
         elif model_type == "dnn":
             self.model = DNN(DNNConfig.from_config(self.conf, self.input_dim, output_dim))

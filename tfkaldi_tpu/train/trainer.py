@@ -129,6 +129,11 @@ class Trainer:
         if self.config.loss_type == "cross_entropy":
             # summed softmax CE over real frames (trainer.py:514-531);
             # for frame-level alignments target length == input length
+            if getattr(self.model, "subsample_factor", 1) != 1:
+                raise ValueError(
+                    "frame-level CE needs 1:1 frame alignment; subsample > 1 "
+                    "is a CTC-only front-end (loss = ctc)"
+                )
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch.targets)
             t = logits.shape[1]
             mask = jnp.arange(t)[None, :] < batch.target_lengths[:, None]
@@ -137,7 +142,13 @@ class Trainer:
             # the reference's CTCTrainer is unfinished/broken
             # (trainer.py:533-570); this is the working TPU version
             t = logits.shape[1]
-            logit_mask = jnp.arange(t)[None, :] >= batch.input_lengths[:, None]
+            # a subsampling front-end emits fewer frames than it reads
+            # (models/transformer.py::output_lengths); default 1:1
+            out_fn = getattr(self.model, "output_lengths", None)
+            out_lengths = (
+                batch.input_lengths if out_fn is None else out_fn(batch.input_lengths)
+            )
+            logit_mask = jnp.arange(t)[None, :] >= out_lengths[:, None]
             l = batch.targets.shape[1]
             label_mask = jnp.arange(l)[None, :] >= batch.target_lengths[:, None]
             per_seq = optax.ctc_loss(
