@@ -1,0 +1,227 @@
+"""Transducer (RNN-T) greedy decoding — batched offline and streaming.
+
+The reference has no sequence decoder at all (its decode path emits
+per-frame likelihoods for Kaldi, nnet.py:246-289); this is the decode side
+of the ``model = transducer`` family (models/transducer.py).
+
+TPU design: the entire batched greedy search is ONE jitted program — a
+``lax.scan`` over encoder frames whose body runs a bounded
+``max_symbols_per_frame`` emission loop (``lax.fori_loop``). Each
+iteration evaluates the joint for the whole batch, argmaxes, scatters the
+emitted labels into a per-row token buffer (out-of-bounds drop for
+non-emitting rows), and advances the prediction network only for rows
+that emitted (the carry freeze rides the streaming mask of
+``LSTM.apply_stream``). No host round-trips inside an utterance — the
+host reads back one ``(tokens, counts)`` pair per batch.
+
+The streaming decoder reuses the same frame scan per chunk, carrying
+(encoder state, prediction state, last projection) across calls: greedy
+transducer search is strictly causal, so the chunked decode equals the
+offline decode at any chunking (pinned by tests/test_transducer.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfkaldi_tpu.data.feature_reader import FeatureReader
+from tfkaldi_tpu.models.transducer import Transducer
+
+
+def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
+                 proj, carry):
+    """Greedy-emit over ``enc [B, T, J]`` frames (``frame_valid [B, T]``),
+    starting from prediction projection ``proj [B, J]`` and carry.
+    Returns ``(tokens [B, T*max_symbols], counts [B], proj, carry)``."""
+    b, t, _ = enc.shape
+    buf_len = t * max_symbols
+    buf = jnp.zeros((b, buf_len), jnp.int32)
+    counts = jnp.zeros((b,), jnp.int32)
+    rows = jnp.arange(b)
+
+    def frame(state, xs):
+        proj, carry, buf, counts = state
+        enc_t, valid_t = xs  # [B, J], [B]
+
+        def sym(_, st):
+            proj, carry, buf, counts, active = st
+            logits = model.joint_step(params, enc_t, proj)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            emit = active & (tok != model.blank_id) & valid_t
+            # scatter into each row's next slot; rows not emitting target
+            # an out-of-bounds index and are dropped
+            pos = jnp.where(emit, counts, buf_len)
+            buf = buf.at[rows, pos].set(tok, mode="drop")
+            counts = counts + emit.astype(jnp.int32)
+            new_proj, carry = model.predict_step(params, tok, emit, carry)
+            proj = jnp.where(emit[:, None], new_proj, proj)
+            return proj, carry, buf, counts, emit
+
+        proj, carry, buf, counts, _ = jax.lax.fori_loop(
+            0, max_symbols, sym,
+            (proj, carry, buf, counts, jnp.ones((b,), bool)),
+        )
+        return (proj, carry, buf, counts), None
+
+    (proj, carry, buf, counts), _ = jax.lax.scan(
+        frame,
+        (proj, carry, buf, counts),
+        (jnp.transpose(enc, (1, 0, 2)), jnp.transpose(frame_valid)),
+    )
+    return buf, counts, proj, carry
+
+
+class TransducerDecoder:
+    """Batched greedy transducer decoder emitting text transcriptions.
+
+    ``max_symbols_per_frame`` bounds label emissions per encoder frame
+    (the standard guard against degenerate loops; 4 covers real speech)."""
+
+    def __init__(
+        self,
+        model: Transducer,
+        params,
+        model_state,
+        coder,
+        *,
+        max_symbols_per_frame: int = 4,
+    ):
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.coder = coder
+        self.max_symbols = int(max_symbols_per_frame)
+        self._fn = jax.jit(self._greedy)
+
+    def _greedy(self, params, inputs, lengths):
+        model = self.model
+        enc = model.encode(params, inputs, lengths, train=False)  # [B, T, J]
+        b, t, _ = enc.shape
+        sos = jnp.full((b,), model.blank_id, jnp.int32)
+        proj, carry = model.predict_step(
+            params, sos, jnp.ones((b,), bool), model.init_pred_carry(b)
+        )
+        frame_valid = jnp.arange(t)[None, :] < lengths[:, None]
+        buf, counts, _, _ = _scan_frames(
+            model, self.max_symbols, params, enc, frame_valid, proj, carry
+        )
+        return buf, counts
+
+    def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
+        """``[B, T, F]`` padded features → list of label-id arrays."""
+        buf, counts = self._fn(
+            self.params, jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32)
+        )
+        buf, counts = np.asarray(buf), np.asarray(counts)
+        return [buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])]
+
+    def decode_to_file(
+        self,
+        reader: FeatureReader,
+        outfile: str,
+        *,
+        batch_size: int = 16,
+        bucket_multiple: int = 128,
+    ) -> int:
+        """Stream the test set and write a Kaldi-style ``text`` file
+        (``utt_id transcription`` per line). Returns #utterances."""
+        from tfkaldi_tpu.decode.streaming import pick_stream
+
+        count = 0
+        with open(outfile, "w") as fid:
+            for utt_ids, inputs, lengths in pick_stream(reader)(
+                reader, batch_size=batch_size, bucket_multiple=bucket_multiple
+            ):
+                for utt_id, ids in zip(utt_ids, self.decode_batch(inputs, lengths)):
+                    fid.write(f"{utt_id} {self.coder.decode(ids)}\n")
+                    count += 1
+        return count
+
+
+class OnlineTransducerDecoder:
+    """Streaming greedy transducer decoding for unidirectional encoders.
+
+    Each ``step`` consumes a feature chunk, advances the carried encoder +
+    prediction-network state, and returns the label ids newly emitted by
+    that chunk. Greedy transducer search is strictly causal, so the
+    accumulated stream equals :class:`TransducerDecoder` on the whole
+    utterance at ANY chunking — and unlike streaming CTC there is no
+    cross-chunk repeat-merge bookkeeping: the lattice emits each label
+    exactly once.
+
+    Usage::
+
+        dec = OnlineTransducerDecoder(model, params, state)
+        dec.reset(batch_size)
+        for chunk, lengths in feature_chunks:    # [B, Tc, F], [B]
+            for row, ids in enumerate(dec.step(chunk, lengths)):
+                transcript[row].extend(ids)      # partial results
+    """
+
+    def __init__(self, model: Transducer, params, model_state,
+                 *, max_symbols_per_frame: int = 4):
+        if model.encoder.config.bidirectional:
+            raise ValueError(
+                "online decoding requires a unidirectional encoder "
+                "(bidirectional = False)"
+            )
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.max_symbols = int(max_symbols_per_frame)
+        self._state = None
+
+        def compute(params, chunk, lengths, enc_carry, proj, pred_carry):
+            enc, enc_carry = model.encoder.apply_stream(
+                params["enc"], {}, chunk, lengths, enc_carry
+            )
+            valid = jnp.arange(chunk.shape[1])[None, :] < lengths[:, None]
+            buf, counts, proj, pred_carry = _scan_frames(
+                model, self.max_symbols, params, enc, valid, proj, pred_carry
+            )
+            return buf, counts, enc_carry, proj, pred_carry
+
+        self._fn = jax.jit(compute)
+        self._init_fn = jax.jit(
+            lambda params, sos, adv, carry: model.predict_step(params, sos, adv, carry)
+        )
+
+    def reset(self, batch_size: int) -> None:
+        """Start new utterances: zero encoder state, re-prime the
+        prediction network with the start token."""
+        proj, pred_carry = self._init_fn(
+            self.params,
+            jnp.full((batch_size,), self.model.blank_id, jnp.int32),
+            jnp.ones((batch_size,), bool),
+            self.model.init_pred_carry(batch_size),
+        )
+        self._state = (
+            self.model.encoder.init_stream_carry(batch_size),
+            proj,
+            pred_carry,
+        )
+
+    def step(self, chunk, lengths) -> list[np.ndarray]:
+        """``[B, Tc, F]`` feature chunk (``lengths`` valid frames per row)
+        → per-row arrays of NEWLY emitted label ids."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.shape[1] == 0:
+            return [np.zeros((0,), np.int32) for _ in range(chunk.shape[0])]
+        enc_carry, proj, pred_carry = self._state
+        buf, counts, enc_carry, proj, pred_carry = self._fn(
+            self.params,
+            jnp.asarray(chunk),
+            jnp.asarray(lengths, jnp.int32),
+            enc_carry,
+            proj,
+            pred_carry,
+        )
+        self._state = (enc_carry, proj, pred_carry)
+        buf, counts = np.asarray(buf), np.asarray(counts)
+        return [
+            buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
+        ]

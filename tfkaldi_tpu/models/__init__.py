@@ -10,9 +10,11 @@ from tfkaldi_tpu.models.cnn import CNN, CNNConfig
 from tfkaldi_tpu.models.dnn import DNN, DNNConfig
 from tfkaldi_tpu.models.rnn import GRU, LSTM, RNNConfig
 from tfkaldi_tpu.models.tdnn import TDNN, TDNNConfig
+from tfkaldi_tpu.models.transducer import Transducer, TransducerConfig
 from tfkaldi_tpu.models.transformer import Transformer, TransformerConfig
 
 __all__ = [
     "CNN", "CNNConfig", "DNN", "DNNConfig", "GRU", "LSTM", "RNNConfig",
-    "TDNN", "TDNNConfig", "Transformer", "TransformerConfig",
+    "TDNN", "TDNNConfig", "Transducer", "TransducerConfig",
+    "Transformer", "TransformerConfig",
 ]

@@ -1,0 +1,254 @@
+"""RNN-T (transducer) model: encoder + prediction network + joint.
+
+The reference has no sequence-transduction model at all (its Classifier
+seam ships one DNN and an unfinished CTC trainer, reference
+trainer.py:533-570); the transducer is the modern streaming-ASR family —
+an acoustic encoder, an autoregressive label predictor, and a joint
+network scored by the RNN-T lattice loss (ops/rnnt_loss.py). Selected via
+``model = transducer`` + ``loss = rnnt`` in ``[nnet]``.
+
+TPU design — everything is composition over machinery this framework
+already optimized:
+
+- the **encoder** is a stock LSTM/GRU stack (models/rnn.py) whose output
+  projection doubles as the encoder half of the joint: its Pallas
+  bidirectional kernels, custom-VJP scans, masking and mesh partitioning
+  all apply unchanged. Unidirectional encoders stream exactly via the
+  existing ``apply_stream`` carry path.
+- the **prediction network** is the same LSTM machinery over embedded
+  label sequences (lengths = label_lengths + 1 after the start token), so
+  padding freeze and custom-VJP backward come for free.
+- the **joint** is a broadcast add + tanh + one ``[B·T·(U+1), J] @ [J, V]``
+  MXU matmul. The ``[B, T, U+1, J]`` activation is the transducer's
+  notorious memory hog, so the joint is wrapped in ``jax.checkpoint`` —
+  the backward pass rematerializes the tanh instead of storing it,
+  trading one cheap VPU pass for the dominant HBM cost.
+
+Blank/start-token convention matches the CTC path: the blank is the extra
+final class ``num_labels`` (nnet.py facade), and the prediction network
+consumes the blank id as the start-of-sequence token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfkaldi_tpu.models.rnn import GRU, LSTM, RNNConfig
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerConfig:
+    input_dim: int
+    num_labels: int  # real labels; blank = num_labels (vocab = num_labels+1)
+    enc_type: str = "lstm"  # lstm | gru
+    enc_layers: int = 2
+    enc_units: int = 512
+    enc_bidirectional: bool = False  # True = offline-only encoder
+    pred_layers: int = 1
+    pred_units: int = 320
+    embed_dim: int = 128
+    joint_units: int = 320
+    dropout: float = 1.0  # keep probability (reference semantics, nnet.py:70)
+    compute_dtype: Any = jnp.float32
+    scan_unroll: int = 8
+    scan_impl: str = "auto"
+    batch_shards: int = 0
+
+    @classmethod
+    def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "TransducerConfig":
+        return cls(
+            input_dim=input_dim,
+            num_labels=num_labels,
+            enc_type=str(conf.get("enc_type", "lstm")),
+            enc_layers=int(conf.get("num_hidden_layers", 2)),
+            enc_units=int(conf.get("num_hidden_units", 512)),
+            enc_bidirectional=str(conf.get("bidirectional", "False")) == "True",
+            pred_layers=int(conf.get("pred_layers", 1)),
+            pred_units=int(conf.get("pred_units", 320)),
+            embed_dim=int(conf.get("embed_dim", 128)),
+            joint_units=int(conf.get("joint_units", 320)),
+            dropout=float(conf.get("dropout", 1)),
+            compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
+            scan_unroll=int(conf.get("scan_unroll", 8)),
+            scan_impl=str(conf.get("scan_impl", "auto")),
+        )
+
+
+class Transducer:
+    """Stateless transducer: owns the config, provides init + lattice/greedy
+    forwards. Not a frame-classifier — trained with ``loss = rnnt`` and
+    decoded by :class:`tfkaldi_tpu.decode.transducer.TransducerDecoder`."""
+
+    def __init__(self, config: TransducerConfig):
+        self.config = config
+        cell = {"lstm": LSTM, "gru": GRU}.get(config.enc_type)
+        if cell is None:
+            raise ValueError(f"unknown enc_type {config.enc_type!r}")
+        self.encoder = cell(
+            RNNConfig(
+                input_dim=config.input_dim,
+                num_labels=config.joint_units,  # the encoder half of the joint
+                num_layers=config.enc_layers,
+                hidden_units=config.enc_units,
+                bidirectional=config.enc_bidirectional,
+                dropout=config.dropout,
+                compute_dtype=config.compute_dtype,
+                scan_unroll=config.scan_unroll,
+                scan_impl=config.scan_impl,
+                batch_shards=config.batch_shards,
+            )
+        )
+        self.predictor = LSTM(
+            RNNConfig(
+                input_dim=config.embed_dim,
+                num_labels=config.joint_units,  # the prediction half of the joint
+                num_layers=config.pred_layers,
+                hidden_units=config.pred_units,
+                bidirectional=False,
+                dropout=config.dropout,
+                compute_dtype=config.compute_dtype,
+                scan_unroll=config.scan_unroll,
+                scan_impl="xla",  # tiny [B, U] shapes — kernel not worth it
+            )
+        )
+
+    @property
+    def blank_id(self) -> int:
+        return self.config.num_labels
+
+    @property
+    def vocab_size(self) -> int:
+        return self.config.num_labels + 1
+
+    # ------------------------------------------------------------------
+
+    def init(self, rng: jax.Array) -> tuple[Params, Params]:
+        cfg = self.config
+        ke, kp, k1, k2, k3, k4 = jax.random.split(rng, 6)
+        enc, _ = self.encoder.init(ke)
+        pred, _ = self.predictor.init(kp)
+        # the RNN 'out' layers are zero-init (frame-classifier convention);
+        # as joint projections they must break symmetry, so re-init them
+        # N(0, 1/sqrt(fan_in)) like every other dense layer here
+        for p, key in ((enc, k1), (pred, k2)):
+            w = p["out"]["w"]
+            p["out"] = {
+                "w": (jax.random.normal(key, w.shape) / np.sqrt(w.shape[0])).astype(
+                    jnp.float32
+                ),
+                "b": jnp.zeros_like(p["out"]["b"]),
+            }
+        params = {
+            "enc": enc,
+            "pred": pred,
+            "embed": (
+                jax.random.normal(k3, (self.vocab_size, cfg.embed_dim))
+                / np.sqrt(cfg.embed_dim)
+            ).astype(jnp.float32),
+            "joint": {
+                "w": (
+                    jax.random.normal(k4, (cfg.joint_units, self.vocab_size))
+                    / np.sqrt(cfg.joint_units)
+                ).astype(jnp.float32),
+                "b": jnp.zeros((self.vocab_size,), jnp.float32),
+            },
+        }
+        return params, {}
+
+    # ------------------------------------------------------------------
+
+    def encode(self, params, inputs, input_lengths, *, train, dropout_rng=None):
+        """``[B, T, F]`` features → ``[B, T, J]`` encoder joint-projections."""
+        enc, _ = self.encoder.apply(
+            params["enc"], {}, inputs, input_lengths, train=train,
+            dropout_rng=None if dropout_rng is None else jax.random.fold_in(dropout_rng, 0),
+        )
+        return enc
+
+    def predict(self, params, labels, label_lengths, *, train, dropout_rng=None):
+        """``[B, U]`` labels → ``[B, U+1, J]`` prediction joint-projections
+        (position u conditions on the first u labels; position 0 is the
+        start token = blank)."""
+        b = labels.shape[0]
+        sos = jnp.full((b, 1), self.blank_id, labels.dtype)
+        tokens = jnp.concatenate([sos, labels], axis=1)  # [B, U+1]
+        emb = params["embed"][tokens]  # [B, U+1, E]
+        pred, _ = self.predictor.apply(
+            params["pred"], {}, emb, label_lengths + 1, train=train,
+            dropout_rng=None if dropout_rng is None else jax.random.fold_in(dropout_rng, 1),
+        )
+        return pred
+
+    @staticmethod
+    def _joint(joint_params, enc, pred, compute_dtype):
+        """``[B, T, J] × [B, U+1, J]`` → ``[B, T, U+1, V]`` logits."""
+        h = jnp.tanh(enc[:, :, None, :] + pred[:, None, :, :]).astype(compute_dtype)
+        logits = jax.lax.dot_general(
+            h,
+            joint_params["w"].astype(compute_dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + joint_params["b"]
+        return logits.astype(jnp.float32)
+
+    def apply_transducer(
+        self,
+        params: Params,
+        state: Params,
+        inputs: jnp.ndarray,  # [B, T, F]
+        input_lengths: jnp.ndarray,  # [B]
+        labels: jnp.ndarray,  # [B, U]
+        label_lengths: jnp.ndarray,  # [B]
+        *,
+        train: bool,
+        dropout_rng: jax.Array | None = None,
+    ) -> tuple[jnp.ndarray, Params]:
+        """Full lattice forward → ``[B, T, U+1, V]`` joint logits."""
+        enc = self.encode(params, inputs, input_lengths, train=train, dropout_rng=dropout_rng)
+        pred = self.predict(params, labels, label_lengths, train=train, dropout_rng=dropout_rng)
+        # remat: the [B, T, U+1, J] tanh is the transducer's HBM hog —
+        # recompute it in the backward pass instead of storing it
+        joint = jax.checkpoint(
+            lambda jp, e, p: self._joint(jp, e, p, self.config.compute_dtype)
+        )
+        return joint(params["joint"], enc, pred), state
+
+    # -- decode-time pieces (used by decode/transducer.py) ----------------
+
+    def joint_step(self, params, enc_frames, pred_proj):
+        """``[B, J] × [B, J]`` → ``[B, V]`` logits for one lattice node."""
+        cfg = self.config
+        h = jnp.tanh(enc_frames + pred_proj).astype(cfg.compute_dtype)
+        return (
+            jax.lax.dot_general(
+                h,
+                params["joint"]["w"].astype(cfg.compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + params["joint"]["b"]
+        ).astype(jnp.float32)
+
+    def predict_step(self, params, tokens, advance, carry):
+        """One prediction-network step for greedy/beam decode.
+
+        ``tokens [B]`` are the labels to feed; rows with ``advance`` False
+        keep their carry and must keep their previous projection (the
+        returned row is only valid where ``advance``). Returns
+        ``([B, J] projection, new carry)``."""
+        emb = params["embed"][tokens][:, None, :]  # [B, 1, E]
+        lengths = advance.astype(jnp.int32)  # 0 freezes the carry row
+        proj, new_carry = self.predictor.apply_stream(
+            params["pred"], {}, emb, lengths, carry
+        )
+        return proj[:, 0, :], new_carry
+
+    def init_pred_carry(self, batch_size: int):
+        return self.predictor.init_stream_carry(batch_size)

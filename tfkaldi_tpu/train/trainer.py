@@ -118,6 +118,33 @@ class Trainer:
 
     def _loss_sum(self, params, model_state, batch: PaddedBatch, *, train, rng):
         """Frame-summed loss + updated model state + frame count."""
+        if self.config.loss_type == "rnnt":
+            # transducer lattice loss (ops/rnnt_loss.py): the model builds
+            # [B, T, U+1, V] joint logits instead of per-frame posteriors;
+            # the reference has no transduction loss at all (its CTC trainer
+            # never worked, trainer.py:533-570)
+            joint_logits, new_state = self.model.apply_transducer(
+                params,
+                model_state,
+                batch.inputs,
+                batch.input_lengths,
+                batch.targets,
+                batch.target_lengths,
+                train=train,
+                dropout_rng=rng,
+            )
+            from tfkaldi_tpu.ops.rnnt_loss import rnnt_loss
+
+            per_seq = rnnt_loss(
+                joint_logits,
+                batch.targets,
+                batch.input_lengths,
+                batch.target_lengths,
+                self.model.blank_id,
+            )
+            loss = jnp.sum(per_seq)
+            num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
+            return loss, (new_state, num_frames)
         logits, new_state = self.model.apply(
             params,
             model_state,
