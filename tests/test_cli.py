@@ -232,3 +232,30 @@ def test_cli_ctc_train_and_decode(workspace):
     lines = out.read_text().splitlines()
     assert len(lines) == 6
     assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)
+
+
+def test_cli_transducer_train_and_decode(workspace):
+    """`model = transducer` + `loss = rnnt` drives the RNN-T pipeline:
+    TextBatchDispenser training through the lattice loss, then batched
+    greedy transducer search emitting a text file."""
+    tmp, cfg, _ = workspace
+    t_cfg = tmp / "config_rnnt.cfg"
+    text = cfg.read_text().replace("name = cli_nnet", "name = cli_rnnt_nnet")
+    text = text.replace("num_hidden_layers = 2", "num_hidden_layers = 1")
+    text = text.replace(
+        "[nnet]",
+        "[nnet]\nloss = rnnt\nmodel = transducer\nnormalizer = aurora4\n"
+        "pred_units = 16\nembed_dim = 8\njoint_units = 16\nscan_unroll = 1",
+    )
+    t_cfg.write_text(text)
+
+    rc = main(["--config", str(t_cfg), "--steps", "train_nnet"])
+    assert rc == 0
+    assert (tmp / "expdir" / "cli_rnnt_nnet" / "final").is_dir()
+
+    rc = main(["--config", str(t_cfg), "--steps", "test_nnet"])
+    assert rc == 0
+    out = tmp / "expdir" / "cli_rnnt_nnet" / "decode" / "text"
+    lines = out.read_text().splitlines()
+    assert len(lines) == 6
+    assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)

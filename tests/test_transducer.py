@@ -197,3 +197,87 @@ def test_online_rejects_bidirectional_encoder():
     params, mstate = model.init(jax.random.PRNGKey(7))
     with pytest.raises(ValueError, match="unidirectional"):
         OnlineTransducerDecoder(model, params, mstate)
+
+
+def test_mesh_step_matches_single_device():
+    """rnnt training step sharded over the data axis == single-device."""
+    from tfkaldi_tpu.parallel import make_mesh, shard_batch, shard_state
+
+    model = Transducer(tiny_config())
+    trainer = Trainer(
+        model,
+        TrainerConfig(init_learning_rate=1e-2, num_steps=10, loss_type="rnnt"),
+    )
+    batch = synth_batch(np.random.default_rng(8), b=8)
+    state = trainer.init_state(jax.random.PRNGKey(9))
+    _, loss_single = trainer.update(state, batch, jax.random.PRNGKey(10))
+
+    mesh = make_mesh(jax.devices()[:4])
+    state_m = shard_state(trainer.init_state(jax.random.PRNGKey(9)), mesh)
+    batch_m = shard_batch(batch, mesh)
+    _, loss_mesh = trainer.update(state_m, batch_m, jax.random.PRNGKey(10))
+    np.testing.assert_allclose(
+        float(loss_mesh), float(loss_single), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_facade_rejects_mismatched_model_loss():
+    from configparser import ConfigParser
+
+    from tfkaldi_tpu.nnet import Nnet
+
+    for model, loss in (("transducer", "ctc"), ("lstm", "rnnt")):
+        cfg = ConfigParser()
+        cfg.read_dict({
+            "directories": {"expdir": "/tmp/x"},
+            "nnet": {"name": "n", "model": model, "loss": loss,
+                     "context_width": "0"},
+        })
+        with pytest.raises(ValueError, match="transducer"):
+            Nnet(cfg, input_dim=4, num_labels=4)
+
+
+def test_streaming_transducer_transcriber_equals_offline():
+    """StreamingTransducerTranscriber (audio chunks → features → CMVN →
+    greedy transducer) ends at exactly the offline pipeline's transcripts."""
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+    from tfkaldi_tpu.frontend import FeatureExtractor, FeatureOpts, OnlineFeatureExtractor
+    from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats
+
+    rate = 8000
+    opts = FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256)
+    ext = FeatureExtractor(opts, rate, spectrum_precision="high")
+
+    rng = np.random.default_rng(12)
+    lengths = np.asarray([8000, 5003])
+    sig = (rng.standard_normal((2, 8000)) * 3000).astype(np.float32)
+    for row, n in enumerate(lengths):
+        sig[row, n:] = 0
+
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    stats = cmvn_stats(off_feats, off_nf)
+    off_norm = np.asarray(apply_cmvn(off_feats, stats)).astype(np.float32)
+
+    model = Transducer(tiny_config(input_dim=10))
+    params, mstate = model.init(jax.random.PRNGKey(13))
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    offline_ids = TransducerDecoder(
+        model, params, mstate, _IdCoder()
+    ).decode_batch(off_norm, off_nf)
+    offline_text = [_IdCoder().decode(ids) for ids in offline_ids]
+
+    tx = StreamingTransducerTranscriber(
+        OnlineFeatureExtractor(ext), model, params, mstate, _IdCoder(), cmvn=stats
+    )
+    tx.reset(2)
+    for pos in range(0, 8000, 1000):
+        c = sig[:, pos : pos + 1000]
+        cl = np.clip(lengths - pos, 0, c.shape[1])
+        partial = tx.push(c, cl)
+        assert len(partial) == 2  # partials available mid-stream
+    final = tx.finish()
+    assert final == offline_text

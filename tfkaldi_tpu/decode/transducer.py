@@ -225,3 +225,79 @@ class OnlineTransducerDecoder:
         return [
             buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
         ]
+
+
+class StreamingTransducerTranscriber:
+    """Raw audio chunks → incremental transducer transcripts, end to end.
+
+    The transducer counterpart of ``decode.online.StreamingTranscriber``:
+    ``frontend.online.OnlineFeatureExtractor`` (frames emitted as their
+    analysis windows complete) → optional CMVN (precomputed speaker stats,
+    as the offline pipeline applies them) → streaming greedy transducer
+    search. Greedy transducer decoding is strictly causal, so the final
+    transcripts equal the offline pipeline's (FeatureExtractor →
+    apply_cmvn → TransducerDecoder) on the concatenated audio — and every
+    already-emitted label is final (no beam to re-rank it), so the
+    partials are stable by construction. Plugs into
+    ``serve.StreamingServer`` via its transcriber factory.
+
+    Usage::
+
+        tx = StreamingTransducerTranscriber(online_extractor, model,
+                                            params, state, coder, cmvn=stats)
+        tx.reset(batch_size)
+        for chunk, lengths in audio_chunks:      # [B, S], [B]
+            partial = tx.push(chunk, lengths)    # list[str], so far
+        final = tx.finish()                      # list[str]
+    """
+
+    def __init__(
+        self,
+        online_extractor,  # frontend.online.OnlineFeatureExtractor
+        model: Transducer,
+        params,
+        model_state,
+        coder,
+        *,
+        cmvn: np.ndarray | None = None,
+        max_symbols_per_frame: int = 4,
+    ):
+        self.extractor = online_extractor
+        self.coder = coder
+        self.cmvn = None if cmvn is None else np.asarray(cmvn)
+        self._dec = OnlineTransducerDecoder(
+            model, params, model_state,
+            max_symbols_per_frame=max_symbols_per_frame,
+        )
+        self._ids = None
+
+    def reset(self, batch_size: int) -> None:
+        self.extractor.reset(batch_size)
+        self._dec.reset(batch_size)
+        self._ids = [[] for _ in range(batch_size)]
+
+    def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
+        if self.cmvn is not None:
+            from tfkaldi_tpu.frontend.cmvn import apply_cmvn
+
+            feats = np.asarray(apply_cmvn(feats, self.cmvn))
+        for row, ids in enumerate(self._dec.step(feats.astype(np.float32), n_new)):
+            self._ids[row].extend(ids.tolist())
+        return [
+            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
+        ]
+
+    def push(self, audio_chunk, lengths) -> list[str]:
+        """``[B, S]`` audio samples (``lengths`` valid per row) → current
+        partial transcripts."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before push()")
+        return self._feed(*self.extractor.step(audio_chunk, lengths))
+
+    def finish(self) -> list[str]:
+        """Flush the feature tail through the decoder; final transcripts."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before finish()")
+        out = self._feed(*self.extractor.flush())
+        self._ids = None
+        return out

@@ -52,12 +52,31 @@ class Nnet:
         # final class)
         self.loss_type = self.conf.get("loss", "cross_entropy")
         output_dim = num_labels + 1 if self.loss_type == "ctc" else num_labels
-        self.blank_id = num_labels if self.loss_type == "ctc" else None
+        self.blank_id = (
+            num_labels if self.loss_type in ("ctc", "rnnt") else None
+        )
         # model selector: the reference's Classifier seam with one concrete
         # DNN (classifiers/classifier.py); `model = lstm` adds the sequence
         # model its unfinished CTC path was meant for
         model_type = self.conf.get("model", "dnn")
-        if model_type in ("lstm", "gru"):
+        if (model_type == "transducer") != (self.loss_type == "rnnt"):
+            raise ValueError(
+                "model = transducer and loss = rnnt go together: the "
+                "transducer is trained by the lattice loss and has no "
+                "per-frame posteriors for CE/CTC"
+            )
+        if model_type == "transducer":
+            # RNN-T family (models/transducer.py) — encoder + prediction
+            # network + joint, text targets like the CTC path (blank is
+            # the extra final class, added internally by the model)
+            from tfkaldi_tpu.models import Transducer, TransducerConfig
+
+            if int(self.conf.get("add_layer_period", 0)) > 0:
+                raise ValueError("layerwise init (add_layer_period) requires model = dnn")
+            self.model = Transducer(
+                TransducerConfig.from_config(self.conf, self.input_dim, num_labels)
+            )
+        elif model_type in ("lstm", "gru"):
             from tfkaldi_tpu.models import GRU, LSTM, RNNConfig
 
             if int(self.conf.get("add_layer_period", 0)) > 0:
@@ -186,9 +205,9 @@ class Nnet:
                     n_dev, data_axis or "?", model_axis, opts.batch_size,
                 )
 
-        from tfkaldi_tpu.models import LSTM
+        from tfkaldi_tpu.models import LSTM, Transducer
 
-        if isinstance(self.model, LSTM):
+        if isinstance(self.model, (LSTM, Transducer)):
             # pin the exact batch-shard count so the 'auto' Pallas gate
             # validates the TRUE local shard instead of the conservative
             # b/device_count worst case (which wrongly disables the kernel
@@ -196,7 +215,12 @@ class Nnet:
             import dataclasses as _dc
 
             shards = int(mesh.shape["data"]) if mesh is not None else 1
-            self.model.config = _dc.replace(self.model.config, batch_shards=shards)
+            if isinstance(self.model, Transducer):
+                self.model.encoder.config = _dc.replace(
+                    self.model.encoder.config, batch_shards=shards
+                )
+            else:
+                self.model.config = _dc.replace(self.model.config, batch_shards=shards)
 
         batcher = DeviceBatcher()
         if n_proc > 1:
@@ -262,6 +286,11 @@ class Nnet:
     def decode(self, reader: FeatureReader, writer: ArkWriter) -> int:
         """Emit prior-normalized log pseudo-likelihoods for a test set
         (nnet.py:246-289)."""
+        if self.loss_type == "rnnt":
+            raise ValueError(
+                "a transducer has no per-frame posteriors to emit as "
+                "pseudo-likelihoods; use decode_text"
+            )
         trainer = Trainer(self.model, TrainerConfig())
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
@@ -288,17 +317,34 @@ class Nnet:
         return count
 
     def decode_text(self, reader: FeatureReader, coder, outfile: str) -> int:
-        """Greedy-CTC decode a test set to a Kaldi-style ``text`` file.
-
-        Only valid for a net trained with ``loss = ctc`` (the reference has
-        no working CTC decode at all)."""
-        if self.loss_type != "ctc":
-            raise ValueError("decode_text requires a CTC-trained net (loss = ctc)")
+        """Decode a test set to a Kaldi-style ``text`` file: greedy/beam
+        CTC for ``loss = ctc``, greedy transducer search for
+        ``loss = rnnt`` (the reference has no working text decode at all)."""
+        if self.loss_type not in ("ctc", "rnnt"):
+            raise ValueError("decode_text requires loss = ctc or loss = rnnt")
         from tfkaldi_tpu.decode.ctc import CTCDecoder
 
-        trainer = Trainer(self.model, TrainerConfig())
+        trainer = Trainer(self.model, TrainerConfig(loss_type=self.loss_type))
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
+        if self.loss_type == "rnnt":
+            from tfkaldi_tpu.decode.transducer import TransducerDecoder
+
+            decoder = TransducerDecoder(
+                self.model,
+                state.params,
+                state.model_state,
+                coder,
+                max_symbols_per_frame=int(self.conf.get("max_symbols_per_frame", 4)),
+            )
+            count = decoder.decode_to_file(
+                reader,
+                outfile,
+                batch_size=int(self.conf.get("decode_batch_size", 16)),
+                bucket_multiple=int(self.conf.get("decode_bucket_multiple", 128)),
+            )
+            log.info("decoded %d utterances", count)
+            return count
         # optional ARPA-LM shallow fusion over the coder's alphabet
         # ([nnet] lm_path / lm_alpha / lm_beta; needs beam_width > 1)
         scorer = None

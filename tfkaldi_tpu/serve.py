@@ -41,7 +41,7 @@ class DecodeService:
         watch_dir: str,
         out_dir: str,
         *,
-        coder=None,  # required for CTC mode (nnet.loss_type == "ctc")
+        coder=None,  # required for text modes (loss_type "ctc" / "rnnt")
         batch_size: int = 16,
     ):
         self.nnet = nnet
@@ -56,15 +56,25 @@ class DecodeService:
         trainer = Trainer(nnet.model, TrainerConfig())
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(nnet.savedir, "final"), template)
-        if nnet.loss_type == "ctc":
+        if nnet.loss_type in ("ctc", "rnnt"):
             if coder is None:
-                raise ValueError("CTC service needs a target coder")
-            from tfkaldi_tpu.decode.ctc import CTCDecoder
+                raise ValueError("text-decode service needs a target coder")
+            if nnet.loss_type == "rnnt":
+                from tfkaldi_tpu.decode.transducer import TransducerDecoder
 
-            self._decoder = CTCDecoder(
-                nnet.model, state.params, state.model_state, coder, nnet.blank_id,
-                beam_width=int(nnet.conf.get("beam_width", 1)),
-            )
+                self._decoder = TransducerDecoder(
+                    nnet.model, state.params, state.model_state, coder,
+                    max_symbols_per_frame=int(
+                        nnet.conf.get("max_symbols_per_frame", 4)
+                    ),
+                )
+            else:
+                from tfkaldi_tpu.decode.ctc import CTCDecoder
+
+                self._decoder = CTCDecoder(
+                    nnet.model, state.params, state.model_state, coder, nnet.blank_id,
+                    beam_width=int(nnet.conf.get("beam_width", 1)),
+                )
         else:
             from tfkaldi_tpu.decode import Decoder
 
@@ -105,7 +115,7 @@ class DecodeService:
         outdir = os.path.join(self.out_dir, name)
         os.makedirs(outdir, exist_ok=True)
         reader = self._reader(jobdir)
-        if self.nnet.loss_type == "ctc":
+        if self.nnet.loss_type in ("ctc", "rnnt"):
             count = self._decoder.decode_to_file(
                 reader, os.path.join(outdir, "text"), batch_size=self.batch_size
             )
