@@ -471,6 +471,71 @@ def bench_ctc_tpu() -> dict:
     return {"ctc_fps": fps, "ce_fps": b * t / ce_ms}
 
 
+def bench_rnnt_tpu() -> dict:
+    """RNN-T train step: the flagship STREAMING sequence configuration
+    (2x unidirectional LSTM-512 encoder + 1xLSTM-320 prediction net +
+    320-joint over the 39-class character alphabet; models/transducer.py).
+    The reference has no transduction path at all, so the recorded ratio is
+    vs the SAME unidirectional encoder trained with CTC in the SAME
+    process, interleaved — i.e. the relative cost of the lattice
+    loss + prediction/joint networks over the CTC recipe."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import LSTM, RNNConfig, Transducer, TransducerConfig
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f, h = 32, 256, 440, 512
+    num_chars = 38  # TextCoder alphabet (target_coder.py:79-118)
+    l_max = 64
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32))
+    in_len = jnp.full((b,), t, jnp.int32)
+    labels = jnp.asarray(rng.integers(0, num_chars, (b, l_max)).astype(np.int32))
+    lab_len = jnp.asarray(rng.integers(l_max // 2, l_max + 1, (b,)).astype(np.int32))
+    batch = PaddedBatch(inputs, labels, in_len, lab_len)
+
+    td = Transducer(TransducerConfig(
+        input_dim=f, num_labels=num_chars, enc_layers=2, enc_units=h,
+        pred_layers=1, pred_units=320, embed_dim=128, joint_units=320,
+        compute_dtype=jnp.bfloat16,
+    ))
+    ctc_model = LSTM(RNNConfig(
+        input_dim=f, num_labels=num_chars + 1, num_layers=2, hidden_units=h,
+        bidirectional=False, compute_dtype=jnp.bfloat16,
+    ))
+
+    def measure(model, loss_type):
+        trainer = Trainer(model, TrainerConfig(
+            num_steps=1000, loss_type=loss_type, ctc_blank_id=num_chars))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                state, loss = trainer.update(state, batch)
+            _ = float(loss)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        return best
+
+    # interleaved arms (in-process A/B policy)
+    rnnt_ms = measure(td, "rnnt")
+    ctc_ms = measure(ctc_model, "ctc")
+    rnnt_ms = min(rnnt_ms, measure(td, "rnnt"))
+    ctc_ms = min(ctc_ms, measure(ctc_model, "ctc"))
+    fps = b * t / rnnt_ms
+    print(
+        f"[bench] rnnt train: {rnnt_ms * 1000:.1f} ms/step -> {fps:,.0f} frames/s "
+        f"(same-encoder CTC step {ctc_ms * 1000:.1f} ms; transducer overhead "
+        f"{(rnnt_ms / ctc_ms - 1) * 100:.0f}%)",
+        file=sys.stderr,
+    )
+    return {"rnnt_fps": fps, "ctc_fps": b * t / ctc_ms}
+
+
 def bench_features_tpu() -> float:
     """Batched device feature extraction (AURORA4 dnn-features recipe:
     40-mel log-fbank, 25ms/10ms windows, nfft 512 — config_AURORA4.cfg:63-100)
@@ -922,6 +987,25 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] ctc bench failed: {e}", file=sys.stderr)
 
+    # RNN-T train step (beyond the reference — no transduction path exists;
+    # ratio vs the same-encoder CTC step in the same process). Non-fatal.
+    rnnt_line = None
+    try:
+        rn = bench_rnnt_tpu()
+        rnnt_line = {
+            "metric": "rnnt_train_throughput",
+            "value": round(rn["rnnt_fps"], 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(rn["rnnt_fps"] / rn["ctc_fps"], 2),
+            "baseline": {
+                "value": round(rn["ctc_fps"], 1),
+                "source": "same-process CTC step on the same unidirectional 2xLSTM-512 encoder (no reference transducer exists)",
+            },
+        }
+        print(json.dumps(rnnt_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] rnnt bench failed: {e}", file=sys.stderr)
+
     ref = bench_reference_proxy()
 
     # input-inclusive end-to-end metric (the production native-loader path);
@@ -967,6 +1051,8 @@ def main() -> None:
         extra["decode_throughput"] = decode_line
     if ctc_line is not None:
         extra["ctc_train_throughput"] = ctc_line
+    if rnnt_line is not None:
+        extra["rnnt_train_throughput"] = rnnt_line
     if e2e_line is not None:
         extra["e2e_train_throughput"] = e2e_line
     if extra:
