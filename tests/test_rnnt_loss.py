@@ -152,6 +152,87 @@ def test_grads_finite_under_padding():
         assert float(jnp.abs(g[i, :, ul + 1 :, :]).sum()) == 0.0
 
 
+def test_fused_lattice_scores_match_materialized():
+    """The trainer's fused score path (lattice_scores → rnnt_alpha_loss,
+    which never materializes [B, T, U+1, V]) must equal the materialized
+    apply_transducer → rnnt_loss formulation — losses bit-close and grads
+    within f32 reduction noise — including a T that does NOT divide the
+    chunk size (exercises the zero-padded tail block)."""
+    from tfkaldi_tpu.models.transducer import Transducer, TransducerConfig
+    from tfkaldi_tpu.ops.rnnt_loss import mask_label_scores, rnnt_alpha_loss
+
+    cfg = TransducerConfig(
+        input_dim=8, num_labels=5, enc_layers=1, enc_units=16,
+        pred_layers=1, pred_units=12, embed_dim=6, joint_units=10,
+        joint_chunk_t=4,  # T=11 below → ragged final block
+    )
+    model = Transducer(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    b, t, u = 3, 11, 4
+    x = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    xl = jnp.asarray([11, 7, 5], jnp.int32)
+    y = jnp.asarray(rng.integers(0, 5, (b, u)).astype(np.int32))
+    yl = jnp.asarray([4, 2, 3], jnp.int32)
+
+    def loss_ref(p):
+        logits, _ = model.apply_transducer(p, state, x, xl, y, yl, train=False)
+        return rnnt_loss(logits, y, xl, yl, model.blank_id)
+
+    def loss_fused(p):
+        lpb, lpl, _ = model.lattice_scores(p, state, x, xl, y, yl, train=False)
+        return rnnt_alpha_loss(lpb, mask_label_scores(lpl, yl), xl, yl)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_fused(params)), np.asarray(loss_ref(params)),
+        rtol=1e-6, atol=1e-6,
+    )
+    g_ref = jax.grad(lambda p: jnp.sum(loss_ref(p)))(params)
+    g_fused = jax.grad(lambda p: jnp.sum(loss_fused(p)))(params)
+    for path, a in jax.tree_util.tree_flatten_with_path(g_ref)[0]:
+        b_ = jax.tree_util.tree_flatten_with_path(g_fused)[0]
+        fused_leaf = dict(
+            (jax.tree_util.keystr(k), v) for k, v in b_
+        )[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(fused_leaf), np.asarray(a), rtol=5e-5, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_fused_scores_padding_invariance():
+    """Fused scores ignore padding content in both T and U axes."""
+    from tfkaldi_tpu.models.transducer import Transducer, TransducerConfig
+    from tfkaldi_tpu.ops.rnnt_loss import mask_label_scores, rnnt_alpha_loss
+
+    cfg = TransducerConfig(
+        input_dim=6, num_labels=4, enc_layers=1, enc_units=12,
+        pred_layers=1, pred_units=8, embed_dim=5, joint_units=8,
+        joint_chunk_t=3,
+    )
+    model = Transducer(cfg)
+    params, state = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(12)
+    b, t, u = 2, 7, 3
+    x = rng.standard_normal((b, t, 6)).astype(np.float32)
+    xl = jnp.asarray([7, 5], jnp.int32)
+    y = rng.integers(0, 4, (b, u)).astype(np.int32)
+    yl = jnp.asarray([3, 2], jnp.int32)
+
+    def run(xa, ya):
+        lpb, lpl, _ = model.lattice_scores(
+            params, state, jnp.asarray(xa), xl, jnp.asarray(ya), yl, train=False
+        )
+        return np.asarray(rnnt_alpha_loss(lpb, mask_label_scores(lpl, yl), xl, yl))
+
+    base = run(x, y)
+    x_big = np.concatenate(
+        [x, rng.standard_normal((b, 4, 6)).astype(np.float32) * 9], axis=1
+    )
+    y_big = np.concatenate([y, rng.integers(0, 4, (b, 2)).astype(np.int32)], axis=1)
+    np.testing.assert_allclose(run(x_big, y_big), base, rtol=1e-5, atol=1e-5)
+
+
 def test_jit_and_vs_perfect_model():
     """A lattice that puts all mass on the correct path has ~zero loss."""
     t, u, v, blank = 6, 3, 5, 0

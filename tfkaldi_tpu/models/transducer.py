@@ -60,6 +60,9 @@ class TransducerConfig:
     scan_unroll: int = 8
     scan_impl: str = "auto"
     batch_shards: int = 0
+    # fused-loss T-chunk: the [chunk, B, U+1, V] joint block the score path
+    # materializes at a time (see lattice_scores); 0 = whole-T in one block
+    joint_chunk_t: int = 32
 
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "TransducerConfig":
@@ -78,6 +81,7 @@ class TransducerConfig:
             compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
             scan_unroll=int(conf.get("scan_unroll", 8)),
             scan_impl=str(conf.get("scan_impl", "auto")),
+            joint_chunk_t=int(conf.get("joint_chunk_t", 32)),
         )
 
 
@@ -219,6 +223,101 @@ class Transducer:
             lambda jp, e, p: self._joint(jp, e, p, self.config.compute_dtype)
         )
         return joint(params["joint"], enc, pred), state
+
+    def lattice_scores(
+        self,
+        params: Params,
+        state: Params,
+        inputs: jnp.ndarray,  # [B, T, F]
+        input_lengths: jnp.ndarray,  # [B]
+        labels: jnp.ndarray,  # [B, U]
+        label_lengths: jnp.ndarray,  # [B]
+        *,
+        train: bool,
+        dropout_rng: jax.Array | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, Params]:
+        """Fused joint→scores: ``(lp_blank [B,T,U+1], lp_label [B,T,U])``
+        for :func:`tfkaldi_tpu.ops.rnnt_loss.rnnt_alpha_loss`, computed
+        WITHOUT ever holding the full ``[B, T, U+1, V]`` joint-logit tensor.
+
+        The lattice loss only consumes two slivers of the joint
+        distribution — the blank column and each row's one target label —
+        so normalizing the full vocabulary tensor (and storing it for the
+        backward pass) is pure HBM waste: at the bench shape
+        (32×256×65×321) the logits alone are 683 MB, and the
+        ``log_softmax``+gather formulation streams that tensor through HBM
+        several times per step. Here T is processed in
+        ``config.joint_chunk_t``-frame blocks under a ``lax.scan`` (one
+        `jax.checkpoint` per block, so the backward rematerializes one
+        block at a time): per block the joint logits exist only as a
+        scan-local intermediate feeding a ``logsumexp`` over V, the blank
+        column, and a ``bcuj,buj->bcu`` einsum against the pre-gathered
+        target-label columns of the joint weight — the per-T-step outputs
+        are O(B·U), not O(B·U·V).
+        """
+        cfg = self.config
+        enc = self.encode(params, inputs, input_lengths, train=train,
+                          dropout_rng=dropout_rng)  # [B, T, J]
+        pred = self.predict(params, labels, label_lengths, train=train,
+                            dropout_rng=dropout_rng)  # [B, U+1, J]
+        b, t_max, j = enc.shape
+        u_max = labels.shape[1]
+        w = params["joint"]["w"]  # [J, V]
+        bias = params["joint"]["b"]  # [V]
+        # target-label columns of the joint projection, gathered once:
+        # w_sel[b, u, :] = w[:, labels[b, u]]
+        w_sel = jnp.take(w, labels, axis=1)  # [J, B, U]
+        w_sel = jnp.transpose(w_sel, (1, 2, 0)).astype(cfg.compute_dtype)
+        b_sel = bias[labels]  # [B, U]
+
+        chunk = cfg.joint_chunk_t if cfg.joint_chunk_t > 0 else t_max
+        chunk = min(chunk, t_max)
+        n_chunks = -(-t_max // chunk)
+        t_pad = n_chunks * chunk
+        if t_pad != t_max:
+            # zero-padding: tanh(0 + pred) is finite; the alpha core ignores
+            # frames past input_lengths, and we slice back to T below anyway
+            enc = jnp.pad(enc, ((0, 0), (0, t_pad - t_max), (0, 0)))
+        enc_blocks = jnp.transpose(
+            enc.reshape(b, n_chunks, chunk, j), (1, 0, 2, 3)
+        )  # [n, B, c, J]
+
+        def block(enc_c):
+            # [B, c, U+1, J] activation — the only big intermediate, local
+            # to this block (and rematerialized, not stored, for backward)
+            h = jnp.tanh(enc_c[:, :, None, :] + pred[:, None, :, :]).astype(
+                cfg.compute_dtype
+            )
+            logits = jax.lax.dot_general(
+                h,
+                w.astype(cfg.compute_dtype),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias  # [B, c, U+1, V] f32, block-local
+            lse = jax.nn.logsumexp(logits, axis=-1)  # [B, c, U+1]
+            lp_blank_c = logits[..., self.blank_id] - lse
+            lab = jnp.einsum(
+                "bcuj,buj->bcu",
+                h[:, :, :u_max, :],
+                w_sel,
+                preferred_element_type=jnp.float32,
+            ) + b_sel[:, None, :]
+            lp_label_c = lab - lse[..., :u_max]
+            return lp_blank_c, lp_label_c
+
+        def step(carry, enc_c):
+            del carry
+            return (), jax.checkpoint(block)(enc_c)
+
+        _, (lp_blank, lp_label) = jax.lax.scan(step, (), enc_blocks)
+        # [n, B, c, U+1] → [B, T, U+1]
+        lp_blank = jnp.transpose(lp_blank, (1, 0, 2, 3)).reshape(
+            b, t_pad, u_max + 1
+        )[:, :t_max]
+        lp_label = jnp.transpose(lp_label, (1, 0, 2, 3)).reshape(
+            b, t_pad, u_max
+        )[:, :t_max]
+        return lp_blank, lp_label, state
 
     # -- decode-time pieces (used by decode/transducer.py) ----------------
 

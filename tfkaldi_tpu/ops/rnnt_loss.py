@@ -50,35 +50,22 @@ import jax.numpy as jnp
 _NEG = -1e9
 
 
-def rnnt_loss(
-    logits: jnp.ndarray,  # [B, T, U+1, V] joint-network outputs (unnormalized)
-    labels: jnp.ndarray,  # [B, U] int32 target labels (no blanks)
+def rnnt_alpha_loss(
+    lp_blank: jnp.ndarray,  # [B, T, U+1] log P(blank | t, u)
+    lp_label: jnp.ndarray,  # [B, T, U]   log P(labels[b, u] | t, u)
     input_lengths: jnp.ndarray,  # [B] valid encoder frames
     label_lengths: jnp.ndarray,  # [B] valid labels (<= U)
-    blank_id: int,
 ) -> jnp.ndarray:
-    """Per-sequence negative log-likelihood ``[B]`` of the RNN-T lattice.
+    """Alpha-recursion core: per-sequence NLL ``[B]`` from lattice scores.
 
-    ``logits[b, t, u]`` is the joint network's distribution after emitting
-    ``u`` labels at encoder frame ``t``; index ``blank_id`` advances t,
-    index ``labels[b, u]`` advances u. Rows/frames past the stated lengths
-    are ignored (the loss is invariant to padding content).
+    The module docstring's row-closed-form scan. Callers must already have
+    masked ``lp_label`` past each row's label length to ``_NEG`` (both
+    entry points below do). Split out so the fused joint→scores path
+    (models/transducer.py::lattice_scores) can feed it without ever
+    materializing the full ``[B, T, U+1, V]`` joint-logit tensor.
     """
-    b, t_max, u_plus1, _ = logits.shape
+    b, t_max, u_plus1 = lp_blank.shape
     u_max = u_plus1 - 1
-    if labels.shape[1] != u_max:
-        raise ValueError(
-            f"labels U={labels.shape[1]} must be logits' U+1-1={u_max}"
-        )
-
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lp_blank = log_probs[..., blank_id]  # [B, T, U+1]
-    # lp_label[b, t, u] = log P(labels[b, u] | t, u)  for u < U
-    idx = jnp.broadcast_to(labels[:, None, :, None], (b, t_max, u_max, 1))
-    lp_label = jnp.take_along_axis(log_probs[:, :, :u_max, :], idx, axis=-1)[..., 0]
-    # mask label transitions past each row's label length
-    valid_u = jnp.arange(u_max)[None, None, :] < label_lengths[:, None, None]
-    lp_label = jnp.where(valid_u, lp_label, _NEG)
 
     # time-major rows for the scan
     lp_blank_t = jnp.transpose(lp_blank, (1, 0, 2))  # [T, B, U+1]
@@ -105,3 +92,50 @@ def rnnt_loss(
     uu = jnp.minimum(label_lengths, u_max)
     loglik = alphas[tt, bi, uu] + lp_blank[bi, tt, uu]
     return -loglik
+
+
+def mask_label_scores(
+    lp_label: jnp.ndarray, label_lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """Mask label-transition scores past each row's label length to ``_NEG``
+    (see the module docstring's padding note)."""
+    u_max = lp_label.shape[-1]
+    valid_u = jnp.arange(u_max)[None, None, :] < label_lengths[:, None, None]
+    return jnp.where(valid_u, lp_label, _NEG)
+
+
+def rnnt_loss(
+    logits: jnp.ndarray,  # [B, T, U+1, V] joint-network outputs (unnormalized)
+    labels: jnp.ndarray,  # [B, U] int32 target labels (no blanks)
+    input_lengths: jnp.ndarray,  # [B] valid encoder frames
+    label_lengths: jnp.ndarray,  # [B] valid labels (<= U)
+    blank_id: int,
+) -> jnp.ndarray:
+    """Per-sequence negative log-likelihood ``[B]`` of the RNN-T lattice.
+
+    ``logits[b, t, u]`` is the joint network's distribution after emitting
+    ``u`` labels at encoder frame ``t``; index ``blank_id`` advances t,
+    index ``labels[b, u]`` advances u. Rows/frames past the stated lengths
+    are ignored (the loss is invariant to padding content).
+
+    This entry point takes materialized joint logits (simple, and what the
+    unit/oracle tests pin); the production trainer instead feeds
+    :func:`rnnt_alpha_loss` from the chunked fused score path
+    (models/transducer.py::lattice_scores), which never holds the full
+    ``[B, T, U+1, V]`` tensor.
+    """
+    b, t_max, u_plus1, _ = logits.shape
+    u_max = u_plus1 - 1
+    if labels.shape[1] != u_max:
+        raise ValueError(
+            f"labels U={labels.shape[1]} must be logits' U+1-1={u_max}"
+        )
+
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp_blank = log_probs[..., blank_id]  # [B, T, U+1]
+    # lp_label[b, t, u] = log P(labels[b, u] | t, u)  for u < U
+    idx = jnp.broadcast_to(labels[:, None, :, None], (b, t_max, u_max, 1))
+    lp_label = jnp.take_along_axis(log_probs[:, :, :u_max, :], idx, axis=-1)[..., 0]
+    # mask label transitions past each row's label length
+    lp_label = mask_label_scores(lp_label, label_lengths)
+    return rnnt_alpha_loss(lp_blank, lp_label, input_lengths, label_lengths)

@@ -123,7 +123,13 @@ class Trainer:
             # [B, T, U+1, V] joint logits instead of per-frame posteriors;
             # the reference has no transduction loss at all (its CTC trainer
             # never worked, trainer.py:533-570)
-            joint_logits, new_state = self.model.apply_transducer(
+            # fused score path: the loss only needs the blank column and the
+            # target-label sliver of the joint distribution, so the model
+            # computes exactly those, T-chunked — the full [B, T, U+1, V]
+            # logit tensor never exists (models/transducer.py::lattice_scores;
+            # equivalence with the materialized rnnt_loss is pinned by
+            # tests/test_rnnt_loss.py)
+            lp_blank, lp_label, new_state = self.model.lattice_scores(
                 params,
                 model_state,
                 batch.inputs,
@@ -133,14 +139,16 @@ class Trainer:
                 train=train,
                 dropout_rng=rng,
             )
-            from tfkaldi_tpu.ops.rnnt_loss import rnnt_loss
+            from tfkaldi_tpu.ops.rnnt_loss import (
+                mask_label_scores,
+                rnnt_alpha_loss,
+            )
 
-            per_seq = rnnt_loss(
-                joint_logits,
-                batch.targets,
+            per_seq = rnnt_alpha_loss(
+                lp_blank,
+                mask_label_scores(lp_label, batch.target_lengths),
                 batch.input_lengths,
                 batch.target_lengths,
-                self.model.blank_id,
             )
             loss = jnp.sum(per_seq)
             num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
