@@ -259,3 +259,16 @@ def test_cli_transducer_train_and_decode(workspace):
     lines = out.read_text().splitlines()
     assert len(lines) == 6
     assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)
+
+    # beam_width > 1 re-decodes the same checkpoint through the batched
+    # beam search (decode/transducer_beam.py) behind the same config knob
+    # the CTC path uses
+    b_cfg = tmp / "config_rnnt_beam.cfg"
+    b_cfg.write_text(
+        t_cfg.read_text().replace("[nnet]", "[nnet]\nbeam_width = 2")
+    )
+    rc = main(["--config", str(b_cfg), "--steps", "test_nnet"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 6
+    assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)

@@ -10,6 +10,15 @@ from tfkaldi_tpu.decode.online import (
     OnlineSplicedDecoder,
     StreamingTranscriber,
 )
+from tfkaldi_tpu.decode.transducer import (
+    OnlineTransducerDecoder,
+    StreamingTransducerTranscriber,
+    TransducerDecoder,
+)
+from tfkaldi_tpu.decode.transducer_beam import (
+    OnlineTransducerBeamDecoder,
+    TransducerBeamDecoder,
+)
 
 __all__ = [
     "ArpaLM",
@@ -20,6 +29,11 @@ __all__ = [
     "OnlineCTCDecoder",
     "OnlineRecurrentDecoder",
     "OnlineSplicedDecoder",
+    "OnlineTransducerBeamDecoder",
+    "OnlineTransducerDecoder",
     "StreamingTranscriber",
+    "StreamingTransducerTranscriber",
+    "TransducerBeamDecoder",
+    "TransducerDecoder",
     "collapse_ctc_path",
 ]

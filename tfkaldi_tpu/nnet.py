@@ -328,15 +328,33 @@ class Nnet:
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
         if self.loss_type == "rnnt":
-            from tfkaldi_tpu.decode.transducer import TransducerDecoder
+            # beam_width > 1 selects the batched beam search (same config
+            # knob the CTC path uses); 1 = the greedy scan
+            beam_width = int(self.conf.get("beam_width", 1))
+            max_symbols = int(self.conf.get("max_symbols_per_frame", 4))
+            if beam_width > 1:
+                from tfkaldi_tpu.decode.transducer_beam import (
+                    TransducerBeamDecoder,
+                )
 
-            decoder = TransducerDecoder(
-                self.model,
-                state.params,
-                state.model_state,
-                coder,
-                max_symbols_per_frame=int(self.conf.get("max_symbols_per_frame", 4)),
-            )
+                decoder = TransducerBeamDecoder(
+                    self.model,
+                    state.params,
+                    state.model_state,
+                    coder,
+                    beam_width=beam_width,
+                    max_symbols_per_frame=max_symbols,
+                )
+            else:
+                from tfkaldi_tpu.decode.transducer import TransducerDecoder
+
+                decoder = TransducerDecoder(
+                    self.model,
+                    state.params,
+                    state.model_state,
+                    coder,
+                    max_symbols_per_frame=max_symbols,
+                )
             count = decoder.decode_to_file(
                 reader,
                 outfile,
