@@ -110,7 +110,8 @@ def test_loss_padding_invariance():
 def _host_greedy(model, params, feats, length, max_symbols):
     """Independent sequential greedy: one utterance, python control flow."""
     enc = np.asarray(
-        model.encode(params, feats[None], np.array([length], np.int32), train=False)
+        model.encode(params, {}, feats[None], np.array([length], np.int32),
+                     train=False)[0]
     )[0]
     carry = model.init_pred_carry(1)
     proj, carry = model.predict_step(

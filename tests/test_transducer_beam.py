@@ -55,8 +55,8 @@ def _oracle_beam(model, params, feats_row, length, k, max_symbols, buf_len):
     """Beam search over one utterance; returns (best_ids, best_score) and
     the full (tokens, score) slot list."""
     enc = np.asarray(
-        model.encode(params, jnp.asarray(feats_row[None]),
-                     jnp.asarray([length], jnp.int32), train=False)
+        model.encode(params, {}, jnp.asarray(feats_row[None]),
+                     jnp.asarray([length], jnp.int32), train=False)[0]
     )[0]  # [T, J]
 
     def pred_step(token, carry):

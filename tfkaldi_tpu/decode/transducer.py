@@ -97,13 +97,16 @@ class TransducerDecoder:
 
     def _greedy(self, params, inputs, lengths):
         model = self.model
-        enc = model.encode(params, inputs, lengths, train=False)  # [B, T, J]
+        enc, _ = model.encode(
+            params, self.model_state, inputs, lengths, train=False
+        )  # [B, T', J]
         b, t, _ = enc.shape
         sos = jnp.full((b,), model.blank_id, jnp.int32)
         proj, carry = model.predict_step(
             params, sos, jnp.ones((b,), bool), model.init_pred_carry(b)
         )
-        frame_valid = jnp.arange(t)[None, :] < lengths[:, None]
+        enc_lengths = model.output_lengths(lengths)
+        frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]
         buf, counts, _, _ = _scan_frames(
             model, self.max_symbols, params, enc, frame_valid, proj, carry
         )
@@ -162,11 +165,7 @@ class OnlineTransducerDecoder:
 
     def __init__(self, model: Transducer, params, model_state,
                  *, max_symbols_per_frame: int = 4):
-        if model.encoder.config.bidirectional:
-            raise ValueError(
-                "online decoding requires a unidirectional encoder "
-                "(bidirectional = False)"
-            )
+        model.validate_streamable()
         self.model = model
         self.params = params
         self.model_state = model_state
@@ -175,7 +174,8 @@ class OnlineTransducerDecoder:
 
         def compute(params, chunk, lengths, enc_carry, proj, pred_carry):
             enc, enc_carry = model.encoder.apply_stream(
-                params["enc"], {}, chunk, lengths, enc_carry
+                params["enc"], model_state.get("enc", {}), chunk, lengths,
+                enc_carry,
             )
             valid = jnp.arange(chunk.shape[1])[None, :] < lengths[:, None]
             buf, counts, proj, pred_carry = _scan_frames(

@@ -232,7 +232,9 @@ class TransducerBeamDecoder:
 
     def _search(self, params, inputs, lengths):
         model, k = self.model, self.beam
-        enc = model.encode(params, inputs, lengths, train=False)  # [B, T, J]
+        enc, _ = model.encode(
+            params, self.model_state, inputs, lengths, train=False
+        )  # [B, T', J]
         b, t, j = enc.shape
         buf_len = self.max_tokens or t * self.max_symbols
 
@@ -245,7 +247,8 @@ class TransducerBeamDecoder:
         scores = jnp.full((b, k), _NEG, jnp.float32).at[:, 0].set(0.0)
         buf = jnp.zeros((b, k, buf_len), jnp.int32)
         counts = jnp.zeros((b, k), jnp.int32)
-        frame_valid = jnp.arange(t)[None, :] < lengths[:, None]
+        enc_lengths = model.output_lengths(lengths)
+        frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]
         _, _, buf, counts, scores = _beam_scan(
             model, k, self.max_symbols, params, enc, frame_valid,
             proj, carry, buf, counts, scores, buf_len,
@@ -313,11 +316,7 @@ class OnlineTransducerBeamDecoder:
     def __init__(self, model: Transducer, params, model_state, *,
                  beam_width: int = 4, max_symbols_per_frame: int = 4,
                  max_tokens: int = 1024):
-        if model.encoder.config.bidirectional:
-            raise ValueError(
-                "online decoding requires a unidirectional encoder "
-                "(bidirectional = False)"
-            )
+        model.validate_streamable()
         self.model = model
         self.params = params
         self.beam = int(beam_width)
@@ -330,7 +329,8 @@ class OnlineTransducerBeamDecoder:
         def compute(params, chunk, lengths, enc_carry, proj, pred_carry,
                     buf, counts, scores):
             enc, enc_carry = model_.encoder.apply_stream(
-                params["enc"], {}, chunk, lengths, enc_carry
+                params["enc"], model_state.get("enc", {}), chunk, lengths,
+                enc_carry,
             )
             valid = jnp.arange(chunk.shape[1])[None, :] < lengths[:, None]
             proj, pred_carry, buf, counts, scores = _beam_scan(

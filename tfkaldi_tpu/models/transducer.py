@@ -47,7 +47,7 @@ Params = Any
 class TransducerConfig:
     input_dim: int
     num_labels: int  # real labels; blank = num_labels (vocab = num_labels+1)
-    enc_type: str = "lstm"  # lstm | gru
+    enc_type: str = "lstm"  # lstm | gru | transformer | conformer
     enc_layers: int = 2
     enc_units: int = 512
     enc_bidirectional: bool = False  # True = offline-only encoder
@@ -63,6 +63,11 @@ class TransducerConfig:
     # fused-loss T-chunk: the [chunk, B, U+1, V] joint block the score path
     # materializes at a time (see lattice_scores); 0 = whole-T in one block
     joint_chunk_t: int = 32
+    # self-attention encoder knobs, passed through verbatim to
+    # TransformerConfig.from_config when enc_type is transformer/conformer
+    # (num_blocks, d_model, num_heads, ffn_dim, conv_kernel, subsample,
+    # attention_left_context, attention_right_context, causal_conv)
+    enc_extra: tuple = ()
 
     @classmethod
     def from_config(cls, conf: dict, input_dim: int, num_labels: int) -> "TransducerConfig":
@@ -82,6 +87,15 @@ class TransducerConfig:
             scan_unroll=int(conf.get("scan_unroll", 8)),
             scan_impl=str(conf.get("scan_impl", "auto")),
             joint_chunk_t=int(conf.get("joint_chunk_t", 32)),
+            enc_extra=tuple(
+                (k, str(conf[k]))
+                for k in (
+                    "num_blocks", "d_model", "num_heads", "ffn_dim",
+                    "conv_kernel", "subsample", "attention_left_context",
+                    "attention_right_context", "causal_conv",
+                )
+                if k in conf
+            ),
         )
 
 
@@ -92,23 +106,47 @@ class Transducer:
 
     def __init__(self, config: TransducerConfig):
         self.config = config
-        cell = {"lstm": LSTM, "gru": GRU}.get(config.enc_type)
-        if cell is None:
-            raise ValueError(f"unknown enc_type {config.enc_type!r}")
-        self.encoder = cell(
-            RNNConfig(
-                input_dim=config.input_dim,
-                num_labels=config.joint_units,  # the encoder half of the joint
-                num_layers=config.enc_layers,
-                hidden_units=config.enc_units,
-                bidirectional=config.enc_bidirectional,
+        if config.enc_type in ("transformer", "conformer"):
+            # self-attention encoder (models/transformer.py) — the modern
+            # conformer-transducer recipe; its `num_labels` output
+            # projection doubles as the encoder half of the joint, and its
+            # stacking front-end (subsample) shortens the lattice T axis
+            from tfkaldi_tpu.models.transformer import (
+                Transformer,
+                TransformerConfig,
+            )
+
+            tconf = dict(config.enc_extra)
+            tconf["conformer"] = (
+                "True" if config.enc_type == "conformer" else "False"
+            )
+            tcfg = TransformerConfig.from_config(
+                tconf, config.input_dim, config.joint_units
+            )
+            tcfg = dataclasses.replace(
+                tcfg,
                 dropout=config.dropout,
                 compute_dtype=config.compute_dtype,
-                scan_unroll=config.scan_unroll,
-                scan_impl=config.scan_impl,
-                batch_shards=config.batch_shards,
             )
-        )
+            self.encoder = Transformer(tcfg)
+        else:
+            cell = {"lstm": LSTM, "gru": GRU}.get(config.enc_type)
+            if cell is None:
+                raise ValueError(f"unknown enc_type {config.enc_type!r}")
+            self.encoder = cell(
+                RNNConfig(
+                    input_dim=config.input_dim,
+                    num_labels=config.joint_units,  # encoder half of the joint
+                    num_layers=config.enc_layers,
+                    hidden_units=config.enc_units,
+                    bidirectional=config.enc_bidirectional,
+                    dropout=config.dropout,
+                    compute_dtype=config.compute_dtype,
+                    scan_unroll=config.scan_unroll,
+                    scan_impl=config.scan_impl,
+                    batch_shards=config.batch_shards,
+                )
+            )
         self.predictor = LSTM(
             RNNConfig(
                 input_dim=config.embed_dim,
@@ -136,7 +174,7 @@ class Transducer:
     def init(self, rng: jax.Array) -> tuple[Params, Params]:
         cfg = self.config
         ke, kp, k1, k2, k3, k4 = jax.random.split(rng, 6)
-        enc, _ = self.encoder.init(ke)
+        enc, enc_state = self.encoder.init(ke)
         pred, _ = self.predictor.init(kp)
         # the RNN 'out' layers are zero-init (frame-classifier convention);
         # as joint projections they must break symmetry, so re-init them
@@ -164,17 +202,47 @@ class Transducer:
                 "b": jnp.zeros((self.vocab_size,), jnp.float32),
             },
         }
-        return params, {}
+        return params, {"enc": enc_state}
 
     # ------------------------------------------------------------------
 
-    def encode(self, params, inputs, input_lengths, *, train, dropout_rng=None):
-        """``[B, T, F]`` features → ``[B, T, J]`` encoder joint-projections."""
-        enc, _ = self.encoder.apply(
-            params["enc"], {}, inputs, input_lengths, train=train,
+    def output_lengths(self, input_lengths):
+        """Valid encoder frames per row — shorter than the input under a
+        subsampling encoder front-end (conformer ``subsample``); identity
+        for the RNN encoders."""
+        fn = getattr(self.encoder, "output_lengths", None)
+        return input_lengths if fn is None else fn(input_lengths)
+
+    @property
+    def subsample_factor(self) -> int:
+        return getattr(self.encoder, "subsample_factor", 1)
+
+    def validate_streamable(self) -> None:
+        """Raise unless the encoder supports exact streaming (online
+        decode): unidirectional RNNs, or causal time-restricted
+        transformers/conformers (their own validate_streamable)."""
+        fn = getattr(self.encoder, "validate_streamable", None)
+        if fn is not None:
+            fn()
+            return
+        if self.encoder.config.bidirectional:
+            raise ValueError(
+                "online decoding requires a unidirectional encoder "
+                "(bidirectional = False)"
+            )
+
+    def encode(self, params, state, inputs, input_lengths, *, train,
+               dropout_rng=None):
+        """``[B, T, F]`` features → ``([B, T', J]`` encoder
+        joint-projections, new state). ``T' = output_lengths`` axis under
+        a subsampling encoder; ``state`` carries the encoder's running
+        statistics (conformer BN) under ``"enc"``."""
+        enc, new_enc_state = self.encoder.apply(
+            params["enc"], state.get("enc", {}), inputs, input_lengths,
+            train=train,
             dropout_rng=None if dropout_rng is None else jax.random.fold_in(dropout_rng, 0),
         )
-        return enc
+        return enc, {**state, "enc": new_enc_state}
 
     def predict(self, params, labels, label_lengths, *, train, dropout_rng=None):
         """``[B, U]`` labels → ``[B, U+1, J]`` prediction joint-projections
@@ -214,15 +282,18 @@ class Transducer:
         train: bool,
         dropout_rng: jax.Array | None = None,
     ) -> tuple[jnp.ndarray, Params]:
-        """Full lattice forward → ``[B, T, U+1, V]`` joint logits."""
-        enc = self.encode(params, inputs, input_lengths, train=train, dropout_rng=dropout_rng)
+        """Full lattice forward → ``[B, T', U+1, V]`` joint logits."""
+        enc, new_state = self.encode(
+            params, state, inputs, input_lengths, train=train,
+            dropout_rng=dropout_rng,
+        )
         pred = self.predict(params, labels, label_lengths, train=train, dropout_rng=dropout_rng)
         # remat: the [B, T, U+1, J] tanh is the transducer's HBM hog —
         # recompute it in the backward pass instead of storing it
         joint = jax.checkpoint(
             lambda jp, e, p: self._joint(jp, e, p, self.config.compute_dtype)
         )
-        return joint(params["joint"], enc, pred), state
+        return joint(params["joint"], enc, pred), new_state
 
     def lattice_scores(
         self,
@@ -256,8 +327,10 @@ class Transducer:
         are O(B·U), not O(B·U·V).
         """
         cfg = self.config
-        enc = self.encode(params, inputs, input_lengths, train=train,
-                          dropout_rng=dropout_rng)  # [B, T, J]
+        enc, new_state = self.encode(
+            params, state, inputs, input_lengths, train=train,
+            dropout_rng=dropout_rng,
+        )  # [B, T', J]
         pred = self.predict(params, labels, label_lengths, train=train,
                             dropout_rng=dropout_rng)  # [B, U+1, J]
         b, t_max, j = enc.shape
@@ -317,7 +390,7 @@ class Transducer:
         lp_label = jnp.transpose(lp_label, (1, 0, 2, 3)).reshape(
             b, t_pad, u_max
         )[:, :t_max]
-        return lp_blank, lp_label, state
+        return lp_blank, lp_label, new_state
 
     # -- decode-time pieces (used by decode/transducer.py) ----------------
 

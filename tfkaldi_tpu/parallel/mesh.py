@@ -110,17 +110,23 @@ def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
         return NamedSharding(mesh, spec)
 
     params_sh = _param_shardings(state.params, mesh)
-    model_state_sh = {}
-    for key in state.model_state:
-        if key == "depth":
-            model_state_sh[key] = ns(P())
-        elif key.startswith("bn_conv"):
-            # per-conv-layer channel stats: replicate (see conv params)
-            model_state_sh[key] = jax.tree.map(
-                lambda _: ns(P()), state.model_state[key]
-            )
-        else:  # bn_mean / bn_var: [L, H] over model
-            model_state_sh[key] = ns(P(None, "model"))
+
+    def model_state_shardings(ms):
+        out = {}
+        for key, val in ms.items():
+            if isinstance(val, dict):
+                # nested sub-state (e.g. the transducer's {"enc": ...})
+                out[key] = model_state_shardings(val)
+            elif key == "depth":
+                out[key] = ns(P())
+            elif key.startswith("bn_conv"):
+                # per-conv-layer channel stats: replicate (see conv params)
+                out[key] = jax.tree.map(lambda _: ns(P()), val)
+            else:  # bn_mean / bn_var: [L, H] over model
+                out[key] = ns(P(None, "model"))
+        return out
+
+    model_state_sh = model_state_shardings(state.model_state)
     return TrainState(
         step=ns(P()),
         lr_fact=ns(P()),

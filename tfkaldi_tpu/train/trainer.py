@@ -144,10 +144,15 @@ class Trainer:
                 rnnt_alpha_loss,
             )
 
+            # a subsampling encoder front-end (conformer-transducer) emits
+            # fewer lattice frames than it reads
+            enc_lengths = getattr(
+                self.model, "output_lengths", lambda x: x
+            )(batch.input_lengths)
             per_seq = rnnt_alpha_loss(
                 lp_blank,
                 mask_label_scores(lp_label, batch.target_lengths),
-                batch.input_lengths,
+                enc_lengths,
                 batch.target_lengths,
             )
             loss = jnp.sum(per_seq)
