@@ -272,3 +272,32 @@ def test_cli_transducer_train_and_decode(workspace):
     lines = out.read_text().splitlines()
     assert len(lines) == 6
     assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)
+
+
+def test_cli_seq2seq_train_and_decode(workspace):
+    """`model = seq2seq` + `loss = attention` drives the encoder-decoder
+    pipeline: teacher-forced label-smoothed CE training, then batched
+    attention beam search emitting a text file."""
+    tmp, cfg, _ = workspace
+    s_cfg = tmp / "config_seq2seq.cfg"
+    text = cfg.read_text().replace("name = cli_nnet", "name = cli_s2s_nnet")
+    text = text.replace("num_hidden_layers = 2", "num_hidden_layers = 1")
+    text = text.replace(
+        "[nnet]",
+        "[nnet]\nloss = attention\nmodel = seq2seq\nnormalizer = aurora4\n"
+        "enc_type = lstm\ndec_blocks = 1\nd_model = 16\nnum_heads = 2\n"
+        "ffn_dim = 24\nbeam_width = 2\nmax_decode_tokens = 20\n"
+        "scan_unroll = 1",
+    )
+    s_cfg.write_text(text)
+
+    rc = main(["--config", str(s_cfg), "--steps", "train_nnet"])
+    assert rc == 0
+    assert (tmp / "expdir" / "cli_s2s_nnet" / "final").is_dir()
+
+    rc = main(["--config", str(s_cfg), "--steps", "test_nnet"])
+    assert rc == 0
+    out = tmp / "expdir" / "cli_s2s_nnet" / "decode" / "text"
+    lines = out.read_text().splitlines()
+    assert len(lines) == 6
+    assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)

@@ -67,12 +67,13 @@ def resolve_labels(config):
     from tfkaldi_tpu.data import TextCoder
     from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer, identity_normalizer
 
-    # ctc AND rnnt are both text-target modes: labels come from the
-    # TextCoder alphabet, batches from the TextBatchDispenser, and the
+    # ctc, rnnt AND attention are all text-target modes: labels come from
+    # the TextCoder alphabet, batches from the TextBatchDispenser, and the
     # decode step emits transcriptions instead of pseudo-likelihood arks
     ctc = config.has_option("nnet", "loss") and config.get("nnet", "loss") in (
         "ctc",
         "rnnt",
+        "attention",
     )
     if ctc:
         normalizer = (

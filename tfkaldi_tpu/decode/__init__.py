@@ -10,6 +10,7 @@ from tfkaldi_tpu.decode.online import (
     OnlineSplicedDecoder,
     StreamingTranscriber,
 )
+from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
 from tfkaldi_tpu.decode.transducer import (
     OnlineTransducerDecoder,
     StreamingTransducerTranscriber,
@@ -31,6 +32,7 @@ __all__ = [
     "OnlineSplicedDecoder",
     "OnlineTransducerBeamDecoder",
     "OnlineTransducerDecoder",
+    "Seq2SeqBeamDecoder",
     "StreamingTranscriber",
     "StreamingTransducerTranscriber",
     "TransducerBeamDecoder",

@@ -1,0 +1,216 @@
+"""Attention seq2seq decoding — batched autoregressive beam search.
+
+Decode side of ``model = seq2seq`` (models/seq2seq.py). The reference has
+no sequence decoder at all (reference nnet.py:246-289 emits per-frame
+likelihoods); this is the label-synchronous counterpart of the
+transducer's frame-synchronous beam (decode/transducer_beam.py).
+
+Step-synchronous batched beam as ONE jitted program: at step s every
+live hypothesis has emitted exactly s tokens, so the whole beam advances
+in lockstep — a ``lax.scan`` over steps whose body scores a
+``[B, K, V+1]`` candidate matrix (column 0 = a finished hypothesis
+holding, columns 1..V = extending with a label; emitting EOS marks the
+hypothesis finished without storing a token) and prunes with
+``lax.top_k``. The lockstep structure means two distinct hypotheses can
+never hold the same token sequence (actives all have length s; a prefix's
+length is fixed), so no merge pass is needed — unlike the transducer
+lattice, where many alignments share one label sequence.
+
+The decoder prefix is re-run in full each step (the causal
+``decode_step_logits`` grid, logits gathered at each row's own length) —
+O(L²) in decode length but every step is one big static-shape batched
+matmul program, no per-hypothesis host work. Hypotheses still active at
+the step cap take a final EOS scoring so every returned score is a
+complete-sequence log-probability; ranking applies the standard
+``(5+len)/(5+1)`` GNMT length penalty when ``length_penalty > 0``.
+
+Semantics pinned against an independent host oracle and the teacher-
+forced forward (tests/test_seq2seq.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfkaldi_tpu.data.feature_reader import FeatureReader
+from tfkaldi_tpu.models.seq2seq import AttentionSeq2Seq
+
+_NEG = -1e30
+
+
+class Seq2SeqBeamDecoder:
+    """Batched attention beam search emitting text transcriptions.
+
+    ``beam_width`` hypotheses per utterance; ``max_tokens`` caps the
+    decode length; ``length_penalty`` α > 0 ranks by
+    ``score / ((5 + len) / 6)^α`` (GNMT), 0 ranks raw scores (the
+    default — short-utterance ASR rarely needs it, and raw scores keep
+    beam-1 == greedy exactly).
+    """
+
+    def __init__(
+        self,
+        model: AttentionSeq2Seq,
+        params,
+        model_state,
+        coder,
+        *,
+        beam_width: int = 4,
+        max_tokens: int = 100,
+        length_penalty: float = 0.0,
+    ):
+        if beam_width < 1:
+            raise ValueError("beam_width must be >= 1")
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.coder = coder
+        self.beam = int(beam_width)
+        self.max_tokens = int(max_tokens)
+        self.length_penalty = float(length_penalty)
+        self._fn = jax.jit(self._search)
+
+    def _next_logp(self, params, tokens, counts, memory, mem_valid):
+        """``tokens [N, L+1]`` (SOS-led prefixes, ``counts [N]`` real
+        tokens each) → ``[N, V]`` next-token log-probs at each row's own
+        frontier position."""
+        token_valid = (
+            jnp.arange(tokens.shape[1])[None, :] <= counts[:, None]
+        )
+        logits = self.model.decode_step_logits(
+            params, tokens, token_valid, memory, mem_valid, train=False
+        )  # [N, L+1, V]
+        frontier = jnp.take_along_axis(
+            logits, counts[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]
+        return jax.nn.log_softmax(frontier, axis=-1)
+
+    def _search(self, params, inputs, lengths):
+        model, k, L = self.model, self.beam, self.max_tokens
+        memory, _ = model.encode(
+            params, self.model_state, inputs, lengths, train=False
+        )  # [B, T', D]
+        b, t, d = memory.shape
+        v_total = model.vocab_size
+        eos = model.sos_eos_id
+        mem_valid = (
+            jnp.arange(t)[None, :] < model.output_lengths(lengths)[:, None]
+        )
+        # beams ride the batch axis: [B*K, ...]
+        mem_k = jnp.broadcast_to(
+            memory[:, None], (b, k, t, d)
+        ).reshape(b * k, t, d)
+        mem_valid_k = jnp.broadcast_to(
+            mem_valid[:, None], (b, k, t)
+        ).reshape(b * k, t)
+
+        sos = jnp.full((b, k, 1), eos, jnp.int32)
+        buf = jnp.zeros((b, k, L), jnp.int32)
+        counts = jnp.zeros((b, k), jnp.int32)
+        scores = jnp.full((b, k), _NEG, jnp.float32).at[:, 0].set(0.0)
+        finished = jnp.zeros((b, k), bool)
+        rows = jnp.arange(b)[:, None]
+
+        def step(state, _):
+            buf, counts, scores, finished = state
+            tokens = jnp.concatenate([sos, buf], axis=2).reshape(b * k, L + 1)
+            logp = self._next_logp(
+                params, tokens, counts.reshape(b * k), mem_k, mem_valid_k
+            ).reshape(b, k, v_total)
+            # candidates: col 0 = finished beam holds; cols 1..V = extend
+            hold = jnp.where(finished, scores, _NEG)
+            extend = jnp.where(
+                finished[:, :, None], _NEG, scores[:, :, None] + logp
+            )
+            # at the buffer cap, only EOS may be "emitted"
+            at_cap = counts >= L
+            label_ok = (
+                (jnp.arange(v_total)[None, None, :] == eos)
+                | ~at_cap[:, :, None]
+            )
+            extend = jnp.where(label_ok, extend, _NEG)
+            cand = jnp.concatenate([hold[:, :, None], extend], axis=2)
+            top_scores, flat = jax.lax.top_k(
+                cand.reshape(b, k * (v_total + 1)), k
+            )
+            parent = flat // (v_total + 1)
+            choice = flat % (v_total + 1)  # 0 = hold, 1+v = emit v
+            label = jnp.maximum(choice - 1, 0).astype(jnp.int32)
+            emits_eos = choice == (1 + eos)
+            extends = (choice > 0) & ~emits_eos
+
+            new_buf = jnp.take_along_axis(buf, parent[:, :, None], axis=1)
+            new_counts = jnp.take_along_axis(counts, parent, axis=1)
+            new_finished = (
+                jnp.take_along_axis(finished, parent, axis=1) | emits_eos
+            )
+            pos = jnp.where(extends, new_counts, L)
+            new_buf = new_buf.at[rows, jnp.arange(k)[None, :], pos].set(
+                label, mode="drop"
+            )
+            new_counts = new_counts + extends.astype(jnp.int32)
+            return (new_buf, new_counts, top_scores, new_finished), None
+
+        (buf, counts, scores, finished), _ = jax.lax.scan(
+            step, (buf, counts, scores, finished), None, length=L
+        )
+        # close any still-open hypotheses with their EOS probability so
+        # every score is a complete-sequence log-probability
+        tokens = jnp.concatenate([sos, buf], axis=2).reshape(b * k, L + 1)
+        logp = self._next_logp(
+            params, tokens, counts.reshape(b * k), mem_k, mem_valid_k
+        ).reshape(b, k, v_total)
+        scores = jnp.where(finished, scores, scores + logp[:, :, eos])
+        if self.length_penalty > 0.0:
+            norm = ((5.0 + counts.astype(jnp.float32)) / 6.0) ** self.length_penalty
+            ranked = scores / norm
+        else:
+            ranked = scores
+        return buf, counts, scores, ranked
+
+    def decode_batch_nbest(
+        self, inputs, lengths
+    ) -> list[list[tuple[np.ndarray, float]]]:
+        """Per row: surviving hypotheses as ``(label_ids, log_score)``,
+        best first (by length-penalized rank, raw scores reported)."""
+        buf, counts, scores, ranked = self._fn(
+            self.params, jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32)
+        )
+        buf, counts, scores, ranked = map(
+            np.asarray, (buf, counts, scores, ranked)
+        )
+        out = []
+        for bi in range(buf.shape[0]):
+            order = np.argsort(-ranked[bi], kind="stable")
+            out.append([
+                (buf[bi, kk, : counts[bi, kk]].astype(np.int32),
+                 float(scores[bi, kk]))
+                for kk in order if scores[bi, kk] > _NEG / 2
+            ])
+        return out
+
+    def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
+        return [h[0][0] for h in self.decode_batch_nbest(inputs, lengths)]
+
+    def decode_to_file(
+        self,
+        reader: FeatureReader,
+        outfile: str,
+        *,
+        batch_size: int = 16,
+        bucket_multiple: int = 128,
+    ) -> int:
+        """Stream the test set and write a Kaldi-style ``text`` file."""
+        from tfkaldi_tpu.decode.streaming import pick_stream
+
+        count = 0
+        with open(outfile, "w") as fid:
+            for utt_ids, inputs, lengths in pick_stream(reader)(
+                reader, batch_size=batch_size, bucket_multiple=bucket_multiple
+            ):
+                for utt_id, ids in zip(utt_ids, self.decode_batch(inputs, lengths)):
+                    fid.write(f"{utt_id} {self.coder.decode(ids)}\n")
+                    count += 1
+        return count

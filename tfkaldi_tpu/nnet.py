@@ -65,7 +65,23 @@ class Nnet:
                 "transducer is trained by the lattice loss and has no "
                 "per-frame posteriors for CE/CTC"
             )
-        if model_type == "transducer":
+        if (model_type == "seq2seq") != (self.loss_type == "attention"):
+            raise ValueError(
+                "model = seq2seq and loss = attention go together: the "
+                "encoder-decoder is trained by teacher-forced CE over "
+                "text targets and has no per-frame posteriors"
+            )
+        if model_type == "seq2seq":
+            # attention encoder-decoder family (models/seq2seq.py) — text
+            # targets like the CTC path; sos/eos is the extra final class
+            from tfkaldi_tpu.models import AttentionSeq2Seq, Seq2SeqConfig
+
+            if int(self.conf.get("add_layer_period", 0)) > 0:
+                raise ValueError("layerwise init (add_layer_period) requires model = dnn")
+            self.model = AttentionSeq2Seq(
+                Seq2SeqConfig.from_config(self.conf, self.input_dim, num_labels)
+            )
+        elif model_type == "transducer":
             # RNN-T family (models/transducer.py) — encoder + prediction
             # network + joint, text targets like the CTC path (blank is
             # the extra final class, added internally by the model)
@@ -286,10 +302,10 @@ class Nnet:
     def decode(self, reader: FeatureReader, writer: ArkWriter) -> int:
         """Emit prior-normalized log pseudo-likelihoods for a test set
         (nnet.py:246-289)."""
-        if self.loss_type == "rnnt":
+        if self.loss_type in ("rnnt", "attention"):
             raise ValueError(
-                "a transducer has no per-frame posteriors to emit as "
-                "pseudo-likelihoods; use decode_text"
+                "sequence-transduction models have no per-frame posteriors "
+                "to emit as pseudo-likelihoods; use decode_text"
             )
         trainer = Trainer(self.model, TrainerConfig())
         template = trainer.init_state(jax.random.PRNGKey(0))
@@ -318,15 +334,38 @@ class Nnet:
 
     def decode_text(self, reader: FeatureReader, coder, outfile: str) -> int:
         """Decode a test set to a Kaldi-style ``text`` file: greedy/beam
-        CTC for ``loss = ctc``, greedy transducer search for
-        ``loss = rnnt`` (the reference has no working text decode at all)."""
-        if self.loss_type not in ("ctc", "rnnt"):
-            raise ValueError("decode_text requires loss = ctc or loss = rnnt")
+        CTC for ``loss = ctc``, greedy/beam transducer search for
+        ``loss = rnnt``, autoregressive attention beam search for
+        ``loss = attention`` (the reference has no working text decode)."""
+        if self.loss_type not in ("ctc", "rnnt", "attention"):
+            raise ValueError(
+                "decode_text requires loss = ctc, rnnt, or attention"
+            )
         from tfkaldi_tpu.decode.ctc import CTCDecoder
 
         trainer = Trainer(self.model, TrainerConfig(loss_type=self.loss_type))
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
+        if self.loss_type == "attention":
+            from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+
+            decoder = Seq2SeqBeamDecoder(
+                self.model,
+                state.params,
+                state.model_state,
+                coder,
+                beam_width=int(self.conf.get("beam_width", 1)),
+                max_tokens=int(self.conf.get("max_decode_tokens", 100)),
+                length_penalty=float(self.conf.get("length_penalty", 0.0)),
+            )
+            count = decoder.decode_to_file(
+                reader,
+                outfile,
+                batch_size=int(self.conf.get("decode_batch_size", 16)),
+                bucket_multiple=int(self.conf.get("decode_bucket_multiple", 128)),
+            )
+            log.info("decoded %d utterances", count)
+            return count
         if self.loss_type == "rnnt":
             # beam_width > 1 selects the batched beam search (same config
             # knob the CTC path uses); 1 = the greedy scan

@@ -158,6 +158,39 @@ class Trainer:
             loss = jnp.sum(per_seq)
             num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
             return loss, (new_state, num_frames)
+        if self.config.loss_type == "attention":
+            # attention encoder-decoder (models/seq2seq.py): teacher-forced
+            # label-smoothed CE; position u predicts labels[u], position
+            # label_length predicts EOS (sos/eos = the extra final class)
+            logits, new_state = self.model.apply_seq2seq(
+                params,
+                model_state,
+                batch.inputs,
+                batch.input_lengths,
+                batch.targets,
+                batch.target_lengths,
+                train=train,
+                dropout_rng=rng,
+            )
+            b, u1, v = logits.shape
+            eos = self.model.sos_eos_id
+            rows = jnp.arange(b)
+            targets = jnp.concatenate(
+                [batch.targets, jnp.zeros((b, 1), batch.targets.dtype)], axis=1
+            )
+            targets = targets.at[rows, batch.target_lengths].set(eos)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, targets[:, :, None].astype(jnp.int32), axis=-1
+            )[..., 0]
+            eps = self.model.config.label_smoothing
+            if eps > 0.0:
+                # uniform smoothing over the vocabulary
+                nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
+            valid = jnp.arange(u1)[None, :] <= batch.target_lengths[:, None]
+            loss = jnp.sum(nll * valid)
+            num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
+            return loss, (new_state, num_frames)
         logits, new_state = self.model.apply(
             params,
             model_state,
