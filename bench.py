@@ -471,6 +471,81 @@ def bench_ctc_tpu() -> dict:
     return {"ctc_fps": fps, "ce_fps": b * t / ce_ms}
 
 
+def bench_attention_tpu() -> dict:
+    """Attention encoder-decoder train step: the modern offline recipe —
+    the SAME 12-block subsample-4 conformer encoder as the conformer-CTC
+    bench feeding a 2-block transformer decoder over character targets
+    (models/seq2seq.py). The reference has no attention model at all, so
+    the recorded ratio is vs the same-encoder conformer-CTC step in the
+    same process, interleaved — the marginal cost of the decoder +
+    teacher-forced CE over the CTC recipe."""
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.data.batching import PaddedBatch
+    from tfkaldi_tpu.models import (
+        AttentionSeq2Seq,
+        Seq2SeqConfig,
+        Transformer,
+        TransformerConfig,
+    )
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+
+    b, t, f = 32, 512, 40
+    num_chars = 38  # TextCoder alphabet
+    l_max = 64
+    enc_extra = (("num_blocks", "12"), ("d_model", "256"),
+                 ("num_heads", "4"), ("ffn_dim", "1024"),
+                 ("conv_kernel", "15"), ("subsample", "4"))
+    s2s = AttentionSeq2Seq(Seq2SeqConfig(
+        input_dim=f, num_labels=num_chars, enc_type="conformer",
+        enc_extra=enc_extra, dec_blocks=2, d_model=256, num_heads=4,
+        ffn_dim=1024, compute_dtype=jnp.bfloat16,
+    ))
+    ctc_model = Transformer(TransformerConfig(
+        input_dim=f, num_labels=num_chars + 1, num_blocks=12, d_model=256,
+        num_heads=4, ffn_dim=1024, conformer=True, conv_kernel=15,
+        subsample=4, compute_dtype=jnp.bfloat16,
+    ))
+
+    rng = np.random.default_rng(0)
+    batch = PaddedBatch(
+        jnp.asarray(rng.standard_normal((b, t, f)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, num_chars, (b, l_max)).astype(np.int32)),
+        jnp.full((b,), t, jnp.int32),
+        jnp.asarray(rng.integers(l_max // 2, l_max + 1, (b,)).astype(np.int32)),
+    )
+
+    def measure(model, loss_type):
+        trainer = Trainer(model, TrainerConfig(
+            num_steps=1000, loss_type=loss_type, ctc_blank_id=num_chars))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, loss = trainer.update(state, batch)
+        _ = float(loss)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                state, loss = trainer.update(state, batch)
+            _ = float(loss)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        return best
+
+    att_ms = measure(s2s, "attention")
+    ctc_ms = measure(ctc_model, "ctc")
+    att_ms = min(att_ms, measure(s2s, "attention"))
+    ctc_ms = min(ctc_ms, measure(ctc_model, "ctc"))
+    fps = b * t / att_ms
+    print(
+        f"[bench] attention train: {att_ms * 1000:.1f} ms/step -> "
+        f"{fps:,.0f} input frames/s (same-encoder conformer-CTC step "
+        f"{ctc_ms * 1000:.1f} ms; decoder overhead "
+        f"{(att_ms / ctc_ms - 1) * 100:.0f}%)",
+        file=sys.stderr,
+    )
+    return {"attention_fps": fps, "ctc_fps": b * t / ctc_ms}
+
+
 def bench_rnnt_tpu() -> dict:
     """RNN-T train step: the flagship STREAMING sequence configuration
     (2x unidirectional LSTM-512 encoder + 1xLSTM-320 prediction net +
@@ -1006,6 +1081,23 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] rnnt bench failed: {e}", file=sys.stderr)
 
+    attention_line = None
+    try:
+        at = bench_attention_tpu()
+        attention_line = {
+            "metric": "attention_train_throughput",
+            "value": round(at["attention_fps"], 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(at["attention_fps"] / at["ctc_fps"], 2),
+            "baseline": {
+                "value": round(at["ctc_fps"], 1),
+                "source": "same-process conformer-CTC step on the same 12-block subsample-4 encoder (no reference attention model exists)",
+            },
+        }
+        print(json.dumps(attention_line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] attention bench failed: {e}", file=sys.stderr)
+
     ref = bench_reference_proxy()
 
     # input-inclusive end-to-end metric (the production native-loader path);
@@ -1053,6 +1145,8 @@ def main() -> None:
         extra["ctc_train_throughput"] = ctc_line
     if rnnt_line is not None:
         extra["rnnt_train_throughput"] = rnnt_line
+    if attention_line is not None:
+        extra["attention_train_throughput"] = attention_line
     if e2e_line is not None:
         extra["e2e_train_throughput"] = e2e_line
     if extra:
