@@ -111,10 +111,9 @@ class Seq2SeqBeamDecoder:
         counts = jnp.zeros((b, k), jnp.int32)
         scores = jnp.full((b, k), _NEG, jnp.float32).at[:, 0].set(0.0)
         finished = jnp.zeros((b, k), bool)
-        rows = jnp.arange(b)[:, None]
 
-        def step(state, _):
-            buf, counts, scores, finished = state
+        def step(state):
+            s, buf, counts, scores, finished = state
             tokens = jnp.concatenate([sos, buf], axis=2).reshape(b * k, L + 1)
             logp = self._next_logp(
                 params, tokens, counts.reshape(b * k), mem_k, mem_valid_k
@@ -146,15 +145,30 @@ class Seq2SeqBeamDecoder:
             new_finished = (
                 jnp.take_along_axis(finished, parent, axis=1) | emits_eos
             )
+            # masked broadcast-compare write, NOT a scatter: a computed-index
+            # .at[].set lowers to a serialized per-row scatter on TPU
+            # (measured ~0.4 ms per iteration at this tiny shape); the
+            # compare+where is one fused elementwise pass. Non-extending
+            # rows point past the buffer → no slot matches.
             pos = jnp.where(extends, new_counts, L)
-            new_buf = new_buf.at[rows, jnp.arange(k)[None, :], pos].set(
-                label, mode="drop"
-            )
+            slot = jnp.arange(L)[None, None, :] == pos[:, :, None]
+            new_buf = jnp.where(slot, label[:, :, None], new_buf)
             new_counts = new_counts + extends.astype(jnp.int32)
-            return (new_buf, new_counts, top_scores, new_finished), None
+            return s + 1, new_buf, new_counts, top_scores, new_finished
 
-        (buf, counts, scores, finished), _ = jax.lax.scan(
-            step, (buf, counts, scores, finished), None, length=L
+        # while_loop instead of a fixed-L scan: once every live hypothesis
+        # has emitted EOS a step only re-selects the held beams (scores,
+        # buffers unchanged — an exact no-op), so exiting early is
+        # equivalence-preserving and saves the tail of a generous cap.
+        # live = alive (not pruned to _NEG) and not yet finished.
+        def cond(state):
+            s, _, _, scores, finished = state
+            live = (scores > _NEG / 2) & ~finished
+            return (s < L) & jnp.any(live)
+
+        _, buf, counts, scores, finished = jax.lax.while_loop(
+            cond, step, (jnp.asarray(0, jnp.int32), buf, counts, scores,
+                         finished)
         )
         # close any still-open hypotheses with their EOS probability so
         # every score is a complete-sequence log-probability

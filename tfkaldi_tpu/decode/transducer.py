@@ -39,7 +39,6 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
     buf_len = t * max_symbols
     buf = jnp.zeros((b, buf_len), jnp.int32)
     counts = jnp.zeros((b,), jnp.int32)
-    rows = jnp.arange(b)
 
     def frame(state, xs):
         proj, carry, buf, counts = state
@@ -50,10 +49,13 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
             logits = model.joint_step(params, enc_t, proj)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emit = active & (tok != model.blank_id) & valid_t
-            # scatter into each row's next slot; rows not emitting target
-            # an out-of-bounds index and are dropped
+            # write each row's next slot with a masked broadcast-compare,
+            # NOT a scatter (a computed-index .at[].set lowers to a
+            # serialized per-row scatter on TPU, ~0.4 ms per iteration);
+            # non-emitting rows point past the buffer so no slot matches
             pos = jnp.where(emit, counts, buf_len)
-            buf = buf.at[rows, pos].set(tok, mode="drop")
+            slot = jnp.arange(buf_len)[None, :] == pos[:, None]
+            buf = jnp.where(slot, tok[:, None], buf)
             counts = counts + emit.astype(jnp.int32)
             new_proj, carry = model.predict_step(params, tok, emit, carry)
             proj = jnp.where(emit[:, None], new_proj, proj)

@@ -93,7 +93,6 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
     b, t, j = enc.shape
     k = beam
     v_total = model.vocab_size  # labels + blank
-    rows = jnp.arange(b)[:, None]
 
     def gather_carry(carry, parent):
         """Re-index the [B*K, ...] prediction carries by parent beam."""
@@ -145,11 +144,14 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
             new_active = jnp.take_along_axis(active, parent, axis=1)
             carry = gather_carry(carry, parent)
 
-            # append labels for extended beams (drop out-of-bounds)
+            # append labels for extended beams — a masked broadcast-compare
+            # write, NOT a scatter (a computed-index .at[].set lowers to a
+            # serialized per-row scatter on TPU, ~0.4 ms per iteration at
+            # this shape); non-extending rows point past the buffer so no
+            # slot matches
             pos = jnp.where(is_ext, new_counts, buf_len)
-            new_buf = new_buf.at[rows, jnp.arange(k)[None, :], pos].set(
-                label, mode="drop"
-            )
+            slot = jnp.arange(buf_len)[None, None, :] == pos[:, :, None]
+            new_buf = jnp.where(slot, label[:, :, None], new_buf)
             new_counts = new_counts + is_ext.astype(jnp.int32)
             # stay-selected ACTIVE beams just took their blank → finished;
             # stay-selected finished beams remain finished

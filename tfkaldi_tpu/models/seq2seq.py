@@ -44,7 +44,7 @@ from tfkaldi_tpu.models.transformer import (
     _dense,
     _dropout,
     _layernorm,
-    _sinusoidal_at,
+    sinusoidal_positions,
 )
 
 Params = Any
@@ -300,9 +300,12 @@ class AttentionSeq2Seq:
         h = params["embed"][tokens] * np.sqrt(float(self.embed_dim))
         if "embed_proj" in params:
             h = h @ params["embed_proj"]
-        h = h + _sinusoidal_at(
-            jnp.broadcast_to(jnp.arange(u)[None, :], (b, u)), cfg.d_model
-        )
+        # decoder positions are always 0..U-1 (no streaming offset), so the
+        # position term is a host-precomputed compile-time constant; the
+        # traced-index variant (_sinusoidal_at) builds its table with
+        # strided scatters at RUN time and measured as the dominant cost of
+        # the whole decode grid
+        h = h + jnp.asarray(sinusoidal_positions(u, cfg.d_model))[None]
         h = (h * token_valid[:, :, None]).astype(dtype)
         for site, blk in enumerate(params["dec_blocks"]):
             z = _layernorm(h, blk["ln_self"]["g"], blk["ln_self"]["b"], eps)

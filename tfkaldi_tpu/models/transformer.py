@@ -138,15 +138,25 @@ def _sinusoidal_at(positions: jnp.ndarray, d: int) -> jnp.ndarray:
     """``sinusoidal_positions`` at arbitrary (traced) frame indices:
     ``[...,]`` int32 → ``[..., d]`` f32. Used by both the offline forward
     (indices ``0..T-1``) and the streaming forward (per-row global
-    indices), so the two paths add bit-identical position terms."""
+    indices), so the two paths add bit-identical position terms.
+
+    The (sin, cos) pairs are interleaved with a stack+reshape relayout —
+    element 2i = sin_i, 2i+1 = cos_i, the same layout as the strided
+    0::2/1::2 scatters it replaces, but scatters build the table one
+    stride at a time at RUN time and measured as a multi-ms prologue on
+    small decode grids; the relayout is a free fusion."""
     pos = positions.astype(jnp.float32)[..., None]
     div = jnp.exp(
         jnp.arange(0, d, 2, dtype=jnp.float32) * (-np.log(10000.0) / d)
     )
+    sin = jnp.sin(pos * div)
+    cos = jnp.cos(pos * div[: d // 2])
+    if d % 2 == 0:
+        return jnp.stack([sin, cos], axis=-1).reshape(positions.shape + (d,))
+    # odd d (no (sin, cos) pairing for the last lane): strided scatters
     out = jnp.zeros(positions.shape + (d,), jnp.float32)
-    out = out.at[..., 0::2].set(jnp.sin(pos * div))
-    out = out.at[..., 1::2].set(jnp.cos(pos * div[: d // 2]))
-    return out
+    out = out.at[..., 0::2].set(sin)
+    return out.at[..., 1::2].set(cos)
 
 
 def _layernorm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float):
