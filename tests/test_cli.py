@@ -273,6 +273,25 @@ def test_cli_transducer_train_and_decode(workspace):
     assert len(lines) == 6
     assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)
 
+    # lm_path fuses a character ARPA LM into the jitted beam (the dense
+    # table path, decode/lm.py::DenseFusionTable)
+    arpa = tmp / "toy.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=3\n\n\\1-grams:\n-0.5\tT\t-0.3\n-0.9\t<s>\n"
+        "-1.2\t<unk>\n\n\\end\\\n"
+    )
+    lm_cfg = tmp / "config_rnnt_lm.cfg"
+    lm_cfg.write_text(
+        t_cfg.read_text().replace(
+            "[nnet]",
+            f"[nnet]\nbeam_width = 2\nlm_path = {arpa}\nlm_alpha = 0.3",
+        )
+    )
+    rc = main(["--config", str(lm_cfg), "--steps", "test_nnet"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 6
+
 
 def test_cli_seq2seq_train_and_decode(workspace):
     """`model = seq2seq` + `loss = attention` drives the encoder-decoder

@@ -206,3 +206,106 @@ def test_ctc_decoder_fusion_uses_python_beam(tmp_path, lm, monkeypatch):
     x = np.random.default_rng(0).standard_normal((1, 8, 4)).astype(np.float32)
     out = dec.decode_batch(x, np.asarray([8], np.int32))
     assert isinstance(out[0], np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# dense fusion table (jitted-beam shallow fusion)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_ARPA = """\
+\\data\\
+ngram 1=4
+ngram 2=4
+ngram 3=2
+
+\\1-grams:
+-0.5\ta\t-0.30103
+-0.7\tb\t-0.2
+-1.0\t<s>\t-0.30103
+-0.9\t<unk>
+
+\\2-grams:
+-0.2\ta b\t-0.1
+-0.9\tb a\t-0.15
+-0.3\t<s> a\t-0.1
+-0.6\t<s> b
+
+\\3-grams:
+-0.25\t<s> a b
+-0.45\ta b a
+
+\\end\\
+"""
+
+
+@pytest.fixture
+def lm3(tmp_path):
+    path = tmp_path / "tri.arpa"
+    path.write_text(TRIGRAM_ARPA)
+    return ArpaLM.load(str(path))
+
+
+@pytest.mark.parametrize("which", ["bigram", "trigram"])
+def test_dense_table_matches_fusion_scorer(which, lm, lm3):
+    """DenseFusionTable[ctx, v] must equal the host FusionScorer for every
+    prefix — short prefixes (BOS-filled context) included."""
+    from itertools import product
+
+    from tfkaldi_tpu.decode.lm import DenseFusionTable
+
+    the_lm = lm if which == "bigram" else lm3
+    tokens = ["a", "b"]
+    alpha, beta = 0.4, 0.15
+    scorer = FusionScorer(the_lm, tokens, alpha=alpha, beta=beta)
+    table = DenseFusionTable(the_lm, tokens, tokens, alpha=alpha, beta=beta)
+    n_ctx = the_lm.order - 1
+    for plen in range(4):
+        for prefix in product(range(2), repeat=plen):
+            last = [table.bos_id] * max(n_ctx - plen, 0) + list(
+                prefix[-n_ctx:] if n_ctx else []
+            )
+            row = int(table.flat_context(np.asarray(last)[None, :])[0]) \
+                if n_ctx else 0
+            for v in range(2):
+                want = scorer(tuple(prefix), v)
+                got = float(table.table[row, v])
+                np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7,
+                                           err_msg=f"{prefix} -> {v}")
+
+
+def test_lm_extension_scores_device_gather(lm3):
+    """The jit-side gather (buf, counts) → per-column LM terms equals the
+    host table lookup."""
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.decode.lm import DenseFusionTable, lm_extension_scores
+
+    tokens = ["a", "b"]
+    table = DenseFusionTable(lm3, tokens, tokens, alpha=1.0, beta=0.0)
+    table_dev = jnp.asarray(table.table)
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 2, (3, 2, 6)).astype(np.int32)
+    counts = np.asarray([[0, 1], [2, 6], [3, 5]], np.int32)
+    got = np.asarray(
+        lm_extension_scores(table, table_dev, jnp.asarray(buf),
+                            jnp.asarray(counts))
+    )
+    for bi in range(3):
+        for ki in range(2):
+            c = int(counts[bi, ki])
+            last = []
+            for back in (2, 1):
+                last.append(int(buf[bi, ki, c - back]) if c - back >= 0
+                            else table.bos_id)
+            row = int(table.flat_context(np.asarray(last)[None, :])[0])
+            np.testing.assert_allclose(got[bi, ki], table.table[row],
+                                       rtol=1e-6)
+
+
+def test_dense_table_rejects_explosive_orders(lm):
+    from tfkaldi_tpu.decode.lm import DenseFusionTable
+
+    big = ArpaLM(order=8, ngrams={("a",): -1.0}, backoffs={})
+    with pytest.raises(ValueError, match="dense fusion table"):
+        DenseFusionTable(big, [str(i) for i in range(40)],
+                         [str(i) for i in range(40)])

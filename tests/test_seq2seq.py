@@ -306,3 +306,67 @@ def test_facade_pairing_and_build(tmp_path):
     net = Nnet(cfg, input_dim=5, num_labels=V)
     assert isinstance(net.model, AttentionSeq2Seq)
     assert net.model.config.enc_bidirectional
+
+
+# ---------------------------------------------------------------------------
+# dense shallow fusion inside the jitted beam
+# ---------------------------------------------------------------------------
+
+
+class _Fusion:
+    """Hand-built fusion table over labels + EOS (the attention column
+    layout); zeros by default."""
+
+    def __init__(self, num_labels, order=2):
+        self.order = order
+        self.num_context_ids = num_labels + 1
+        self.bos_id = num_labels
+        self.table = np.zeros(
+            ((num_labels + 1) ** (order - 1), num_labels + 1), np.float32
+        )
+
+
+def test_zero_fusion_is_identity():
+    model, params, state = tiny_model(seed=40)
+    rng = np.random.default_rng(41)
+    x, xl, _, _ = synth(rng)
+    base = Seq2SeqBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3, max_tokens=5
+    )
+    fused = Seq2SeqBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3, max_tokens=5,
+        fusion_table=_Fusion(V),
+    )
+    for a, b in zip(base.decode_batch_nbest(np.asarray(x), np.asarray(xl)),
+                    fused.decode_batch_nbest(np.asarray(x), np.asarray(xl))):
+        for (ai, asc), (bi, bsc) in zip(a, b):
+            np.testing.assert_array_equal(ai, bi)
+            assert asc == pytest.approx(bsc, abs=1e-4)
+
+
+def test_eos_hungry_lm_empties_transcripts():
+    """A fusion table that rewards only </s> makes the empty hypothesis
+    win immediately."""
+    model, params, state = tiny_model(seed=42)
+    rng = np.random.default_rng(43)
+    x, xl, _, _ = synth(rng)
+    f = _Fusion(V)
+    f.table[:, :V] = -1e6  # labels despised
+    f.table[:, V] = 10.0  # EOS adored
+    dec = Seq2SeqBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3, max_tokens=5,
+        fusion_table=f,
+    )
+    for ids in dec.decode_batch(np.asarray(x), np.asarray(xl)):
+        assert ids.size == 0
+
+
+def test_fusion_table_width_checked():
+    model, params, state = tiny_model(seed=44)
+    bad = _Fusion(V)
+    bad.table = bad.table[:, :V]  # missing the EOS column
+    with pytest.raises(ValueError, match="EOS"):
+        Seq2SeqBeamDecoder(
+            model, params, state, _IdCoder(), beam_width=2,
+            fusion_table=bad,
+        )

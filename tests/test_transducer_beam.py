@@ -282,3 +282,81 @@ def test_decode_to_file(tmp_path):
     assert n == 2
     lines = out.read_text().strip().splitlines()
     assert [l.split()[0] for l in lines] == ["utt1", "utt2"]
+
+
+# ---------------------------------------------------------------------------
+# dense shallow fusion inside the jitted beam
+# ---------------------------------------------------------------------------
+
+
+class _ZeroFusion:
+    """A fusion table of zeros: must leave the search untouched."""
+
+    def __init__(self, num_labels, order=3):
+        self.order = order
+        self.num_context_ids = num_labels + 1
+        self.bos_id = num_labels
+        self.table = np.zeros(
+            ((num_labels + 1) ** (order - 1), num_labels), np.float32
+        )
+
+
+def test_zero_fusion_table_is_identity():
+    model, params, state = tiny_model(seed=30)
+    rng = np.random.default_rng(31)
+    x, lens = random_batch(rng)
+    base = TransducerBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3
+    )
+    fused = TransducerBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3,
+        fusion_table=_ZeroFusion(model.config.num_labels),
+    )
+    for a, b in zip(base.decode_batch_nbest(x, lens),
+                    fused.decode_batch_nbest(x, lens)):
+        for (ai, asc), (bi, bsc) in zip(a, b):
+            np.testing.assert_array_equal(ai, bi)
+            assert asc == pytest.approx(bsc, abs=1e-4)
+
+
+def test_hostile_lm_silences_the_beam():
+    """An LM that despises every label (huge negative fused scores) makes
+    the all-blank hypothesis win: the beam emits nothing."""
+    model, params, state = tiny_model(seed=32)
+    rng = np.random.default_rng(33)
+    x, lens = random_batch(rng)
+    hostile = _ZeroFusion(model.config.num_labels)
+    hostile.table = hostile.table - 1e6
+    dec = TransducerBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3, fusion_table=hostile,
+    )
+    for ids in dec.decode_batch(x, lens):
+        assert ids.size == 0
+
+
+def test_streaming_fused_beam_equals_offline():
+    """Fusion terms are functions of the carried (buf, counts), so the
+    chunked fused beam equals the offline fused beam at any chunking."""
+    model, params, state = tiny_model(seed=34)
+    rng = np.random.default_rng(35)
+    b, t = 2, 9
+    x, _ = random_batch(rng, b=b, t=t)
+    lens = np.full((b,), t, np.int32)
+    fusion = _ZeroFusion(model.config.num_labels)
+    fusion.table = rng.standard_normal(fusion.table.shape).astype(np.float32)
+    want = TransducerBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=3, max_tokens=64,
+        fusion_table=fusion,
+    ).decode_batch(x, lens)
+    online = OnlineTransducerBeamDecoder(
+        model, params, state, beam_width=3, max_tokens=64,
+        fusion_table=fusion,
+    )
+    online.reset(b)
+    got = None
+    for start in range(0, t, 2):
+        piece = x[:, start : start + 2]
+        n = np.full((b,), piece.shape[1], np.int32)
+        got = online.step(piece, n)
+    for gi, wi in zip(got, want):
+        np.testing.assert_array_equal(gi, wi)

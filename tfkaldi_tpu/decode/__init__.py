@@ -2,7 +2,7 @@
 
 from tfkaldi_tpu.decode.ctc import CTCDecoder, collapse_ctc_path
 from tfkaldi_tpu.decode.decoder import Decoder
-from tfkaldi_tpu.decode.lm import ArpaLM, FusionScorer
+from tfkaldi_tpu.decode.lm import ArpaLM, DenseFusionTable, FusionScorer
 from tfkaldi_tpu.decode.online import (
     OnlineCTCBeamDecoder,
     OnlineCTCDecoder,
@@ -25,6 +25,7 @@ __all__ = [
     "ArpaLM",
     "CTCDecoder",
     "Decoder",
+    "DenseFusionTable",
     "FusionScorer",
     "OnlineCTCBeamDecoder",
     "OnlineCTCDecoder",

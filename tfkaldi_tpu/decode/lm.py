@@ -133,3 +133,97 @@ class FusionScorer:
             self._cache.clear()
         self._cache[key] = val
         return val
+
+
+class DenseFusionTable:
+    """The backoff LM resolved into a dense device table for the JITTED
+    beam searches (transducer, attention).
+
+    The host ``FusionScorer`` can't run inside a jitted search; but for a
+    label-level n-gram over V labels the *entire* LM is just the function
+    ``(last n-1 labels) → V scores``, and Katz backoff resolves it at
+    build time: ``table[ctx, v] = alpha · ln P(token_v | ctx) + beta``
+    for every context combination — ``(V+1)^(n-1) · C`` floats (~231 KB
+    for a character trigram), one host pass over the ArpaLM. Context
+    slots take label ids ``0..V-1`` or ``V`` (= BOS, also filling the
+    short-prefix positions, matching FusionScorer's ``(<s>,) + prefix``
+    convention). At decode time an extension's LM term is ONE gather:
+    flatten the context ids base-(V+1) and index the ``[(V+1)^(n-1), C]``
+    table. Exactness vs the host scorer is pinned by tests/test_lm.py.
+
+    ``column_tokens`` names each scored column — usually the coder's
+    alphabet; an attention decoder appends ``"</s>"`` so its EOS column
+    carries the LM's end-of-sentence probability.
+    """
+
+    def __init__(self, lm: ArpaLM, context_tokens: list,
+                 column_tokens: list, alpha: float = 0.5,
+                 beta: float = 0.0, bos: str = "<s>"):
+        import numpy as np
+
+        self.order = lm.order
+        self.num_context_ids = len(context_tokens) + 1  # + BOS
+        self.bos_id = len(context_tokens)
+        n_ctx = max(lm.order - 1, 0)
+        rows = self.num_context_ids ** n_ctx
+        if rows * len(column_tokens) > 1 << 27:
+            raise ValueError(
+                f"dense fusion table would hold {rows * len(column_tokens)} "
+                "entries; lower the LM order or vocabulary"
+            )
+        table = np.zeros((rows, len(column_tokens)), np.float32)
+        for row in range(rows):
+            # decode the row's context ids, base num_context_ids, oldest
+            # first (index = sum ctx_i * base^(n_ctx-1-i))
+            ids, r = [], row
+            for _ in range(n_ctx):
+                ids.append(r % self.num_context_ids)
+                r //= self.num_context_ids
+            ids = ids[::-1]
+            # BOS fills leading slots; a BOS after a real label never
+            # arises in a prefix, but score it consistently anyway
+            context = tuple(
+                bos if i == self.bos_id else context_tokens[i] for i in ids
+            )
+            # collapse leading BOS runs to the single <s> the host scorer
+            # uses for short prefixes
+            while len(context) > 1 and context[0] == bos and context[1] == bos:
+                context = context[1:]
+            for col, tok in enumerate(column_tokens):
+                table[row, col] = alpha * lm.score(context, tok) + beta
+        self.table = table  # np [rows, C]; callers jnp.asarray it once
+
+    def flat_context(self, last_ids):
+        """``last_ids [..., n-1]`` (oldest first, BOS = ``bos_id``) →
+        flat row index into ``table``. Works on numpy or jnp arrays."""
+        n_ctx = max(self.order - 1, 0)
+        idx = 0
+        for i in range(n_ctx):
+            idx = idx * self.num_context_ids + last_ids[..., i]
+        return idx
+
+
+def lm_extension_scores(fusion: DenseFusionTable, table_dev, buf, counts):
+    """Jit-side lookup: LM term for extending each hypothesis.
+
+    ``buf [..., L]`` emitted label ids, ``counts [...]`` — returns
+    ``[..., C]`` (one fused score per table column). The context is the
+    last ``order-1`` emitted labels, BOS-filled for short prefixes; the
+    whole lookup is n-1 tiny gathers + one table row gather.
+    """
+    import jax.numpy as jnp
+
+    n_ctx = max(fusion.order - 1, 0)
+    if n_ctx == 0:
+        return jnp.broadcast_to(
+            table_dev[0], counts.shape + (table_dev.shape[1],)
+        )
+    flat = None
+    for back in range(n_ctx, 0, -1):  # oldest context slot first
+        pos = counts - back
+        tok = jnp.take_along_axis(
+            buf, jnp.maximum(pos, 0)[..., None], axis=-1
+        )[..., 0]
+        tok = jnp.where(pos >= 0, tok, fusion.bos_id)
+        flat = tok if flat is None else flat * fusion.num_context_ids + tok
+    return table_dev[flat]

@@ -60,6 +60,7 @@ class Seq2SeqBeamDecoder:
         beam_width: int = 4,
         max_tokens: int = 100,
         length_penalty: float = 0.0,
+        fusion_table=None,  # decode/lm.py::DenseFusionTable
     ):
         if beam_width < 1:
             raise ValueError("beam_width must be >= 1")
@@ -70,6 +71,20 @@ class Seq2SeqBeamDecoder:
         self.beam = int(beam_width)
         self.max_tokens = int(max_tokens)
         self.length_penalty = float(length_penalty)
+        # shallow fusion: the table's columns must cover every emittable
+        # id — the labels plus the EOS column (built with "</s>")
+        self.fusion = fusion_table
+        if fusion_table is not None and \
+                fusion_table.table.shape[1] != model.vocab_size:
+            raise ValueError(
+                "attention fusion table needs one column per emittable "
+                f"id incl. EOS: got {fusion_table.table.shape[1]}, want "
+                f"{model.vocab_size} (build with column_tokens = alphabet "
+                "+ ['</s>'])"
+            )
+        self._lm_table = (
+            None if fusion_table is None else jnp.asarray(fusion_table.table)
+        )
         self._fn = jax.jit(self._search)
 
     def _next_logp(self, params, tokens, counts, memory, mem_valid):
@@ -120,6 +135,12 @@ class Seq2SeqBeamDecoder:
             ).reshape(b, k, v_total)
             # candidates: col 0 = finished beam holds; cols 1..V = extend
             hold = jnp.where(finished, scores, _NEG)
+            if self.fusion is not None:
+                from tfkaldi_tpu.decode.lm import lm_extension_scores
+
+                logp = logp + lm_extension_scores(
+                    self.fusion, self._lm_table, buf, counts
+                )
             extend = jnp.where(
                 finished[:, :, None], _NEG, scores[:, :, None] + logp
             )
@@ -176,6 +197,14 @@ class Seq2SeqBeamDecoder:
         logp = self._next_logp(
             params, tokens, counts.reshape(b * k), mem_k, mem_valid_k
         ).reshape(b, k, v_total)
+        if self.fusion is not None:
+            # the forced closing pays the same fused </s> term the
+            # in-loop EOS extensions do
+            from tfkaldi_tpu.decode.lm import lm_extension_scores
+
+            logp = logp + lm_extension_scores(
+                self.fusion, self._lm_table, buf, counts
+            )
         scores = jnp.where(finished, scores, scores + logp[:, :, eos])
         if self.length_penalty > 0.0:
             norm = ((5.0 + counts.astype(jnp.float32)) / 6.0) ** self.length_penalty

@@ -84,11 +84,16 @@ def _merge_equal_prefixes(scores, buf, counts, active=None):
 
 
 def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
-               enc, frame_valid, proj, carry, buf, counts, scores, buf_len):
+               enc, frame_valid, proj, carry, buf, counts, scores, buf_len,
+               fusion=None, lm_table=None):
     """Run the frame-synchronous beam over ``enc [B, T, J]``.
 
     ``proj [B, K, J]``, ``carry`` leaves ``[B*K, ...]``, ``buf
     [B, K, L]``, ``counts/scores [B, K]``. Returns the advanced state.
+    ``fusion``/``lm_table``: optional dense shallow-fusion LM
+    (decode/lm.py::DenseFusionTable) — label extensions gain the fused
+    LM term, the blank (a lattice move, not a label) does not, matching
+    the CTC prefix-beam fusion semantics.
     """
     b, t, j = enc.shape
     k = beam
@@ -122,6 +127,11 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
                 return (proj, carry, buf, counts, stay,
                         jnp.zeros_like(active))
             extend = scores[:, :, None] + logp  # [B, K, V]
+            if fusion is not None:
+                from tfkaldi_tpu.decode.lm import lm_extension_scores
+
+                lm_add = lm_extension_scores(fusion, lm_table, buf, counts)
+                extend = extend + jnp.pad(lm_add, ((0, 0), (0, 0), (0, 1)))
             # blank is not an extension; inactive/full beams cannot extend
             can_extend = active & (counts < buf_len)
             label_ok = jnp.arange(v_total)[None, None, :] != model.blank_id
@@ -220,6 +230,7 @@ class TransducerBeamDecoder:
         beam_width: int = 4,
         max_symbols_per_frame: int = 4,
         max_tokens: int | None = None,
+        fusion_table=None,  # decode/lm.py::DenseFusionTable
     ):
         if beam_width < 1:
             raise ValueError("beam_width must be >= 1")
@@ -230,6 +241,10 @@ class TransducerBeamDecoder:
         self.beam = int(beam_width)
         self.max_symbols = int(max_symbols_per_frame)
         self.max_tokens = max_tokens
+        self.fusion = fusion_table
+        self._lm_table = (
+            None if fusion_table is None else jnp.asarray(fusion_table.table)
+        )
         self._fn = jax.jit(self._search)
 
     def _search(self, params, inputs, lengths):
@@ -254,6 +269,7 @@ class TransducerBeamDecoder:
         _, _, buf, counts, scores = _beam_scan(
             model, k, self.max_symbols, params, enc, frame_valid,
             proj, carry, buf, counts, scores, buf_len,
+            fusion=self.fusion, lm_table=self._lm_table,
         )
         return buf, counts, scores
 
@@ -317,13 +333,17 @@ class OnlineTransducerBeamDecoder:
 
     def __init__(self, model: Transducer, params, model_state, *,
                  beam_width: int = 4, max_symbols_per_frame: int = 4,
-                 max_tokens: int = 1024):
+                 max_tokens: int = 1024, fusion_table=None):
         model.validate_streamable()
         self.model = model
         self.params = params
         self.beam = int(beam_width)
         self.max_symbols = int(max_symbols_per_frame)
         self.max_tokens = int(max_tokens)
+        self.fusion = fusion_table
+        lm_table = (
+            None if fusion_table is None else jnp.asarray(fusion_table.table)
+        )
         self._state = None
 
         model_ = model
@@ -338,6 +358,7 @@ class OnlineTransducerBeamDecoder:
             proj, pred_carry, buf, counts, scores = _beam_scan(
                 model_, self.beam, self.max_symbols, params, enc, valid,
                 proj, pred_carry, buf, counts, scores, self.max_tokens,
+                fusion=self.fusion, lm_table=lm_table,
             )
             return enc_carry, proj, pred_carry, buf, counts, scores
 

@@ -346,6 +346,26 @@ class Nnet:
         trainer = Trainer(self.model, TrainerConfig(loss_type=self.loss_type))
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
+
+        def dense_fusion(column_tokens):
+            # optional ARPA-LM shallow fusion inside the jitted beams
+            # ([nnet] lm_path / lm_alpha / lm_beta): the backoff LM
+            # resolved into a dense device table (decode/lm.py)
+            lm_path = self.conf.get("lm_path", "")
+            if not lm_path:
+                return None
+            if int(self.conf.get("beam_width", 1)) <= 1:
+                raise ValueError("lm_path needs beam_width > 1 in [nnet]")
+            from tfkaldi_tpu.decode.lm import ArpaLM, DenseFusionTable
+
+            return DenseFusionTable(
+                ArpaLM.load(lm_path),
+                list(coder.alphabet),
+                column_tokens,
+                alpha=float(self.conf.get("lm_alpha", 0.5)),
+                beta=float(self.conf.get("lm_beta", 0.0)),
+            )
+
         if self.loss_type == "attention":
             from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
 
@@ -357,6 +377,8 @@ class Nnet:
                 beam_width=int(self.conf.get("beam_width", 1)),
                 max_tokens=int(self.conf.get("max_decode_tokens", 100)),
                 length_penalty=float(self.conf.get("length_penalty", 0.0)),
+                # the EOS column carries the LM's end-of-sentence term
+                fusion_table=dense_fusion(list(coder.alphabet) + ["</s>"]),
             )
             count = decoder.decode_to_file(
                 reader,
@@ -383,8 +405,11 @@ class Nnet:
                     coder,
                     beam_width=beam_width,
                     max_symbols_per_frame=max_symbols,
+                    fusion_table=dense_fusion(list(coder.alphabet)),
                 )
             else:
+                if self.conf.get("lm_path", ""):
+                    raise ValueError("lm_path needs beam_width > 1 in [nnet]")
                 from tfkaldi_tpu.decode.transducer import TransducerDecoder
 
                 decoder = TransducerDecoder(
