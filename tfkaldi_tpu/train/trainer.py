@@ -174,11 +174,16 @@ class Trainer:
             )
             b, u1, v = logits.shape
             eos = self.model.sos_eos_id
-            rows = jnp.arange(b)
+            # EOS lands at each row's length slot via a broadcast compare
+            # (a computed-index .at[].set lowers to a serialized per-row
+            # scatter on TPU)
             targets = jnp.concatenate(
                 [batch.targets, jnp.zeros((b, 1), batch.targets.dtype)], axis=1
             )
-            targets = targets.at[rows, batch.target_lengths].set(eos)
+            at_eos = (
+                jnp.arange(u1)[None, :] == batch.target_lengths[:, None]
+            )
+            targets = jnp.where(at_eos, eos, targets)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(
                 logp, targets[:, :, None].astype(jnp.int32), axis=-1
