@@ -370,3 +370,44 @@ def test_fusion_table_width_checked():
             model, params, state, _IdCoder(), beam_width=2,
             fusion_table=bad,
         )
+
+
+def test_cached_step_matches_grid():
+    """The KV-cached autoregressive step must reproduce the teacher-forced
+    grid forward position by position (same prefixes, same memory)."""
+    model, params, state = tiny_model(seed=50)
+    # randomize the zero-init head so differences are visible
+    params["out"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(51), params["out"]["w"].shape
+    )
+    rng = np.random.default_rng(52)
+    n, t, L = 3, 7, 5
+    x = jnp.asarray(rng.standard_normal((n, t, 5)).astype(np.float32))
+    xl = jnp.asarray([7, 5, 6], jnp.int32)
+    memory, _ = model.encode(params, state, x, xl, train=False)
+    mem_valid = (
+        jnp.arange(memory.shape[1])[None, :]
+        < model.output_lengths(xl)[:, None]
+    )
+    tokens = jnp.asarray(
+        np.concatenate(
+            [np.full((n, 1), model.sos_eos_id, np.int32),
+             rng.integers(0, V, (n, L)).astype(np.int32)], axis=1
+        )
+    )  # [N, L+1], SOS-led
+    token_valid = jnp.ones((n, L + 1), bool)
+    grid = model.decode_step_logits(
+        params, tokens, token_valid, memory, mem_valid, train=False
+    )  # [N, L+1, V]
+
+    cross_k, cross_v = model.cross_kv(params, memory)
+    cache = model.init_decode_cache(n, L)
+    for s in range(L + 1):
+        step_logits, cache = model.decode_step_cached(
+            params, tokens[:, s], jnp.asarray(s, jnp.int32), cache,
+            cross_k, cross_v, mem_valid,
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits), np.asarray(grid[:, s]),
+            rtol=1e-5, atol=1e-5, err_msg=f"position {s}",
+        )

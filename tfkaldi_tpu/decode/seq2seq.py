@@ -87,21 +87,6 @@ class Seq2SeqBeamDecoder:
         )
         self._fn = jax.jit(self._search)
 
-    def _next_logp(self, params, tokens, counts, memory, mem_valid):
-        """``tokens [N, L+1]`` (SOS-led prefixes, ``counts [N]`` real
-        tokens each) → ``[N, V]`` next-token log-probs at each row's own
-        frontier position."""
-        token_valid = (
-            jnp.arange(tokens.shape[1])[None, :] <= counts[:, None]
-        )
-        logits = self.model.decode_step_logits(
-            params, tokens, token_valid, memory, mem_valid, train=False
-        )  # [N, L+1, V]
-        frontier = jnp.take_along_axis(
-            logits, counts[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]
-        return jax.nn.log_softmax(frontier, axis=-1)
-
     def _search(self, params, inputs, lengths):
         model, k, L = self.model, self.beam, self.max_tokens
         memory, _ = model.encode(
@@ -113,26 +98,40 @@ class Seq2SeqBeamDecoder:
         mem_valid = (
             jnp.arange(t)[None, :] < model.output_lengths(lengths)[:, None]
         )
-        # beams ride the batch axis: [B*K, ...]
-        mem_k = jnp.broadcast_to(
-            memory[:, None], (b, k, t, d)
-        ).reshape(b * k, t, d)
+        # cross-attention K/V computed ONCE from the memory, then
+        # broadcast so beams ride the batch axis: [blocks, B*K, T', D]
+        cross_k, cross_v = model.cross_kv(params, memory)
+        nb = cross_k.shape[0]
+        cross_k = jnp.broadcast_to(
+            cross_k[:, :, None], (nb, b, k, t, d)
+        ).reshape(nb, b * k, t, d)
+        cross_v = jnp.broadcast_to(
+            cross_v[:, :, None], (nb, b, k, t, d)
+        ).reshape(nb, b * k, t, d)
         mem_valid_k = jnp.broadcast_to(
             mem_valid[:, None], (b, k, t)
         ).reshape(b * k, t)
 
-        sos = jnp.full((b, k, 1), eos, jnp.int32)
         buf = jnp.zeros((b, k, L), jnp.int32)
         counts = jnp.zeros((b, k), jnp.int32)
         scores = jnp.full((b, k), _NEG, jnp.float32).at[:, 0].set(0.0)
         finished = jnp.zeros((b, k), bool)
+        cache = model.init_decode_cache(b * k, L)
+        tok = jnp.full((b * k,), eos, jnp.int32)  # SOS at position 0
+
+        def gather_cache(cache, parent):
+            def leaf(x):  # [blocks, B*K, L+1, D]
+                xk = x.reshape(nb, b, k, L + 1, d)
+                idx = parent[None, :, :, None, None]
+                return jnp.take_along_axis(xk, idx, axis=2).reshape(x.shape)
+            return {key: leaf(val) for key, val in cache.items()}
 
         def step(state):
-            s, buf, counts, scores, finished = state
-            tokens = jnp.concatenate([sos, buf], axis=2).reshape(b * k, L + 1)
-            logp = self._next_logp(
-                params, tokens, counts.reshape(b * k), mem_k, mem_valid_k
-            ).reshape(b, k, v_total)
+            s, tok, cache, buf, counts, scores, finished = state
+            logits, cache = model.decode_step_cached(
+                params, tok, s, cache, cross_k, cross_v, mem_valid_k
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v_total)
             # candidates: col 0 = finished beam holds; cols 1..V = extend
             hold = jnp.where(finished, scores, _NEG)
             if self.fusion is not None:
@@ -175,7 +174,13 @@ class Seq2SeqBeamDecoder:
             slot = jnp.arange(L)[None, None, :] == pos[:, :, None]
             new_buf = jnp.where(slot, label[:, :, None], new_buf)
             new_counts = new_counts + extends.astype(jnp.int32)
-            return s + 1, new_buf, new_counts, top_scores, new_finished
+            # beams reorder → re-gather their caches by parent; the slot
+            # for position s was written during the parents' evaluation
+            cache2 = gather_cache(cache, parent)
+            # the token fed at position s+1 is the label just emitted
+            # (garbage for held/finished rows — their logits are unused)
+            return (s + 1, label.reshape(b * k), cache2, new_buf,
+                    new_counts, top_scores, new_finished)
 
         # while_loop instead of a fixed-L scan: once every live hypothesis
         # has emitted EOS a step only re-selects the held beams (scores,
@@ -183,20 +188,23 @@ class Seq2SeqBeamDecoder:
         # equivalence-preserving and saves the tail of a generous cap.
         # live = alive (not pruned to _NEG) and not yet finished.
         def cond(state):
-            s, _, _, scores, finished = state
+            s, _, _, _, _, scores, finished = state
             live = (scores > _NEG / 2) & ~finished
             return (s < L) & jnp.any(live)
 
-        _, buf, counts, scores, finished = jax.lax.while_loop(
-            cond, step, (jnp.asarray(0, jnp.int32), buf, counts, scores,
-                         finished)
+        s, tok, cache, buf, counts, scores, finished = jax.lax.while_loop(
+            cond, step,
+            (jnp.asarray(0, jnp.int32), tok, cache, buf, counts, scores,
+             finished),
         )
         # close any still-open hypotheses with their EOS probability so
-        # every score is a complete-sequence log-probability
-        tokens = jnp.concatenate([sos, buf], axis=2).reshape(b * k, L + 1)
-        logp = self._next_logp(
-            params, tokens, counts.reshape(b * k), mem_k, mem_valid_k
-        ).reshape(b, k, v_total)
+        # every score is a complete-sequence log-probability. Unfinished
+        # rows extended every step, so their frontier is position s
+        # exactly; finished rows' logits are unused.
+        logits, _ = model.decode_step_cached(
+            params, tok, s, cache, cross_k, cross_v, mem_valid_k
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, v_total)
         if self.fusion is not None:
             # the forced closing pays the same fused </s> term the
             # in-loop EOS extensions do

@@ -329,6 +329,110 @@ class AttentionSeq2Seq:
         ) + params["out"]["b"]
         return logits.reshape(b, u, self.vocab_size).astype(jnp.float32)
 
+    # -- KV-cached autoregressive step (decode/seq2seq.py) ---------------
+    #
+    # The teacher-forced grid above recomputes every prefix position; the
+    # beam search instead advances one position per step, so it carries
+    # per-block self-attention K/V caches and precomputed cross-attention
+    # K/V of the memory — each step is O(L) attention reads instead of an
+    # O(L²) grid re-run. Equivalence with the grid forward is pinned by
+    # tests/test_seq2seq.py::test_cached_step_matches_grid.
+
+    def init_decode_cache(self, n: int, max_len: int):
+        """Zeroed self-attention K/V caches: ``[blocks, N, max_len+1, D]``
+        each (position p holds the K/V of the token fed at step p)."""
+        cfg = self.config
+        shape = (cfg.dec_blocks, n, max_len + 1, cfg.d_model)
+        return {"k": jnp.zeros(shape, jnp.float32),
+                "v": jnp.zeros(shape, jnp.float32)}
+
+    def cross_kv(self, params, memory):
+        """Precompute every block's cross-attention K/V of the encoder
+        memory (``[blocks, N, T', D]`` each) — once per utterance."""
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        ks, vs = [], []
+        for blk in params["dec_blocks"]:
+            p = blk["cross"]
+            ks.append(_dense(memory.astype(dtype), p["wk"], p["bk"], dtype))
+            vs.append(_dense(memory.astype(dtype), p["wv"], p["bv"], dtype))
+        return jnp.stack(ks).astype(jnp.float32), jnp.stack(vs).astype(
+            jnp.float32
+        )
+
+    def _mha_one(self, q, keys, values, p, key_valid, dtype):
+        """One-query attention: ``q [N, D]`` over ``keys/values [N, Tk, D]``
+        (already projected); ``key_valid [N, Tk]``."""
+        cfg = self.config
+        n, d = q.shape
+        tk = keys.shape[1]
+        nh, dh = cfg.num_heads, d // cfg.num_heads
+        qh = q.reshape(n, nh, dh)
+        kh = keys.astype(dtype).reshape(n, tk, nh, dh)
+        vh = values.astype(dtype).reshape(n, tk, nh, dh)
+        scores = jnp.einsum(
+            "nhd,nkhd->nhk", qh, kh, preferred_element_type=jnp.float32
+        ) * (1.0 / np.sqrt(dh))
+        scores = jnp.where(key_valid[:, None, :], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        ctx = jnp.einsum(
+            "nhk,nkhd->nhd", attn, vh, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        return _dense(ctx.reshape(n, d), p["wo"], p["bo"], dtype)
+
+    def decode_step_cached(self, params, tok, step, cache, cross_k, cross_v,
+                           mem_valid):
+        """Advance one position: ``tok [N]`` is the token at sequence
+        position ``step`` (traced scalar; SOS at 0, else the previously
+        emitted label). Returns ``([N, V] logits, updated cache)``.
+        Rows whose hypothesis is finished produce unused logits — their
+        cache slots hold garbage past their length, which no live query
+        ever attends (queries at position p read slots <= p, and a
+        finished row's logits are never consumed)."""
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        eps = cfg.ln_eps
+        n = tok.shape[0]
+        cache_len = cache["k"].shape[2]
+        h = params["embed"][tok] * np.sqrt(float(self.embed_dim))
+        if "embed_proj" in params:
+            h = h @ params["embed_proj"]
+        pos_table = jnp.asarray(
+            sinusoidal_positions(cache_len, cfg.d_model)
+        )
+        h = (h + pos_table[step]).astype(dtype)
+        slot_valid = jnp.arange(cache_len)[None, :] <= step  # [1, L+1]
+        slot_valid = jnp.broadcast_to(slot_valid, (n, cache_len))
+        new_k, new_v = cache["k"], cache["v"]
+        for l, blk in enumerate(params["dec_blocks"]):
+            z = _layernorm(h, blk["ln_self"]["g"], blk["ln_self"]["b"], eps)
+            p = blk["self"]
+            q = _dense(z, p["wq"], p["bq"], dtype)
+            k = _dense(z, p["wk"], p["bk"], dtype)
+            v = _dense(z, p["wv"], p["bv"], dtype)
+            # scalar `step` on one axis → dynamic-update-slice, not scatter
+            new_k = new_k.at[l, :, step, :].set(k.astype(jnp.float32))
+            new_v = new_v.at[l, :, step, :].set(v.astype(jnp.float32))
+            h = h + self._mha_one(q, new_k[l], new_v[l], p, slot_valid, dtype)
+            z = _layernorm(h, blk["ln_cross"]["g"], blk["ln_cross"]["b"], eps)
+            p = blk["cross"]
+            q = _dense(z, p["wq"], p["bq"], dtype)
+            h = h + self._mha_one(q, cross_k[l], cross_v[l], p, mem_valid,
+                                  dtype)
+            z = _layernorm(h, blk["ln_ffn"]["g"], blk["ln_ffn"]["b"], eps)
+            z = _dense(z, blk["ffn"]["w1"], blk["ffn"]["b1"], dtype)
+            z = jax.nn.swish(z.astype(jnp.float32)).astype(dtype)
+            h = h + _dense(z, blk["ffn"]["w2"], blk["ffn"]["b2"], dtype)
+        h = _layernorm(h, params["ln_final"]["g"], params["ln_final"]["b"],
+                       eps)
+        logits = jax.lax.dot_general(
+            h.astype(dtype),
+            params["out"]["w"].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + params["out"]["b"]
+        return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+
     def apply_seq2seq(
         self,
         params: Params,
