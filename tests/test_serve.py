@@ -268,3 +268,59 @@ def test_streaming_server_reports_errors():
     finally:
         server.close()
         t.join(timeout=5)
+
+
+@pytest.mark.parametrize("family", ["rnnt_beam", "attention"])
+def test_service_text_modes(tmp_path, family):
+    """The spool service serves the sequence families too: transducer
+    beam search (with dense LM fusion) and the attention decoder both
+    emit a text file per job."""
+    import jax
+
+    from tfkaldi_tpu.data import TextCoder
+    from tfkaldi_tpu.train import Trainer, TrainerConfig
+    from tfkaldi_tpu.train import checkpoint as ckpt
+
+    featdir, _, info = make_featdir(tmp_path)
+    coder = TextCoder(identity_normalizer)
+    arpa = tmp_path / "toy.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=3\n\n\\1-grams:\n-0.5\tT\t-0.3\n-0.9\t<s>\n"
+        "-1.2\t<unk>\n\n\\end\\\n"
+    )
+    cfg = ConfigParser()
+    cfg["directories"] = {"expdir": str(tmp_path / "exp")}
+    nnet_cfg = {
+        "name": f"serve_{family}", "context_width": "0",
+        "num_hidden_layers": "1", "num_hidden_units": "8",
+        "batch_size": "4", "num_epochs": "1",
+        "initial_learning_rate": "0.01", "learning_rate_decay": "1",
+        "beam_width": "2", "scan_unroll": "1",
+    }
+    if family == "rnnt_beam":
+        nnet_cfg.update({
+            "model": "transducer", "loss": "rnnt", "pred_units": "6",
+            "embed_dim": "4", "joint_units": "8",
+            "lm_path": str(arpa), "lm_alpha": "0.3",
+        })
+    else:
+        nnet_cfg.update({
+            "model": "seq2seq", "loss": "attention", "enc_type": "lstm",
+            "dec_blocks": "1", "d_model": "8", "num_heads": "2",
+            "ffn_dim": "12", "max_decode_tokens": "10",
+        })
+    cfg["nnet"] = nnet_cfg
+    net = Nnet(cfg, input_dim=info["feat_dim"] , num_labels=coder.num_labels)
+    # an (untrained) final checkpoint is enough to exercise the service
+    trainer = Trainer(net.model, TrainerConfig(loss_type=net.loss_type))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    ckpt.save_state(os.path.join(net.savedir, "final"), state, block=True)
+
+    watch, out = tmp_path / "watch", tmp_path / "out"
+    service = DecodeService(net, str(watch), str(out), coder=coder,
+                            batch_size=4)
+    shutil.copytree(featdir, watch / "job_t")
+    assert service.process_pending() == 1
+    text = (out / "job_t" / "text").read_text().splitlines()
+    assert len(text) == len(info["utts"])
+    assert all(line.split(" ", 1)[0] in info["utts"] for line in text)

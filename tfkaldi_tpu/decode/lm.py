@@ -203,6 +203,25 @@ class DenseFusionTable:
         return idx
 
 
+def fusion_from_config(conf, coder, column_tokens):
+    """Build a :class:`DenseFusionTable` from the ``[nnet]`` config keys
+    (``lm_path`` / ``lm_alpha`` / ``lm_beta``); ``None`` without
+    ``lm_path``. Shared by the facade decode and the decode service so
+    the two can never disagree on fusion semantics."""
+    lm_path = conf.get("lm_path", "")
+    if not lm_path:
+        return None
+    if int(conf.get("beam_width", 1)) <= 1:
+        raise ValueError("lm_path needs beam_width > 1 in [nnet]")
+    return DenseFusionTable(
+        ArpaLM.load(lm_path),
+        list(coder.alphabet),
+        column_tokens,
+        alpha=float(conf.get("lm_alpha", 0.5)),
+        beta=float(conf.get("lm_beta", 0.0)),
+    )
+
+
 def lm_extension_scores(fusion: DenseFusionTable, table_dev, buf, counts):
     """Jit-side lookup: LM term for extending each hypothesis.
 

@@ -347,24 +347,13 @@ class Nnet:
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(self.savedir, "final"), template)
 
-        def dense_fusion(column_tokens):
-            # optional ARPA-LM shallow fusion inside the jitted beams
-            # ([nnet] lm_path / lm_alpha / lm_beta): the backoff LM
-            # resolved into a dense device table (decode/lm.py)
-            lm_path = self.conf.get("lm_path", "")
-            if not lm_path:
-                return None
-            if int(self.conf.get("beam_width", 1)) <= 1:
-                raise ValueError("lm_path needs beam_width > 1 in [nnet]")
-            from tfkaldi_tpu.decode.lm import ArpaLM, DenseFusionTable
+        # optional ARPA-LM shallow fusion inside the jitted beams
+        # ([nnet] lm_path / lm_alpha / lm_beta): the backoff LM resolved
+        # into a dense device table (decode/lm.py)
+        from tfkaldi_tpu.decode.lm import fusion_from_config
 
-            return DenseFusionTable(
-                ArpaLM.load(lm_path),
-                list(coder.alphabet),
-                column_tokens,
-                alpha=float(self.conf.get("lm_alpha", 0.5)),
-                beta=float(self.conf.get("lm_beta", 0.0)),
-            )
+        def dense_fusion(column_tokens):
+            return fusion_from_config(self.conf, coder, column_tokens)
 
         if self.loss_type == "attention":
             from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder

@@ -41,7 +41,7 @@ class DecodeService:
         watch_dir: str,
         out_dir: str,
         *,
-        coder=None,  # required for text modes (loss_type "ctc" / "rnnt")
+        coder=None,  # required for text modes (ctc / rnnt / attention)
         batch_size: int = 16,
     ):
         self.nnet = nnet
@@ -56,24 +56,52 @@ class DecodeService:
         trainer = Trainer(nnet.model, TrainerConfig())
         template = trainer.init_state(jax.random.PRNGKey(0))
         state = ckpt.restore_state(os.path.join(nnet.savedir, "final"), template)
-        if nnet.loss_type in ("ctc", "rnnt"):
+        if nnet.loss_type in ("ctc", "rnnt", "attention"):
             if coder is None:
                 raise ValueError("text-decode service needs a target coder")
-            if nnet.loss_type == "rnnt":
-                from tfkaldi_tpu.decode.transducer import TransducerDecoder
+            from tfkaldi_tpu.decode.lm import fusion_from_config
 
-                self._decoder = TransducerDecoder(
+            beam_width = int(nnet.conf.get("beam_width", 1))
+            if nnet.loss_type == "attention":
+                from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+
+                self._decoder = Seq2SeqBeamDecoder(
                     nnet.model, state.params, state.model_state, coder,
-                    max_symbols_per_frame=int(
-                        nnet.conf.get("max_symbols_per_frame", 4)
+                    beam_width=beam_width,
+                    max_tokens=int(nnet.conf.get("max_decode_tokens", 100)),
+                    length_penalty=float(nnet.conf.get("length_penalty", 0.0)),
+                    fusion_table=fusion_from_config(
+                        nnet.conf, coder, list(coder.alphabet) + ["</s>"]
                     ),
                 )
+            elif nnet.loss_type == "rnnt":
+                max_symbols = int(nnet.conf.get("max_symbols_per_frame", 4))
+                if beam_width > 1:
+                    from tfkaldi_tpu.decode.transducer_beam import (
+                        TransducerBeamDecoder,
+                    )
+
+                    self._decoder = TransducerBeamDecoder(
+                        nnet.model, state.params, state.model_state, coder,
+                        beam_width=beam_width,
+                        max_symbols_per_frame=max_symbols,
+                        fusion_table=fusion_from_config(
+                            nnet.conf, coder, list(coder.alphabet)
+                        ),
+                    )
+                else:
+                    from tfkaldi_tpu.decode.transducer import TransducerDecoder
+
+                    self._decoder = TransducerDecoder(
+                        nnet.model, state.params, state.model_state, coder,
+                        max_symbols_per_frame=max_symbols,
+                    )
             else:
                 from tfkaldi_tpu.decode.ctc import CTCDecoder
 
                 self._decoder = CTCDecoder(
                     nnet.model, state.params, state.model_state, coder, nnet.blank_id,
-                    beam_width=int(nnet.conf.get("beam_width", 1)),
+                    beam_width=beam_width,
                 )
         else:
             from tfkaldi_tpu.decode import Decoder
@@ -115,7 +143,7 @@ class DecodeService:
         outdir = os.path.join(self.out_dir, name)
         os.makedirs(outdir, exist_ok=True)
         reader = self._reader(jobdir)
-        if self.nnet.loss_type in ("ctc", "rnnt"):
+        if self.nnet.loss_type in ("ctc", "rnnt", "attention"):
             count = self._decoder.decode_to_file(
                 reader, os.path.join(outdir, "text"), batch_size=self.batch_size
             )
