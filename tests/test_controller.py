@@ -1,5 +1,6 @@
 """Tests for the training controller's validation-rollback state machine."""
 
+import dataclasses
 import glob
 import os
 
@@ -361,3 +362,65 @@ def test_stale_validated_sidecar_rebaselines(tmp_path):
     # back there — NOT to the mismatched persisted point (which would land
     # training at step 2/4 and over-rewind the data cursor)
     assert int(state.step) == 5, int(state.step)
+
+
+def test_average_params_arithmetic():
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.train import checkpoint as ckpt
+
+    a = {"w": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([0.0], jnp.bfloat16)}
+    b = {"w": jnp.asarray([3.0, 6.0]), "b": jnp.asarray([2.0], jnp.bfloat16)}
+    avg = ckpt.average_params([a, b])
+    np.testing.assert_allclose(np.asarray(avg["w"]), [2.0, 4.0])
+    assert avg["b"].dtype == jnp.bfloat16  # leaf dtypes preserved
+    np.testing.assert_allclose(np.asarray(avg["b"], np.float32), [1.0])
+    # identity: averaging copies of one tree returns it
+    same = ckpt.average_params([a, a, a])
+    np.testing.assert_allclose(np.asarray(same["w"]), np.asarray(a["w"]))
+
+
+def test_average_last_smooths_final(tmp_path):
+    """`average_last = N` writes 'final' as the parameter mean of the end
+    state and the last N-1 step checkpoints; optimizer state stays the
+    end state's."""
+    from tfkaldi_tpu.train import checkpoint as ckpt
+
+    controller, trainer, opts = _pipeline(
+        tmp_path, lr=0.01, valid_retries=0, valid_adapt=False,
+        num_epochs=2, check_freq=2,
+    )
+    controller.opt = opts = dataclasses.replace(opts, average_last=2)
+    state = controller.train()
+
+    tdir = os.path.join(opts.savedir, "training")
+    end_step = int(state.step)
+    steps = sorted(
+        int(d[4:]) for d in os.listdir(tdir)
+        if d.startswith("step") and d[4:].isdigit() and int(d[4:]) != end_step
+    )
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    prev = ckpt.restore_state(os.path.join(tdir, f"step{steps[-1]}"), template)
+    # the raw (pre-average) end state is the step{end} checkpoint the loop
+    # itself wrote (end_step is a check_freq multiple here)
+    end_raw = ckpt.restore_state(
+        os.path.join(tdir, f"step{end_step}"), template
+    )
+    final = ckpt.restore_state(os.path.join(opts.savedir, "final"), template)
+    want = ckpt.average_params([end_raw.params, prev.params])
+    for want_leaf, got in zip(
+        jax.tree.leaves(want), jax.tree.leaves(final.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want_leaf), rtol=1e-6, atol=1e-7
+        )
+    # the returned state is the averaged one (what decode will use)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(final.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # and averaging actually changed the model
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(final.params),
+                        jax.tree.leaves(end_raw.params))
+    )

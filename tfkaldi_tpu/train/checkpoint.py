@@ -129,3 +129,21 @@ def device_snapshot(state: Any) -> Any:
     """In-memory copy of a state pytree (used for the 'validated' rollback
     point so it survives donation of the live state)."""
     return jax.tree.map(lambda x: jax.numpy.array(x, copy=True), state)
+
+
+def average_params(params_list: list) -> Any:
+    """Elementwise mean of N same-shaped parameter pytrees in f32
+    (checkpoint averaging — the standard last-N smoothing applied to the
+    decode model; optimizer state and BN statistics are NOT averaged,
+    callers keep the latest)."""
+    if not params_list:
+        raise ValueError("average_params needs at least one pytree")
+    n = float(len(params_list))
+
+    def mean(*leaves):
+        acc = leaves[0].astype(jax.numpy.float32)
+        for leaf in leaves[1:]:
+            acc = acc + leaf.astype(jax.numpy.float32)
+        return (acc / n).astype(leaves[0].dtype)
+
+    return jax.tree.map(mean, *params_list)

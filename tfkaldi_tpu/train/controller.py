@@ -55,6 +55,11 @@ class NnetTrainOptions:
     # profile_steps) into <savedir>/profile when profile_steps > 0
     profile_steps: int = 0
     profile_start: int = 2
+    # checkpoint averaging: write 'final' as the parameter mean of the
+    # end state and the last N-1 saved training/step* checkpoints
+    # (0/1 = off). Standard last-N smoothing for the decode model;
+    # optimizer state and BN statistics stay those of the end state.
+    average_last: int = 0
 
     @classmethod
     def from_config(cls, conf: dict, savedir: str) -> "NnetTrainOptions":
@@ -73,6 +78,7 @@ class NnetTrainOptions:
             if conf.get("starting_step", "0") == "final"
             else int(conf.get("starting_step", 0)),
             seed=int(conf.get("seed", 0)),
+            average_last=int(conf.get("average_last", 0)),
             profile_steps=int(conf.get("profile_steps", 0)),
         )
 
@@ -201,6 +207,8 @@ class TrainingController:
         finally:
             source.close()
 
+        if opt.average_last > 1:
+            state = self._average_final(state)
         ckpt.save_state(os.path.join(opt.savedir, "final"), state, block=True)
 
         # state prior (nnet.py:240-244). Multi-host: each dispenser counts
@@ -226,6 +234,42 @@ class TrainingController:
             prior = (counts / counts.sum()).astype(np.float32)
             ckpt.save_prior(os.path.join(opt.savedir, "prior.npy"), prior)
         return state
+
+    def _average_final(self, state: TrainState) -> TrainState:
+        """Checkpoint averaging (``average_last = N`` in ``[nnet]``):
+        replace the end state's PARAMETERS with the mean of the end state
+        and the most recent ``N-1`` saved ``training/step*`` checkpoints.
+        Optimizer moments and BN statistics stay the end state's — only
+        the decode model is smoothed. Every host computes the same
+        average from the same files, so multi-host saves stay consistent.
+        Note: intended for smoothly converging runs; if validation
+        rollback fired, the newest step checkpoints may postdate the
+        rollback point and averaging mixes them in regardless."""
+        import re
+
+        opt = self.opt
+        tdir = os.path.join(opt.savedir, "training")
+        end_step = int(state.step)
+        steps = sorted(
+            int(m.group(1))
+            for d in (os.listdir(tdir) if os.path.isdir(tdir) else [])
+            if (m := re.fullmatch(r"step(\d+)", d))
+            and int(m.group(1)) != end_step
+        )
+        take = steps[-(opt.average_last - 1):]
+        params_list = [state.params]
+        for s in take:
+            restored = ckpt.restore_state(
+                os.path.join(tdir, f"step{s}"), state
+            )
+            params_list.append(restored.params)
+        log.info(
+            "checkpoint averaging: final = mean of steps %s",
+            [end_step] + list(reversed(take)),
+        )
+        return dataclasses.replace(
+            state, params=ckpt.average_params(params_list)
+        )
 
     def _train_loop(
         self,
