@@ -199,6 +199,68 @@ def test_streaming_equals_offline(chunk):
         )
 
 
+@pytest.mark.parametrize("chunk", [1, 3])
+def test_subsampled_streaming_equals_offline(chunk):
+    """The production config — causal conformer WITH the subsampling
+    front-end — streams exactly: chunked greedy + finish() equals the
+    offline greedy decode (whose lattice includes the ceil tail group)."""
+    model = Transducer(conf_config(subsample=2, streaming=True))
+    params, mstate = model.init(jax.random.PRNGKey(21))
+    rng = np.random.default_rng(22)
+    b, t = 2, 9
+    x = rng.standard_normal((b, t, 5)).astype(np.float32)
+    lens = np.asarray([9, 7], np.int32)
+    offline = TransducerDecoder(
+        model, params, mstate, _IdCoder()
+    ).decode_batch(x, lens)
+
+    dec = OnlineTransducerDecoder(model, params, mstate)
+    dec.reset(b)
+    acc = [[] for _ in range(b)]
+    for start in range(0, t, chunk):
+        piece = x[:, start : start + chunk]
+        n = np.clip(lens - start, 0, piece.shape[1]).astype(np.int32)
+        for row, ids in enumerate(dec.step(piece, n)):
+            acc[row].extend(ids.tolist())
+    for row, ids in enumerate(dec.finish()):
+        acc[row].extend(ids.tolist())
+    for row in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(acc[row], np.int32), offline[row],
+            err_msg=f"chunk={chunk} row={row}",
+        )
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_subsampled_streaming_beam_equals_offline(chunk):
+    """Same for the beam: chunked fused state + finish() == offline."""
+    from tfkaldi_tpu.decode.transducer_beam import (
+        OnlineTransducerBeamDecoder,
+        TransducerBeamDecoder,
+    )
+
+    model = Transducer(conf_config(subsample=2, streaming=True))
+    params, mstate = model.init(jax.random.PRNGKey(23))
+    rng = np.random.default_rng(24)
+    b, t = 2, 8
+    x = rng.standard_normal((b, t, 5)).astype(np.float32)
+    lens = np.asarray([8, 5], np.int32)
+    want = TransducerBeamDecoder(
+        model, params, mstate, _IdCoder(), beam_width=3, max_tokens=64
+    ).decode_batch(x, lens)
+    online = OnlineTransducerBeamDecoder(
+        model, params, mstate, beam_width=3, max_tokens=64
+    )
+    online.reset(b)
+    for start in range(0, t, chunk):
+        piece = x[:, start : start + chunk]
+        n = np.clip(lens - start, 0, piece.shape[1]).astype(np.int32)
+        online.step(piece, n)
+    got = online.finish()
+    for gi, wi in zip(got, want):
+        np.testing.assert_array_equal(gi, wi)
+
+
 def test_noncausal_conformer_rejects_streaming():
     model = Transducer(conf_config(subsample=1))
     params, mstate = model.init(jax.random.PRNGKey(11))

@@ -421,8 +421,58 @@ def test_subsample_shapes_and_output_lengths():
     assert model.subsample_factor == 4
     with pytest.raises(ValueError, match="subsample"):
         _model(subsample=0)
-    with pytest.raises(ValueError, match="subsample"):
+    # a subsampled model streams when (and only when) causal
+    with pytest.raises(ValueError, match="context"):
         _model(subsample=4).validate_streamable()
+    _model(subsample=4, left_context=4, right_context=0).validate_streamable()
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 3, 7])
+def test_subsample_streaming_equals_offline(chunk):
+    """The stacking front-end streams exactly: buffered raw frames emit
+    complete groups as they fill, ``apply_stream_flush`` emits the final
+    zero-padded partial group, and the concatenated valid positions equal
+    the offline forward — at any chunking, with ragged per-row lengths
+    (including ones that are not multiples of s)."""
+    model = _model(subsample=2, num_blocks=2, conformer=True, conv_kernel=3,
+                   causal_conv=True, left_context=4, right_context=0)
+    params, state = _rand_params(model, seed=31)
+    rng = np.random.default_rng(32)
+    b, t = 3, 11
+    x = rng.standard_normal((b, t, 8)).astype(np.float32)
+    lens = np.asarray([11, 8, 5], np.int32)
+    off, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(lens),
+                         train=False)
+    off = np.asarray(off)
+    out_lens = np.asarray(model.output_lengths(jnp.asarray(lens)))
+
+    carry = model.init_stream_carry(b)
+    got = [[] for _ in range(b)]
+    for start in range(0, t, chunk):
+        piece = x[:, start : start + chunk]
+        n = np.clip(lens - start, 0, piece.shape[1]).astype(np.int32)
+        n_out = np.asarray(model.stream_output_lengths(carry, jnp.asarray(n)))
+        out, carry = model.apply_stream(
+            params, state, jnp.asarray(piece), jnp.asarray(n), carry
+        )
+        out = np.asarray(out)
+        for r in range(b):
+            got[r].extend(out[r, : n_out[r]])
+    fo, nf, carry = model.apply_stream_flush(params, state, carry)
+    fo, nf = np.asarray(fo), np.asarray(nf)
+    for r in range(b):
+        if nf[r]:
+            got[r].append(fo[r, 0])
+    for r in range(b):
+        g = np.asarray(got[r])
+        assert g.shape[0] == out_lens[r]
+        np.testing.assert_allclose(
+            g, off[r, : out_lens[r]], rtol=1e-5, atol=1e-5,
+            err_msg=f"chunk={chunk} row={r}",
+        )
+    # a second flush is a no-op (buffer already drained)
+    _, nf2, _ = model.apply_stream_flush(params, state, carry)
+    assert int(np.asarray(nf2).sum()) == 0
 
 
 def test_subsample_padding_content_invariance():

@@ -175,17 +175,27 @@ class OnlineTransducerDecoder:
         self._state = None
 
         def compute(params, chunk, lengths, enc_carry, proj, pred_carry):
-            enc, enc_carry = model.encoder.apply_stream(
-                params["enc"], model_state.get("enc", {}), chunk, lengths,
-                enc_carry,
+            enc, n_out, enc_carry = model.encode_stream(
+                params, model_state, chunk, lengths, enc_carry
             )
-            valid = jnp.arange(chunk.shape[1])[None, :] < lengths[:, None]
+            valid = jnp.arange(enc.shape[1])[None, :] < n_out[:, None]
+            buf, counts, proj, pred_carry = _scan_frames(
+                model, self.max_symbols, params, enc, valid, proj, pred_carry
+            )
+            return buf, counts, enc_carry, proj, pred_carry
+
+        def flush(params, enc_carry, proj, pred_carry):
+            enc, n, enc_carry = model.encode_stream_flush(
+                params, model_state, enc_carry
+            )
+            valid = jnp.arange(enc.shape[1])[None, :] < n[:, None]
             buf, counts, proj, pred_carry = _scan_frames(
                 model, self.max_symbols, params, enc, valid, proj, pred_carry
             )
             return buf, counts, enc_carry, proj, pred_carry
 
         self._fn = jax.jit(compute)
+        self._flush_fn = jax.jit(flush)
         self._init_fn = jax.jit(
             lambda params, sos, adv, carry: model.predict_step(params, sos, adv, carry)
         )
@@ -221,6 +231,23 @@ class OnlineTransducerDecoder:
             enc_carry,
             proj,
             pred_carry,
+        )
+        self._state = (enc_carry, proj, pred_carry)
+        buf, counts = np.asarray(buf), np.asarray(counts)
+        return [
+            buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
+        ]
+
+    def finish(self) -> list[np.ndarray]:
+        """End the utterances: under a subsampling encoder front-end this
+        decodes the final zero-padded partial group (the position the
+        offline encoder's ``ceil`` length includes); a no-op for RNN
+        encoders. Returns the newly emitted label ids per row."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before finish()")
+        enc_carry, proj, pred_carry = self._state
+        buf, counts, enc_carry, proj, pred_carry = self._flush_fn(
+            self.params, enc_carry, proj, pred_carry
         )
         self._state = (enc_carry, proj, pred_carry)
         buf, counts = np.asarray(buf), np.asarray(counts)
@@ -300,6 +327,12 @@ class StreamingTransducerTranscriber:
         """Flush the feature tail through the decoder; final transcripts."""
         if self._ids is None:
             raise RuntimeError("call reset(batch_size) before finish()")
-        out = self._feed(*self.extractor.flush())
+        self._feed(*self.extractor.flush())
+        # encoder-level flush (subsampling front-end's final partial group)
+        for row, ids in enumerate(self._dec.finish()):
+            self._ids[row].extend(ids.tolist())
+        out = [
+            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
+        ]
         self._ids = None
         return out

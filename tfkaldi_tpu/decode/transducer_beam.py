@@ -350,11 +350,22 @@ class OnlineTransducerBeamDecoder:
 
         def compute(params, chunk, lengths, enc_carry, proj, pred_carry,
                     buf, counts, scores):
-            enc, enc_carry = model_.encoder.apply_stream(
-                params["enc"], model_state.get("enc", {}), chunk, lengths,
-                enc_carry,
+            enc, n_out, enc_carry = model_.encode_stream(
+                params, model_state, chunk, lengths, enc_carry
             )
-            valid = jnp.arange(chunk.shape[1])[None, :] < lengths[:, None]
+            valid = jnp.arange(enc.shape[1])[None, :] < n_out[:, None]
+            proj, pred_carry, buf, counts, scores = _beam_scan(
+                model_, self.beam, self.max_symbols, params, enc, valid,
+                proj, pred_carry, buf, counts, scores, self.max_tokens,
+                fusion=self.fusion, lm_table=lm_table,
+            )
+            return enc_carry, proj, pred_carry, buf, counts, scores
+
+        def flush(params, enc_carry, proj, pred_carry, buf, counts, scores):
+            enc, n, enc_carry = model_.encode_stream_flush(
+                params, model_state, enc_carry
+            )
+            valid = jnp.arange(enc.shape[1])[None, :] < n[:, None]
             proj, pred_carry, buf, counts, scores = _beam_scan(
                 model_, self.beam, self.max_symbols, params, enc, valid,
                 proj, pred_carry, buf, counts, scores, self.max_tokens,
@@ -363,6 +374,7 @@ class OnlineTransducerBeamDecoder:
             return enc_carry, proj, pred_carry, buf, counts, scores
 
         self._fn = jax.jit(compute)
+        self._flush_fn = jax.jit(flush)
         self._init_fn = jax.jit(
             lambda params, sos, adv, carry: model_.predict_step(
                 params, sos, adv, carry
@@ -401,6 +413,15 @@ class OnlineTransducerBeamDecoder:
                 jnp.asarray(lengths, jnp.int32),
                 enc_carry, proj, pred_carry, buf, counts, scores,
             )
+        return self.best()
+
+    def finish(self) -> list[np.ndarray]:
+        """End the utterances: decode the subsampling front-end's final
+        zero-padded partial group (no-op for RNN encoders); returns each
+        row's final best hypothesis."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before finish()")
+        self._state = self._flush_fn(self.params, *self._state)
         return self.best()
 
     def best(self) -> list[np.ndarray]:

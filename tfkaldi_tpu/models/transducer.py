@@ -231,6 +231,32 @@ class Transducer:
                 "(bidirectional = False)"
             )
 
+    def encode_stream(self, params, state, chunk, lengths, carry):
+        """One streaming encoder chunk → ``(enc [B, Tc', J], n_out [B],
+        new carry)``. ``n_out`` is the per-row count of emitted encoder
+        frames — ``lengths`` for RNN encoders, ``(fill + v) // s`` under
+        a subsampling attention front-end."""
+        fn = getattr(self.encoder, "stream_output_lengths", None)
+        n_out = lengths if fn is None else fn(carry, lengths)
+        enc, carry = self.encoder.apply_stream(
+            params["enc"], state.get("enc", {}), chunk, lengths, carry
+        )
+        return enc, n_out, carry
+
+    def encode_stream_flush(self, params, state, carry):
+        """End-of-utterance encoder flush: the final zero-padded partial
+        group under a subsampling front-end (``(enc [B, 1, J], n ∈
+        {0,1}, carry)``); a count-0 no-op for RNN encoders."""
+        fn = getattr(self.encoder, "apply_stream_flush", None)
+        if fn is None:
+            b = jax.tree.leaves(carry)[0].shape[0]
+            return (
+                jnp.zeros((b, 1, self.config.joint_units), jnp.float32),
+                jnp.zeros((b,), jnp.int32),
+                carry,
+            )
+        return fn(params["enc"], state.get("enc", {}), carry)
+
     def encode(self, params, state, inputs, input_lengths, *, train,
                dropout_rng=None):
         """``[B, T, F]`` features → ``([B, T', J]`` encoder

@@ -477,11 +477,6 @@ class Transformer:
 
     def validate_streamable(self) -> None:
         cfg = self.config
-        if cfg.subsample != 1:
-            raise ValueError(
-                "streaming with the stacking front-end (subsample > 1) is "
-                "not supported yet — use subsample = 1 for online models"
-            )
         if cfg.left_context < 0 or cfg.right_context != 0:
             raise ValueError(
                 "streaming a transformer requires time-restricted, "
@@ -499,7 +494,10 @@ class Transformer:
         """Per-stream state: global frame counters plus, per block, the
         last ``left_context`` attention-sublayer inputs and (conformer)
         the last ``k-1`` pre-depthwise activations. Zeros in unfilled
-        slots reproduce the offline edge padding exactly."""
+        slots reproduce the offline edge padding exactly. Under the
+        stacking front-end (``subsample = s``), also a right-aligned
+        buffer of the up-to-``s-1`` raw input frames awaiting a complete
+        group."""
         self.validate_streamable()
         cfg = self.config
         nb, d, L = cfg.num_blocks, cfg.d_model, cfg.left_context
@@ -511,12 +509,91 @@ class Transformer:
             carry["conv_cache"] = jnp.zeros(
                 (nb, batch_size, cfg.conv_kernel - 1, d), jnp.float32
             )
+        if cfg.subsample > 1:
+            carry["in_buf"] = jnp.zeros(
+                (batch_size, cfg.subsample - 1, cfg.input_dim), jnp.float32
+            )
+            carry["in_fill"] = jnp.zeros((batch_size,), jnp.int32)
         return carry
+
+    def _stream_stack(self, chunk, v, carry):
+        """Stacking front-end for streaming: buffer raw frames until
+        complete ``s``-groups exist, emit the stacked groups.
+
+        ``chunk [B, Tc, F]`` (``v`` valid per row) + the carried
+        right-aligned ``s-1``-slot buffer → ``(stacked
+        [B, ceil(Tc/s), s·F], n_out [B], carry')`` where
+        ``n_out = (fill + v) // s`` complete groups leave and the
+        ``(fill + v) % s`` leftover frames re-buffer. Rows never share
+        group boundaries (per-row fill), so everything is gathers over
+        ``[buffer ++ chunk]`` — the same roll identity the attention
+        caches use."""
+        cfg = self.config
+        s = cfg.subsample
+        b, tc, f = chunk.shape
+        fill = carry["in_fill"]  # [B]
+        combined = jnp.concatenate(
+            [carry["in_buf"], chunk.astype(jnp.float32)], axis=1
+        )  # [B, s-1+Tc, F]; row's stream starts at (s-1) - fill
+        start = (s - 1) - fill
+        total = fill + v
+        n_out = total // s
+        new_fill = total - n_out * s
+        cap = (tc + s - 1) // s  # max emitted groups this chunk
+
+        idx = start[:, None] + jnp.arange(cap * s)[None, :]
+        frames = jnp.take_along_axis(
+            combined, jnp.clip(idx, 0, s - 1 + tc - 1)[:, :, None], axis=1
+        )
+        # frames beyond the emitted groups are garbage; zero them so the
+        # stacked content past n_out is inert (masked downstream anyway)
+        frames = frames * (
+            jnp.arange(cap * s)[None, :] < n_out[:, None] * s
+        )[:, :, None]
+        stacked = frames.reshape(b, cap, s * f)
+
+        # re-buffer the leftover tail, right-aligned, zeros elsewhere
+        # (flush zero-pads FROM this buffer, so empty slots must be 0)
+        j = jnp.arange(s - 1)[None, :]
+        buf_idx = start[:, None] + n_out[:, None] * s + j - (
+            (s - 1) - new_fill
+        )[:, None]
+        buf_ok = j >= ((s - 1) - new_fill)[:, None]
+        new_buf = jnp.take_along_axis(
+            combined, jnp.clip(buf_idx, 0, s - 1 + tc - 1)[:, :, None], axis=1
+        ) * buf_ok[:, :, None]
+        carry = {**carry, "in_buf": new_buf, "in_fill": new_fill}
+        return stacked, n_out, carry
+
+    def _stream_flush_group(self, carry):
+        """The final zero-padded partial group (offline ``apply`` pads the
+        tail group with zeros and emits ``ceil(n/s)`` positions — this is
+        that last position, emitted for rows with leftover frames)."""
+        cfg = self.config
+        s = cfg.subsample
+        buf, fill = carry["in_buf"], carry["in_fill"]
+        b, _, f = buf.shape
+        i = jnp.arange(s)[None, :]
+        idx = ((s - 1) - fill)[:, None] + i
+        frames = jnp.take_along_axis(
+            buf, jnp.clip(idx, 0, s - 2)[:, :, None], axis=1
+        ) * (i < fill[:, None])[:, :, None]
+        group = frames.reshape(b, 1, s * f)
+        n = (fill > 0).astype(jnp.int32)
+        carry = {
+            **carry,
+            "in_buf": jnp.zeros_like(buf),
+            "in_fill": jnp.zeros_like(fill),
+        }
+        return group, n, carry
 
     def apply_stream(self, params, state, chunk, seq_lengths, carry):
         """One eval-mode chunk: ``[B, Tc, F]`` (``seq_lengths`` valid
-        frames per row) → ``([B, Tc, O] logits, new_carry)``. Valid-frame
+        frames per row) → ``([B, Tc', O] logits, new_carry)``. Valid-frame
         logits equal the offline ``apply`` on the concatenated stream.
+        With the stacking front-end, ``Tc' = ceil(Tc/s)`` positions of
+        which ``stream_output_lengths`` are valid per row, and the final
+        partial group is emitted by :meth:`apply_stream_flush`.
 
         Cache index identity: with a cache of length C holding global
         frames ``pos-C .. pos-1`` right-aligned and a chunk of ``v`` valid
@@ -524,12 +601,46 @@ class Transformer:
         ``(pos+v) - C + m`` = concat index ``v + m`` of
         ``[cache ++ chunk]`` — one ``take_along_axis``, no per-row
         Python."""
+        v = jnp.asarray(seq_lengths, jnp.int32)  # [B] valid frames in chunk
+        if self.config.subsample > 1:
+            chunk, v, carry = self._stream_stack(chunk, v, carry)
+        return self._stream_core(params, state, chunk, v, carry)
+
+    def stream_output_lengths(self, carry, seq_lengths):
+        """Positions ``apply_stream`` will emit for a chunk of
+        ``seq_lengths`` valid frames given the CURRENT carry (before the
+        call): identity without the front-end, ``(fill + v) // s`` with
+        it."""
+        v = jnp.asarray(seq_lengths, jnp.int32)
+        if self.config.subsample == 1:
+            return v
+        return (carry["in_fill"] + v) // self.config.subsample
+
+    def apply_stream_flush(self, params, state, carry):
+        """End-of-utterance: emit the zero-padded final partial group
+        (``[B, 1, O]`` logits, per-row count ∈ {0, 1}, new carry). A
+        no-op (count 0) without the stacking front-end or when the row's
+        stream length was a multiple of ``s``."""
+        cfg = self.config
+        b = carry["pos"].shape[0]
+        if cfg.subsample == 1:
+            return (
+                jnp.zeros((b, 1, cfg.num_labels), jnp.float32),
+                jnp.zeros((b,), jnp.int32),
+                carry,
+            )
+        group, n, carry = self._stream_flush_group(carry)
+        logits, carry = self._stream_core(params, state, group, n, carry)
+        return logits, n, carry
+
+    def _stream_core(self, params, state, chunk, v, carry):
+        """The streaming block pipeline over an (already stacked, if
+        subsampling) chunk with ``v`` valid positions per row."""
         cfg = self.config
         dtype = cfg.compute_dtype
         eps = cfg.ln_eps
         L = cfg.left_context
         b, tc, _ = chunk.shape
-        v = jnp.asarray(seq_lengths, jnp.int32)  # [B] valid frames in chunk
         pos = carry["pos"]
         n_cached = jnp.minimum(pos, L)  # filled cache slots per row
 
@@ -562,7 +673,7 @@ class Transformer:
             (p_idx - L) < v[:, None],
         )
 
-        new_carry = {"pos": pos + v, "h_cache": []}
+        new_carry = {**carry, "pos": pos + v, "h_cache": []}
         if cfg.conformer:
             new_carry["conv_cache"] = []
 
