@@ -559,3 +559,66 @@ def test_subsample_requires_ctc_in_facade():
     }
     with pytest.raises(ValueError, match="loss = ctc"):
         Nnet(cfg, input_dim=8, num_labels=5)
+
+
+@pytest.mark.parametrize("chunk", [3, 5])
+def test_subsampled_ctc_streaming_equals_offline(chunk):
+    """Streaming greedy AND prefix-beam CTC over the causal SUBSAMPLED
+    conformer equal the offline decoders (whose lattice includes the
+    ceil tail group), chunked arbitrarily, with finish() draining the
+    front-end buffer."""
+    from tfkaldi_tpu.decode import CTCDecoder
+    from tfkaldi_tpu.decode.online import OnlineCTCBeamDecoder, OnlineCTCDecoder
+
+    model = _model(
+        num_labels=6, conformer=True, causal_conv=True, conv_kernel=3,
+        left_context=6, right_context=0, num_blocks=2, subsample=2,
+    )
+    params, state = _rand_params(model, seed=41)
+    rng = np.random.default_rng(42)
+    b, total = 2, 13
+    lengths = np.asarray([13, 9], np.int32)
+    x = rng.standard_normal((b, total, 8)).astype(np.float32)
+    for row, n in enumerate(lengths):
+        x[row, n:] = 0
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    off_greedy = CTCDecoder(model, params, state, _IdCoder(), 5).decode_batch(
+        x, lengths
+    )
+    off_beam = CTCDecoder(
+        model, params, state, _IdCoder(), 5, beam_width=3
+    ).decode_batch(x, lengths)
+
+    dec = OnlineCTCDecoder(model, params, state, blank_id=5)
+    dec.reset(b)
+    got = [[] for _ in range(b)]
+    for pos in range(0, total, chunk):
+        ck = x[:, pos : pos + chunk]
+        cl = np.clip(lengths - pos, 0, ck.shape[1]).astype(np.int32)
+        for row, ids in enumerate(dec.step(ck, cl)):
+            got[row].extend(ids.tolist())
+    for row, ids in enumerate(dec.finish()):
+        got[row].extend(ids.tolist())
+    for row in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(got[row], np.int32), off_greedy[row],
+            err_msg=f"greedy chunk={chunk} row={row}",
+        )
+
+    beam = OnlineCTCBeamDecoder(model, params, state, blank_id=5,
+                                beam_width=3)
+    beam.reset(b)
+    for pos in range(0, total, chunk):
+        ck = x[:, pos : pos + chunk]
+        cl = np.clip(lengths - pos, 0, ck.shape[1]).astype(np.int32)
+        beam.step(ck, cl)
+    final = beam.finish()
+    for row in range(b):
+        np.testing.assert_array_equal(
+            final[row], off_beam[row],
+            err_msg=f"beam chunk={chunk} row={row}",
+        )

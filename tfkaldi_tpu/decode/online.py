@@ -50,6 +50,12 @@ class OnlineRecurrentDecoder:
 
     def __init__(self, model, params, model_state, prior: np.ndarray):
         _validate_streamable(model)
+        if getattr(model, "subsample_factor", 1) != 1:
+            raise ValueError(
+                "hybrid likelihood emission is per input frame; a "
+                "subsampling front-end has no 1:1 alignment (it is a "
+                "ctc/rnnt/attention-only recipe)"
+            )
         self.model = model
         self.params = params
         self.model_state = model_state
@@ -120,16 +126,47 @@ class OnlineCTCDecoder:
         self._prev = None  # last raw frame label per row (cross-chunk dedupe)
 
         def compute(chunk, lengths, carry, params, model_state):
+            # under a subsampling front-end the emitted-position count
+            # differs from the input-frame count
+            out_fn = getattr(model, "stream_output_lengths", None)
+            n_out = lengths if out_fn is None else out_fn(carry, lengths)
             logits, new_carry = model.apply_stream(
                 params, model_state, chunk, lengths, carry
             )
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_carry
+            return (
+                jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                n_out,
+                new_carry,
+            )
 
         self._fn = jax.jit(compute)
+        flush_fn = getattr(model, "apply_stream_flush", None)
+        self._flush_fn = None
+        if flush_fn is not None:
+            self._flush_fn = jax.jit(
+                lambda carry, params, model_state: flush_fn(
+                    params, model_state, carry
+                )
+            )
 
     def reset(self, batch_size: int) -> None:
         self._carry = self.model.init_stream_carry(batch_size)
         self._prev = np.full((batch_size,), -1, np.int64)
+
+    def _collapse(self, paths, n_out):
+        out = []
+        for row in range(paths.shape[0]):
+            p = paths[row, : int(n_out[row])]
+            if p.size == 0:
+                out.append(np.zeros((0,), np.int32))
+                continue
+            keep = np.ones(p.shape[0], dtype=bool)
+            keep[0] = p[0] != self._prev[row]
+            keep[1:] = p[1:] != p[:-1]
+            collapsed = p[keep]
+            out.append(collapsed[collapsed != self.blank_id].astype(np.int32))
+            self._prev[row] = p[-1]
+        return out
 
     def step(self, chunk, lengths) -> list[np.ndarray]:
         """``[B, Tc, F]`` chunk → per-row arrays of NEWLY emitted label
@@ -141,27 +178,29 @@ class OnlineCTCDecoder:
         if chunk.shape[1] == 0:
             # empty chunk (e.g. a feature flush that added no frames)
             return [np.zeros((0,), np.int32) for _ in range(chunk.shape[0])]
-        paths, self._carry = self._fn(
+        paths, n_out, self._carry = self._fn(
             jnp.asarray(chunk, jnp.float32),
             jnp.asarray(lengths, jnp.int32),
             self._carry,
             self.params,
             self.model_state,
         )
-        paths = np.asarray(paths)
-        out = []
-        for row in range(paths.shape[0]):
-            p = paths[row, : int(lengths[row])]
-            if p.size == 0:
-                out.append(np.zeros((0,), np.int32))
-                continue
-            keep = np.ones(p.shape[0], dtype=bool)
-            keep[0] = p[0] != self._prev[row]
-            keep[1:] = p[1:] != p[:-1]
-            collapsed = p[keep]
-            out.append(collapsed[collapsed != self.blank_id].astype(np.int32))
-            self._prev[row] = p[-1]
-        return out
+        return self._collapse(np.asarray(paths), np.asarray(n_out))
+
+    def finish(self) -> list[np.ndarray]:
+        """End the utterances: decode the subsampling front-end's final
+        zero-padded partial group (offline's ceil tail); a no-op for 1:1
+        models. Returns newly emitted label ids per row."""
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before finish()")
+        b = self._prev.shape[0]
+        if self._flush_fn is None:
+            return [np.zeros((0,), np.int32) for _ in range(b)]
+        logits, n, self._carry = self._flush_fn(
+            self._carry, self.params, self.model_state
+        )
+        paths = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+        return self._collapse(paths, np.asarray(n))
 
 
 class OnlineCTCBeamDecoder:
@@ -204,15 +243,26 @@ class OnlineCTCBeamDecoder:
         self._beams = None
 
         def compute(chunk, lengths, carry, params, model_state):
+            out_fn = getattr(model, "stream_output_lengths", None)
+            n_out = lengths if out_fn is None else out_fn(carry, lengths)
             logits, new_carry = model.apply_stream(
                 params, model_state, chunk, lengths, carry
             )
             return (
                 jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                n_out,
                 new_carry,
             )
 
         self._fn = jax.jit(compute)
+        flush_fn = getattr(model, "apply_stream_flush", None)
+        self._flush_fn = None
+        if flush_fn is not None:
+            self._flush_fn = jax.jit(
+                lambda carry, params, model_state: flush_fn(
+                    params, model_state, carry
+                )
+            )
 
     def reset(self, batch_size: int) -> None:
         from tfkaldi_tpu.decode.ctc_beam import initial_beams
@@ -220,31 +270,50 @@ class OnlineCTCBeamDecoder:
         self._carry = self.model.init_stream_carry(batch_size)
         self._beams = [initial_beams() for _ in range(batch_size)]
 
+    def _advance(self, log_probs, n_out):
+        from tfkaldi_tpu.decode.ctc_beam import beam_step
+
+        # offline search runs in f64 (ctc_beam.py); match it exactly
+        log_probs = np.asarray(log_probs, np.float64)
+        for row in range(log_probs.shape[0]):
+            for t in range(int(n_out[row])):
+                self._beams[row] = beam_step(
+                    self._beams[row], log_probs[row, t],
+                    self.blank_id, self.beam_width, self.fusion_scorer,
+                )
+
     def step(self, chunk, lengths) -> list[np.ndarray]:
         """``[B, Tc, F]`` chunk → per-row CURRENT-BEST label ids (the full
         hypothesis so far, which may still change as frames arrive)."""
-        from tfkaldi_tpu.decode.ctc_beam import beam_step
-
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before step()")
         chunk = np.asarray(chunk)
         lengths = np.asarray(lengths, np.int32)
         if chunk.shape[1] > 0:
-            log_probs, self._carry = self._fn(
+            log_probs, n_out, self._carry = self._fn(
                 jnp.asarray(chunk, jnp.float32),
                 jnp.asarray(lengths, jnp.int32),
                 self._carry,
                 self.params,
                 self.model_state,
             )
-            # offline search runs in f64 (ctc_beam.py); match it exactly
-            log_probs = np.asarray(log_probs, np.float64)
-            for row in range(chunk.shape[0]):
-                for t in range(int(lengths[row])):
-                    self._beams[row] = beam_step(
-                        self._beams[row], log_probs[row, t],
-                        self.blank_id, self.beam_width, self.fusion_scorer,
-                    )
+            self._advance(log_probs, np.asarray(n_out))
+        return self.best()
+
+    def finish(self) -> list[np.ndarray]:
+        """End the utterances: advance the beams over the subsampling
+        front-end's final zero-padded partial group (no-op for 1:1
+        models); returns the final best hypotheses."""
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before finish()")
+        if self._flush_fn is not None:
+            logits, n, self._carry = self._flush_fn(
+                self._carry, self.params, self.model_state
+            )
+            self._advance(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                np.asarray(n),
+            )
         return self.best()
 
     def best(self) -> list[np.ndarray]:
@@ -356,7 +425,17 @@ class StreamingTranscriber:
         """Flush the feature tail through the decoder; final transcripts."""
         if self._ids is None:
             raise RuntimeError("call reset(batch_size) before finish()")
-        out = self._feed(*self.extractor.flush())
+        self._feed(*self.extractor.flush())
+        # encoder-level flush (subsampling front-end's final partial group)
+        if self.beam_width > 1:
+            out = [self.coder.decode(row) for row in self._dec.finish()]
+        else:
+            for row, new_ids in enumerate(self._dec.finish()):
+                self._ids[row].extend(new_ids.tolist())
+            out = [
+                self.coder.decode(np.asarray(row, np.int32))
+                for row in self._ids
+            ]
         self._ids = None
         return out
 
