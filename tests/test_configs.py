@@ -26,8 +26,17 @@ def test_recipe_builds_all_option_objects(recipe):
         assert opts.feature_type in ("fbank", "mfcc", "ssc")
 
     nnet = dict(cfg.items("nnet"))
-    dnn = DNNConfig.from_config(nnet, input_dim=440, num_labels=2000)
-    assert dnn.num_hidden_layers > 0 and dnn.num_hidden_units > 0
+    model_type = nnet.get("model", "dnn")
+    if model_type == "transducer":
+        from tfkaldi_tpu.models import Transducer, TransducerConfig
+
+        td = Transducer(
+            TransducerConfig.from_config(nnet, input_dim=40, num_labels=28)
+        )
+        assert td.vocab_size == 29
+    elif model_type == "dnn":
+        dnn = DNNConfig.from_config(nnet, input_dim=440, num_labels=2000)
+        assert dnn.num_hidden_layers > 0 and dnn.num_hidden_units > 0
     tr = TrainerConfig(
         init_learning_rate=float(nnet["initial_learning_rate"]),
         learning_rate_decay=float(nnet["learning_rate_decay"]),
