@@ -385,3 +385,59 @@ def test_dynamic_stream_short_utterance_and_guards():
         online.step(np.zeros((1, 100), np.float32), np.asarray([100]))
     with pytest.raises(RuntimeError, match="reset"):
         online.flush()
+
+
+@pytest.mark.parametrize("beam_width", [1, 4])
+def test_streaming_transcriber_subsampled_conformer(beam_width):
+    """Audio chunks through the SUBSAMPLED causal conformer: the feature
+    flush chains into the encoder flush (the front-end's final partial
+    group), ending at exactly the offline pipeline's transcripts."""
+    import jax
+
+    from tfkaldi_tpu.decode import CTCDecoder, StreamingTranscriber
+    from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import Transformer, TransformerConfig
+
+    rate = 8000
+    opts = FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256)
+    ext = FeatureExtractor(opts, rate, spectrum_precision="high")
+
+    rng = np.random.default_rng(21)
+    lengths = np.asarray([6000, 4403])
+    sig = _signals(rng, lengths, 6000)
+
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    stats = cmvn_stats(off_feats, off_nf)
+    off_norm = np.asarray(apply_cmvn(off_feats, stats)).astype(np.float32)
+
+    blank = 7
+    model = Transformer(TransformerConfig(
+        input_dim=10, num_labels=8, num_blocks=2, d_model=12, num_heads=2,
+        ffn_dim=16, conformer=True, conv_kernel=3, causal_conv=True,
+        left_context=6, right_context=0, subsample=2,
+    ))
+    params, state = model.init(jax.random.PRNGKey(2))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(3), params["out"]["w"].shape) * 0.5
+    )
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    offline_ids = CTCDecoder(
+        model, params, state, _IdCoder(), blank, beam_width=beam_width
+    ).decode_batch(off_norm, off_nf)
+    offline_text = [_IdCoder().decode(ids) for ids in offline_ids]
+
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), blank,
+        cmvn=stats, beam_width=beam_width,
+    )
+    tx.reset(2)
+    for pos in range(0, 6000, 900):
+        c = sig[:, pos : pos + 900]
+        cl = np.clip(lengths - pos, 0, c.shape[1])
+        tx.push(c, cl)
+    assert tx.finish() == offline_text
