@@ -324,3 +324,78 @@ def test_service_text_modes(tmp_path, family):
     text = (out / "job_t" / "text").read_text().splitlines()
     assert len(text) == len(info["utts"])
     assert all(line.split(" ", 1)[0] in info["utts"] for line in text)
+
+
+def test_streaming_server_transducer_subsampled():
+    """The socket server serving the streaming TRANSDUCER transcriber over
+    a subsampled causal conformer: final == the offline transducer decode
+    (the finish message drains feature AND encoder-front-end buffers)."""
+    import threading
+
+    import jax
+
+    from tfkaldi_tpu.decode.transducer import (
+        StreamingTransducerTranscriber,
+        TransducerDecoder,
+    )
+    from tfkaldi_tpu.frontend.cmvn import apply_cmvn, cmvn_stats
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import Transducer, TransducerConfig
+    from tfkaldi_tpu.serve import StreamingServer, stream_transcribe
+
+    rate = 8000
+    opts = FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10,
+                       nfft=256)
+    ext = FeatureExtractor(opts, rate, spectrum_precision="high")
+    rng = np.random.default_rng(31)
+    n = 5200
+    sig = np.zeros((1, 6000), np.float32)
+    sig[0, :n] = rng.standard_normal(n).astype(np.float32)
+    lengths = np.asarray([n])
+
+    off_feats, off_nf = map(np.asarray, ext(sig, lengths))
+    stats = cmvn_stats(off_feats, off_nf)
+    off_norm = np.asarray(apply_cmvn(off_feats, stats)).astype(np.float32)
+
+    model = Transducer(TransducerConfig(
+        input_dim=10, num_labels=6, enc_type="conformer",
+        pred_layers=1, pred_units=6, embed_dim=4, joint_units=8,
+        enc_extra=(
+            ("num_blocks", "2"), ("d_model", "12"), ("num_heads", "2"),
+            ("ffn_dim", "16"), ("conv_kernel", "3"),
+            ("attention_left_context", "6"), ("attention_right_context", "0"),
+            ("causal_conv", "True"), ("subsample", "2"),
+        ),
+    ))
+    params, mstate = model.init(jax.random.PRNGKey(5))
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in np.asarray(ids))
+
+    offline_ids = TransducerDecoder(
+        model, params, mstate, _IdCoder()
+    ).decode_batch(off_norm, off_nf)
+    offline_text = _IdCoder().decode(offline_ids[0])
+
+    server = StreamingServer(
+        lambda: StreamingTransducerTranscriber(
+            OnlineFeatureExtractor(ext), model, params, mstate, _IdCoder(),
+            cmvn=stats,
+        ),
+        pool_size=1,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        gen = stream_transcribe(server.host, server.port, sig[0, :n], 1000)
+        try:
+            while True:
+                next(gen)
+        except StopIteration as stop:
+            final = stop.value
+        assert final == offline_text
+    finally:
+        server.close()
+        t.join(timeout=5)
