@@ -97,9 +97,14 @@ def test_conv_oracle_numpy():
 
 def test_padding_invariance():
     """Garbage in the padding region must not change valid-frame logits
-    (masked BN + interlayer re-masking + zero-fill SAME time padding)."""
+    (input masking + masked BN + interlayer re-masking + zero-fill SAME
+    time padding). Randomized output head — zero-init logits would hide
+    a hidden-layer leak."""
     model = _model()
     params, state = model.init(jax.random.PRNGKey(1))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(9), params["out"]["w"].shape) * 0.1
+    )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, 20, 16)).astype(np.float32))
     lengths = jnp.asarray([20, 11, 5], jnp.int32)

@@ -336,3 +336,75 @@ def test_online_ctc_beam_requires_reset_and_unidirectional():
     bparams, bstate = bidi.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="unidirectional"):
         OnlineCTCBeamDecoder(bidi, bparams, bstate, blank_id=5)
+
+
+@pytest.mark.parametrize("family", ["tdnn", "cnn"])
+@pytest.mark.parametrize("chunk_len", [1, 5, 64])
+def test_online_windowed_matches_offline(family, chunk_len):
+    """Streaming TDNN/CNN emission (windowed recompute with receptive-
+    field lookahead) == offline Decoder on offline-spliced features, at
+    any chunking. Completes streaming for every hybrid family."""
+    from tfkaldi_tpu.decode.decoder import Decoder
+    from tfkaldi_tpu.decode.online import OnlineWindowedDecoder
+    from tfkaldi_tpu.frontend.cmvn import splice
+
+    import jax
+
+    dim, c, labels = 6, 1, 7
+    if family == "tdnn":
+        from tfkaldi_tpu.models import TDNN, TDNNConfig
+
+        model = TDNN(TDNNConfig(
+            input_dim=dim * (2 * c + 1), num_labels=labels,
+            num_hidden_layers=3, num_hidden_units=16,
+            context="-2,-1,0,1,2;-1,0,1;-3,0,3",
+        ))
+        assert (model.left_receptive, model.right_receptive) == (6, 6)
+    else:
+        from tfkaldi_tpu.models import CNN, CNNConfig
+
+        model = CNN(CNNConfig(
+            input_dim=dim * (2 * c + 1), num_labels=labels,
+            filters="8,8", kernels="5x3;3x3", pool="2,1",
+            num_channels=2 * c + 1, num_hidden_layers=1,
+            num_hidden_units=16,
+        ))
+        assert (model.left_receptive, model.right_receptive) == (3, 3)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["out"]["w"].shape) * 0.4
+    )
+    prior = np.full((labels,), 1.0 / labels, np.float32)
+
+    rng = np.random.default_rng(9)
+    b, total = 3, 41
+    lengths = np.asarray([41, 23, 2], np.int32)
+    feats = rng.standard_normal((b, total, dim)).astype(np.float32)
+    for row, n in enumerate(lengths):
+        feats[row, n:] = 0
+
+    offline = np.asarray(
+        Decoder(model, params, state, prior).compute_batch(
+            np.asarray(splice(feats, c)), lengths
+        )
+    )
+
+    dec = OnlineWindowedDecoder(model, params, state, prior, context_width=c)
+    dec.reset(b)
+    got = [[] for _ in range(b)]
+    for pos in range(0, total, chunk_len):
+        ck = feats[:, pos : pos + chunk_len]
+        cl = np.clip(lengths - pos, 0, ck.shape[1]).astype(np.int32)
+        likes, nnew = dec.step(ck, cl)
+        for row in range(b):
+            got[row].append(likes[row, : nnew[row]])
+    likes, nnew = dec.flush()
+    for row in range(b):
+        got[row].append(likes[row, : nnew[row]])
+    for row in range(b):
+        g = np.concatenate(got[row], axis=0)
+        assert g.shape[0] == lengths[row]
+        np.testing.assert_allclose(
+            g, offline[row, : lengths[row]], rtol=0, atol=2e-5,
+            err_msg=f"{family} chunk={chunk_len} row={row}",
+        )

@@ -53,9 +53,16 @@ def test_shapes_and_state():
 
 def test_padding_invariance():
     """Garbage in the padding region must not change valid-frame logits
-    (masked BN + interlayer re-masking + zero-fill shifts)."""
+    (input masking + masked BN + interlayer re-masking + zero-fill
+    shifts). The output head is randomized — zero-init logits are all
+    zero and would hide any hidden-layer leak (which is exactly how the
+    input-masking bug this test now pins survived round 3's first
+    version)."""
     model = _model()
     params, state = model.init(jax.random.PRNGKey(1))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(9), params["out"]["w"].shape) * 0.1
+    )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, 20, 8)).astype(np.float32))
     lengths = jnp.asarray([20, 11, 5], jnp.int32)

@@ -8,6 +8,7 @@ from tfkaldi_tpu.decode.online import (
     OnlineCTCDecoder,
     OnlineRecurrentDecoder,
     OnlineSplicedDecoder,
+    OnlineWindowedDecoder,
     StreamingTranscriber,
 )
 from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
@@ -31,6 +32,7 @@ __all__ = [
     "OnlineCTCDecoder",
     "OnlineRecurrentDecoder",
     "OnlineSplicedDecoder",
+    "OnlineWindowedDecoder",
     "OnlineTransducerBeamDecoder",
     "OnlineTransducerDecoder",
     "Seq2SeqBeamDecoder",

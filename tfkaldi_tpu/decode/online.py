@@ -571,3 +571,162 @@ class OnlineSplicedDecoder:
         out = self._emit(rem.astype(np.int64))
         self._buf = None
         return out
+
+
+class OnlineWindowedDecoder:
+    """Streaming likelihood emission for the sequence-local hybrid
+    families (TDNN, CNN): output frame t depends on input frames
+    ``[t - left_receptive, t + right_receptive]`` (model shifts /
+    SAME-padded time kernels) plus the ±``context_width`` input splice.
+
+    Frame t is emitted once frame ``t + c + right_receptive`` has
+    arrived; each chunk re-runs the model over a window of spliced
+    frames ``[e - left_receptive, e + n - 1 + right_receptive]`` and
+    keeps the center. The models' zero-fill boundary semantics make the
+    window edges exact: zero-fill at the window START only corrupts
+    outputs before the emitted span (already emitted — and when the
+    window start IS the utterance start the zero-fill is the offline
+    boundary itself), and the window END either lies ``right_receptive``
+    real frames past the span (mid-stream) or coincides with the
+    utterance end (flush), again the offline boundary. Emitted log
+    pseudo-likelihoods therefore equal the offline batched ``Decoder``
+    on offline-spliced features — at any chunking
+    (tests/test_online.py).
+    """
+
+    def __init__(
+        self, model, params, model_state, prior: np.ndarray,
+        context_width: int, frame_bucket: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.prior = np.asarray(prior, dtype=np.float32)
+        self.c = int(context_width)
+        self.lrf = int(model.left_receptive)
+        self.rrf = int(model.right_receptive)
+        self.frame_bucket = int(frame_bucket)
+        self._buf = None
+
+        def compute(spliced, lengths, params, model_state):
+            logits, _ = model.apply(
+                params, model_state, spliced, lengths, train=False
+            )
+            posteriors = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            likes = posteriors / jnp.asarray(self.prior)[None, None, :]
+            likes = jnp.where(likes == 0, _EPS, likes)  # nnet.py:283, fixed
+            return jnp.log(likes)
+
+        self._fn = jax.jit(compute)
+
+    def reset(self, batch_size: int) -> None:
+        self._buf = [None] * batch_size
+        self._start = np.zeros((batch_size,), np.int64)  # global idx of buf[0]
+        self._total = np.zeros((batch_size,), np.int64)
+        self._emitted = np.zeros((batch_size,), np.int64)
+
+    def _emit(self, navail: np.ndarray, final: bool):
+        c, lrf, rrf = self.c, self.lrf, self.rrf
+        b = len(self._buf)
+        counts = navail.astype(np.int32)
+        offs = np.zeros((b,), np.int64)  # emitted-span offset in each window
+        w_len = np.zeros((b,), np.int64)
+        for row, n in enumerate(navail):
+            if int(n) == 0:
+                continue
+            e = int(self._emitted[row])
+            ws = max(0, e - lrf)  # window start (utterance start clamps)
+            we = e + int(n) - 1 + (0 if final else rrf)
+            offs[row], w_len[row] = e - ws, we - ws + 1
+        w_max = int(w_len.max(initial=0))
+        if w_max == 0:
+            return (
+                np.zeros((b, 0, self.prior.shape[0]), np.float32),
+                counts,
+            )
+        w_pad = -(-w_max // self.frame_bucket) * self.frame_bucket
+        dim = next(f.shape[1] for f in self._buf if f is not None)
+        spliced = np.zeros((b, w_pad, dim * (2 * c + 1)), np.float32)
+        for row, n in enumerate(navail):
+            n = int(n)
+            if n == 0:
+                continue
+            e = int(self._emitted[row])
+            ws = e - int(offs[row])
+            wl = int(w_len[row])
+            # raw span [ws - c, ws + wl - 1 + c]; zeros before global 0
+            lead = max(0, c - ws)
+            first = int(ws - c + lead - self._start[row])
+            span = self._buf[row][first : first + (wl + 2 * c - lead)]
+            if lead:
+                span = np.concatenate(
+                    [np.zeros((lead, span.shape[1]), span.dtype), span]
+                )
+            win = np.lib.stride_tricks.sliding_window_view(
+                span, 2 * c + 1, axis=0
+            )
+            spliced[row, :wl] = win.transpose(0, 2, 1).reshape(wl, -1)
+            self._emitted[row] = e + n
+            keep_from = int(
+                max(0, self._emitted[row] - c - lrf) - self._start[row]
+            )
+            if keep_from > 0:
+                self._buf[row] = self._buf[row][keep_from:]
+                self._start[row] += keep_from
+        likes = np.asarray(
+            self._fn(
+                jnp.asarray(spliced),
+                jnp.asarray(w_len, jnp.int32),
+                self.params,
+                self.model_state,
+            )
+        )
+        n_max = int(counts.max(initial=0))
+        out = np.zeros((b, n_max, self.prior.shape[0]), np.float32)
+        for row, n in enumerate(counts):
+            if n:
+                out[row, :n] = likes[row, int(offs[row]) : int(offs[row]) + n]
+        return out, counts
+
+    def step(self, feats, lengths):
+        """``[B, Tc, F]`` unspliced CMVN'd feature chunk → ``([B, T, O]``
+        log pseudo-likelihoods, counts)`` for every frame whose full
+        splice + model right context is now complete."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        feats = np.asarray(feats, np.float32)
+        lengths = np.asarray(lengths, np.int64)
+        navail = np.zeros((len(self._buf),), np.int64)
+        for row, n in enumerate(lengths):
+            n = int(n)
+            if n > 0:
+                new = feats[row, :n]
+                self._buf[row] = (
+                    new.copy()
+                    if self._buf[row] is None
+                    else np.concatenate([self._buf[row], new])
+                )
+                self._total[row] += n
+            navail[row] = max(
+                0, self._total[row] - self.c - self.rrf - self._emitted[row]
+            )
+        return self._emit(navail, final=False)
+
+    def flush(self):
+        """Emit the remaining frames: the window end coincides with the
+        utterance end, so the models' own zero-fill reproduces the
+        offline right boundary; the splice's c-frame zero pad is
+        appended explicitly. Requires ``reset`` afterwards."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before flush()")
+        rem = self._total - self._emitted
+        if self.c > 0:
+            for row, r in enumerate(rem):
+                if r > 0:
+                    dim = self._buf[row].shape[1]
+                    self._buf[row] = np.concatenate(
+                        [self._buf[row], np.zeros((self.c, dim), np.float32)]
+                    )
+        out = self._emit(rem.astype(np.int64), final=True)
+        self._buf = None
+        return out

@@ -155,6 +155,19 @@ class CNN:
     def __init__(self, config: CNNConfig):
         self.config = config
 
+    @property
+    def left_receptive(self) -> int:
+        """Input frames BEFORE t that output t depends on: XLA SAME
+        padding puts ``(k-1)//2`` zeros low / ``k//2`` high per time
+        kernel, so the per-layer reach sums. Used by the windowed
+        streaming emitter (decode/online.py::OnlineWindowedDecoder)."""
+        return sum((kt - 1) // 2 for kt, _ in self.config.conv_kernels)
+
+    @property
+    def right_receptive(self) -> int:
+        """Input frames AFTER t that output t depends on."""
+        return sum(kt // 2 for kt, _ in self.config.conv_kernels)
+
     # ------------------------------------------------------------------
 
     def init(self, rng: jax.Array) -> tuple[Params, Params]:

@@ -112,6 +112,18 @@ class TDNN:
     def __init__(self, config: TDNNConfig):
         self.config = config
 
+    @property
+    def left_receptive(self) -> int:
+        """Input frames BEFORE t that output t depends on (the summed
+        negative context reach). Used by the windowed streaming emitter
+        (decode/online.py::OnlineWindowedDecoder)."""
+        return sum(max(0, -min(layer)) for layer in self.config.offsets)
+
+    @property
+    def right_receptive(self) -> int:
+        """Input frames AFTER t that output t depends on."""
+        return sum(max(0, max(layer)) for layer in self.config.offsets)
+
     # ------------------------------------------------------------------
 
     def init(self, rng: jax.Array) -> tuple[Params, Params]:
@@ -172,7 +184,12 @@ class TDNN:
         mask = mask_bt.reshape(b * t, 1)
 
         new_state = dict(state)
-        h = inputs.astype(cfg.compute_dtype)
+        # zero the padding rows BEFORE the first splice: the first layer's
+        # positive shifts read input rows beyond each row's length, and
+        # unmasked those leak padding CONTENT into the last
+        # right_receptive valid frames (found by the streaming-equality
+        # harness; the CNN already masks its input the same way)
+        h = (inputs * mask_bt[:, :, None]).astype(cfg.compute_dtype)
         for l, layer in enumerate(params["hidden"]):
             offs = cfg.offsets[l]
             # static splice over time offsets, then ONE MXU contraction
