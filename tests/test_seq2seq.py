@@ -411,3 +411,98 @@ def test_cached_step_matches_grid():
             np.asarray(step_logits), np.asarray(grid[:, s]),
             rtol=1e-5, atol=1e-5, err_msg=f"position {s}",
         )
+
+
+# ---------------------------------------------------------------------------
+# joint CTC-attention multitask + attention rescoring
+# ---------------------------------------------------------------------------
+
+
+def test_joint_loss_arithmetic_and_training():
+    """loss = (1-w)·attention CE + w·CTC over the shared encoder; the CTC
+    head actually trains."""
+    import optax as _optax
+
+    w = 0.3
+    model, params, state = tiny_model(seed=60, ctc_weight=w,
+                                      label_smoothing=0.0)
+    rng = np.random.default_rng(61)
+    x, xl, y, yl = synth(rng, t=10)
+    trainer = Trainer(model, TrainerConfig(loss_type="attention"))
+    batch = PaddedBatch(x, y, xl, yl)
+    total, _ = trainer._loss_sum(params, state, batch, train=False, rng=None)
+
+    # reconstruct from the public pieces
+    att_logits, ctc_logits, _ = model.apply_joint(
+        params, state, x, xl, y, yl, train=False
+    )
+    b, u1, _ = att_logits.shape
+    eos = model.sos_eos_id
+    tgt = np.concatenate([np.asarray(y), np.zeros((b, 1), np.int32)], axis=1)
+    for row in range(b):
+        tgt[row, int(yl[row])] = eos
+    logp = np.asarray(jax.nn.log_softmax(att_logits, axis=-1))
+    att_sum = 0.0
+    for row in range(b):
+        for u in range(int(yl[row]) + 1):
+            att_sum -= logp[row, u, tgt[row, u]]
+    t_enc = ctc_logits.shape[1]
+    pad = (np.arange(t_enc)[None, :] >= np.asarray(xl)[:, None]).astype(np.float32)
+    lpad = (np.arange(y.shape[1])[None, :] >= np.asarray(yl)[:, None]).astype(np.float32)
+    ctc_sum = float(np.sum(np.asarray(_optax.ctc_loss(
+        ctc_logits, jnp.asarray(pad), y, jnp.asarray(lpad), blank_id=eos
+    ))))
+    assert float(total) == pytest.approx((1 - w) * att_sum + w * ctc_sum,
+                                         rel=1e-5)
+
+    # both heads train
+    st = trainer.init_state(jax.random.PRNGKey(62))
+    head0 = np.asarray(st.params["ctc_head"]["w"]).copy()
+    first = None
+    for i in range(10):
+        st, loss = trainer.update(st, batch, jax.random.PRNGKey(63 + i))
+        first = first if first is not None else float(loss)
+    assert float(loss) < first
+    assert not np.allclose(np.asarray(st.params["ctc_head"]["w"]), head0)
+
+
+def test_attention_rescoring_recovers_and_weights_behave():
+    """Two-pass rescoring on an overfit joint model recovers the training
+    transcripts; weight extremes select pure-CTC / pure-attention
+    rankings without NaNs from unfilled n-best slots."""
+    from tfkaldi_tpu.decode.seq2seq import CTCRescoreDecoder
+
+    model, params, state = tiny_model(seed=64, ctc_weight=0.3,
+                                      label_smoothing=0.0)
+    rng = np.random.default_rng(65)
+    b, t = 2, 12
+    x = jnp.asarray(rng.standard_normal((b, t, 5)).astype(np.float32))
+    xl = jnp.full((b,), t, jnp.int32)
+    y = jnp.asarray([[1, 3, 2], [0, 2, 1]], jnp.int32)
+    yl = jnp.asarray([3, 3], jnp.int32)
+    trainer = Trainer(
+        model, TrainerConfig(init_learning_rate=3e-2, num_steps=1000,
+                             loss_type="attention"),
+    )
+    st = trainer.init_state(jax.random.PRNGKey(66))
+    batch = PaddedBatch(x, y, xl, yl)
+    for i in range(200):
+        st, _ = trainer.update(st, batch, jax.random.PRNGKey(67 + i))
+    for w in (0.0, 0.5, 1.0):
+        dec = CTCRescoreDecoder(
+            model, st.params, st.model_state, _IdCoder(),
+            beam_width=4, rescore_weight=w,
+        )
+        got = dec.decode_batch(np.asarray(x), np.asarray(xl))
+        for row in range(b):
+            np.testing.assert_array_equal(
+                got[row], np.asarray(y[row]), err_msg=f"w={w} row={row}"
+            )
+
+
+def test_rescoring_requires_joint_model():
+    from tfkaldi_tpu.decode.seq2seq import CTCRescoreDecoder
+
+    model, params, state = tiny_model(seed=68)  # ctc_weight = 0
+    with pytest.raises(ValueError, match="ctc_weight"):
+        CTCRescoreDecoder(model, params, state, _IdCoder())

@@ -11,7 +11,7 @@ from tfkaldi_tpu.decode.online import (
     OnlineWindowedDecoder,
     StreamingTranscriber,
 )
-from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+from tfkaldi_tpu.decode.seq2seq import CTCRescoreDecoder, Seq2SeqBeamDecoder
 from tfkaldi_tpu.decode.transducer import (
     OnlineTransducerDecoder,
     StreamingTransducerTranscriber,
@@ -25,6 +25,7 @@ from tfkaldi_tpu.decode.transducer_beam import (
 __all__ = [
     "ArpaLM",
     "CTCDecoder",
+    "CTCRescoreDecoder",
     "Decoder",
     "DenseFusionTable",
     "FusionScorer",

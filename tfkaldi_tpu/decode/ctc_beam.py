@@ -99,6 +99,19 @@ def best_prefix(beams: dict[tuple, list[float]]) -> np.ndarray:
     return np.asarray(best, dtype=np.int32)
 
 
+def nbest_prefixes(
+    beams: dict[tuple, list[float]], n: int
+) -> list[tuple[tuple, float]]:
+    """Top-``n`` prefixes of a beam state with their total (blank +
+    non-blank) log-probabilities, best first — the first pass of
+    attention rescoring (decode/seq2seq.py::CTCRescoreDecoder)."""
+    ranked = sorted(
+        ((p, _logsumexp2(v[0], v[1])) for p, v in beams.items()),
+        key=lambda kv: -kv[1],
+    )
+    return ranked[:n]
+
+
 def ctc_beam_search_py(
     log_probs: np.ndarray, blank_id: int, beam_width: int = 16,
     scorer=None,

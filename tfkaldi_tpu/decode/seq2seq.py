@@ -265,3 +265,171 @@ class Seq2SeqBeamDecoder:
                     fid.write(f"{utt_id} {self.coder.decode(ids)}\n")
                     count += 1
         return count
+
+
+class CTCRescoreDecoder:
+    """Two-pass decode for the joint CTC-attention model (wenet-style
+    "attention rescoring"): pass 1 runs the host CTC prefix beam over the
+    shared encoder's CTC head and keeps each utterance's n-best label
+    sequences with their CTC log-probabilities; pass 2 scores every
+    hypothesis with ONE batched teacher-forced decoder forward (all
+    B·N hypotheses ride the batch axis — no autoregressive loop at all,
+    the decode-side payoff of the parallel teacher-forcing design) and
+    reranks by ``rescore_weight·logP_ctc + (1−rescore_weight)·logP_att``.
+    Requires a model trained with ``ctc_weight > 0``.
+    """
+
+    def __init__(
+        self,
+        model: AttentionSeq2Seq,
+        params,
+        model_state,
+        coder,
+        *,
+        beam_width: int = 10,
+        rescore_weight: float = 0.5,
+        max_tokens: int = 100,
+    ):
+        if getattr(model.config, "ctc_weight", 0.0) <= 0.0:
+            raise ValueError(
+                "attention rescoring needs a joint model (ctc_weight > 0)"
+            )
+        self.model = model
+        self.params = params
+        self.model_state = model_state
+        self.coder = coder
+        self.beam = int(beam_width)
+        self.w = float(rescore_weight)
+        self.max_tokens = int(max_tokens)
+
+        def first_pass(params, inputs, lengths):
+            memory, _ = model.encode(
+                params, model_state, inputs, lengths, train=False
+            )
+            logp = jax.nn.log_softmax(
+                model.ctc_logits(params, memory), axis=-1
+            )
+            return memory, logp
+
+        def att_scores(params, memory_rep, mem_valid_rep, tokens, hyp_lens):
+            # teacher-forced grid over [B*N, L+1]; hypothesis score =
+            # sum of target log-probs (labels then EOS at hyp_lens)
+            n, l1 = tokens.shape
+            token_valid = (
+                jnp.arange(l1)[None, :] <= hyp_lens[:, None]
+            )
+            logits = model.decode_step_logits(
+                params, tokens, token_valid, memory_rep, mem_valid_rep,
+                train=False,
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            # targets: tokens shifted left, EOS at position hyp_lens
+            tgt = jnp.concatenate(
+                [tokens[:, 1:], jnp.zeros((n, 1), tokens.dtype)], axis=1
+            )
+            at_eos = jnp.arange(l1)[None, :] == hyp_lens[:, None]
+            tgt = jnp.where(at_eos, model.sos_eos_id, tgt)
+            nll = jnp.take_along_axis(
+                logp, tgt[:, :, None].astype(jnp.int32), axis=-1
+            )[..., 0]
+            valid = jnp.arange(l1)[None, :] <= hyp_lens[:, None]
+            return jnp.sum(nll * valid, axis=1)
+
+        self._first = jax.jit(first_pass)
+        self._score = jax.jit(att_scores)
+
+    def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
+        from tfkaldi_tpu.decode.ctc_beam import (
+            beam_step,
+            initial_beams,
+            nbest_prefixes,
+        )
+
+        model, n_best = self.model, self.beam
+        inputs = jnp.asarray(inputs)
+        lengths_d = jnp.asarray(lengths, jnp.int32)
+        memory, ctc_logp = self._first(self.params, inputs, lengths_d)
+        enc_lens = np.asarray(model.output_lengths(lengths_d))
+        ctc_logp = np.asarray(ctc_logp, np.float64)
+        b, t, d = memory.shape
+
+        hyps: list[list[tuple[tuple, float]]] = []
+        for row in range(b):
+            beams = initial_beams()
+            for tt in range(int(enc_lens[row])):
+                beams = beam_step(
+                    beams, ctc_logp[row, tt], model.sos_eos_id, n_best
+                )
+            hyps.append(nbest_prefixes(beams, n_best))
+
+        # batch every hypothesis; pad the token axis to a bucket so the
+        # jitted scorer compiles once per bucket, not per batch
+        l_raw = max(
+            1, min(self.max_tokens, max(len(h[0]) for row in hyps for h in row))
+        )
+        l_max = -(-l_raw // 8) * 8
+        tokens = np.full((b, n_best, l_max + 1), model.sos_eos_id, np.int32)
+        hyp_lens = np.zeros((b, n_best), np.int32)
+        ctc_scores = np.full((b, n_best), -np.inf, np.float64)
+        for row, row_hyps in enumerate(hyps):
+            for k, (prefix, score) in enumerate(row_hyps):
+                ids = list(prefix)[: l_max]
+                tokens[row, k, 1 : 1 + len(ids)] = ids
+                tokens[row, k, 1 + len(ids) :] = 0
+                hyp_lens[row, k] = len(ids)
+                ctc_scores[row, k] = score
+
+        mem_rep = jnp.broadcast_to(
+            memory[:, None], (b, n_best, t, d)
+        ).reshape(b * n_best, t, d)
+        mem_valid = (
+            jnp.arange(t)[None, :] < jnp.asarray(enc_lens)[:, None]
+        )
+        mem_valid_rep = jnp.broadcast_to(
+            mem_valid[:, None], (b, n_best, t)
+        ).reshape(b * n_best, t)
+        att = np.asarray(
+            self._score(
+                self.params,
+                mem_rep,
+                mem_valid_rep,
+                jnp.asarray(tokens.reshape(b * n_best, l_max + 1)),
+                jnp.asarray(hyp_lens.reshape(b * n_best), jnp.int32),
+            )
+        ).reshape(b, n_best)
+
+        # unfilled slots (rows with < n_best surviving prefixes) stay -inf
+        # regardless of the weights
+        final = np.where(
+            np.isfinite(ctc_scores),
+            self.w * ctc_scores + (1.0 - self.w) * att,
+            -np.inf,
+        )
+        out = []
+        for row in range(b):
+            k = int(np.argmax(final[row]))
+            out.append(
+                tokens[row, k, 1 : 1 + int(hyp_lens[row, k])].astype(np.int32)
+            )
+        return out
+
+    def decode_to_file(
+        self,
+        reader: FeatureReader,
+        outfile: str,
+        *,
+        batch_size: int = 16,
+        bucket_multiple: int = 128,
+    ) -> int:
+        """Stream the test set and write a Kaldi-style ``text`` file."""
+        from tfkaldi_tpu.decode.streaming import pick_stream
+
+        count = 0
+        with open(outfile, "w") as fid:
+            for utt_ids, inputs, lengths in pick_stream(reader)(
+                reader, batch_size=batch_size, bucket_multiple=bucket_multiple
+            ):
+                for utt_id, ids in zip(utt_ids, self.decode_batch(inputs, lengths)):
+                    fid.write(f"{utt_id} {self.coder.decode(ids)}\n")
+                    count += 1
+        return count

@@ -68,6 +68,13 @@ class Seq2SeqConfig:
     ffn_dim: int = 1024
     embed_dim: int = 0  # 0 = d_model (tied decoder width)
     label_smoothing: float = 0.1
+    # joint CTC-attention multitask (Watanabe et al. 2017; the
+    # wenet/espnet production recipe): ctc_weight·CTC(encoder memory) +
+    # (1-ctc_weight)·attention CE. 0 = pure attention. The CTC head
+    # shares the id space: blank = num_labels (the same extra final
+    # class the SOS/EOS uses — a blank is never a decoder token and
+    # SOS/EOS never a CTC label, so one slot serves both).
+    ctc_weight: float = 0.0
     dropout: float = 1.0  # keep probability (reference semantics)
     compute_dtype: Any = jnp.float32
     ln_eps: float = 1e-6
@@ -107,6 +114,7 @@ class Seq2SeqConfig:
             ffn_dim=int(conf.get("ffn_dim", 1024)),
             embed_dim=int(conf.get("embed_dim", 0)),
             label_smoothing=float(conf.get("label_smoothing", 0.1)),
+            ctc_weight=float(conf.get("ctc_weight", 0.0)),
             dropout=float(conf.get("dropout", 1)),
             compute_dtype=jnp.dtype(conf.get("compute_dtype", "float32")),
             scan_unroll=int(conf.get("scan_unroll", 8)),
@@ -246,6 +254,13 @@ class AttentionSeq2Seq:
             params["embed_proj"] = (
                 jax.random.normal(rng, (e, cfg.d_model)) / np.sqrt(e)
             ).astype(jnp.float32)
+        if cfg.ctc_weight > 0.0:
+            # CTC head over the encoder memory (zero-init like every
+            # output layer; width = labels + blank, blank = num_labels)
+            params["ctc_head"] = {
+                "w": jnp.zeros((cfg.d_model, self.vocab_size), jnp.float32),
+                "b": jnp.zeros((self.vocab_size,), jnp.float32),
+            }
         return params, {"enc": enc_state}
 
     # ------------------------------------------------------------------
@@ -328,6 +343,43 @@ class AttentionSeq2Seq:
             preferred_element_type=jnp.float32,
         ) + params["out"]["b"]
         return logits.reshape(b, u, self.vocab_size).astype(jnp.float32)
+
+    def ctc_logits(self, params, memory):
+        """``[B, T', D]`` encoder memory → ``[B, T', V]`` CTC logits
+        (joint CTC-attention head; requires ``ctc_weight > 0``)."""
+        cfg = self.config
+        dtype = cfg.compute_dtype
+        return _dense(
+            memory.astype(dtype), params["ctc_head"]["w"],
+            params["ctc_head"]["b"], dtype,
+        ).astype(jnp.float32)
+
+    def apply_joint(
+        self, params, state, inputs, input_lengths, labels, label_lengths,
+        *, train, dropout_rng=None,
+    ):
+        """One encoder pass feeding both heads: ``(attention logits
+        [B, U+1, V], ctc logits [B, T', V], new state)``."""
+        memory, new_state = self.encode(
+            params, state, inputs, input_lengths, train=train,
+            dropout_rng=dropout_rng,
+        )
+        b, u = labels.shape
+        sos = jnp.full((b, 1), self.sos_eos_id, labels.dtype)
+        tokens = jnp.concatenate([sos, labels], axis=1)
+        token_valid = jnp.arange(u + 1)[None, :] <= label_lengths[:, None]
+        mem_valid = (
+            jnp.arange(memory.shape[1])[None, :]
+            < self.output_lengths(input_lengths)[:, None]
+        )
+        dec_rng = (
+            None if dropout_rng is None else jax.random.fold_in(dropout_rng, 1)
+        )
+        att = self.decode_step_logits(
+            params, tokens, token_valid, memory, mem_valid,
+            train=train, dropout_rng=dec_rng,
+        )
+        return att, self.ctc_logits(params, memory), new_state
 
     # -- KV-cached autoregressive step (decode/seq2seq.py) ---------------
     #

@@ -356,19 +356,35 @@ class Nnet:
             return fusion_from_config(self.conf, coder, column_tokens)
 
         if self.loss_type == "attention":
-            from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+            # decode_mode = rescoring runs the two-pass CTC-nbest +
+            # attention-rescore decode (needs ctc_weight > 0); default is
+            # the autoregressive attention beam
+            if self.conf.get("decode_mode", "beam") == "rescoring":
+                from tfkaldi_tpu.decode.seq2seq import CTCRescoreDecoder
 
-            decoder = Seq2SeqBeamDecoder(
-                self.model,
-                state.params,
-                state.model_state,
-                coder,
-                beam_width=int(self.conf.get("beam_width", 1)),
-                max_tokens=int(self.conf.get("max_decode_tokens", 100)),
-                length_penalty=float(self.conf.get("length_penalty", 0.0)),
-                # the EOS column carries the LM's end-of-sentence term
-                fusion_table=dense_fusion(list(coder.alphabet) + ["</s>"]),
-            )
+                decoder = CTCRescoreDecoder(
+                    self.model,
+                    state.params,
+                    state.model_state,
+                    coder,
+                    beam_width=int(self.conf.get("beam_width", 10)),
+                    rescore_weight=float(self.conf.get("rescore_weight", 0.5)),
+                    max_tokens=int(self.conf.get("max_decode_tokens", 100)),
+                )
+            else:
+                from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+
+                decoder = Seq2SeqBeamDecoder(
+                    self.model,
+                    state.params,
+                    state.model_state,
+                    coder,
+                    beam_width=int(self.conf.get("beam_width", 1)),
+                    max_tokens=int(self.conf.get("max_decode_tokens", 100)),
+                    length_penalty=float(self.conf.get("length_penalty", 0.0)),
+                    # the EOS column carries the LM's end-of-sentence term
+                    fusion_table=dense_fusion(list(coder.alphabet) + ["</s>"]),
+                )
             count = decoder.decode_to_file(
                 reader,
                 outfile,

@@ -161,17 +161,47 @@ class Trainer:
         if self.config.loss_type == "attention":
             # attention encoder-decoder (models/seq2seq.py): teacher-forced
             # label-smoothed CE; position u predicts labels[u], position
-            # label_length predicts EOS (sos/eos = the extra final class)
-            logits, new_state = self.model.apply_seq2seq(
-                params,
-                model_state,
-                batch.inputs,
-                batch.input_lengths,
-                batch.targets,
-                batch.target_lengths,
-                train=train,
-                dropout_rng=rng,
-            )
+            # label_length predicts EOS (sos/eos = the extra final class).
+            # With ctc_weight > 0, the joint CTC-attention multitask adds
+            # a CTC term over the shared encoder memory (one encode pass)
+            ctc_w = float(getattr(self.model.config, "ctc_weight", 0.0))
+            ctc_loss_sum = 0.0
+            if ctc_w > 0.0:
+                logits, ctc_logits, new_state = self.model.apply_joint(
+                    params,
+                    model_state,
+                    batch.inputs,
+                    batch.input_lengths,
+                    batch.targets,
+                    batch.target_lengths,
+                    train=train,
+                    dropout_rng=rng,
+                )
+                enc_lengths = self.model.output_lengths(batch.input_lengths)
+                t_enc = ctc_logits.shape[1]
+                pad_mask = (
+                    jnp.arange(t_enc)[None, :] >= enc_lengths[:, None]
+                ).astype(jnp.float32)
+                lab_pad = (
+                    jnp.arange(batch.targets.shape[1])[None, :]
+                    >= batch.target_lengths[:, None]
+                ).astype(jnp.float32)
+                per_seq_ctc = optax.ctc_loss(
+                    ctc_logits, pad_mask, batch.targets, lab_pad,
+                    blank_id=self.model.sos_eos_id,
+                )
+                ctc_loss_sum = jnp.sum(per_seq_ctc)
+            else:
+                logits, new_state = self.model.apply_seq2seq(
+                    params,
+                    model_state,
+                    batch.inputs,
+                    batch.input_lengths,
+                    batch.targets,
+                    batch.target_lengths,
+                    train=train,
+                    dropout_rng=rng,
+                )
             b, u1, v = logits.shape
             eos = self.model.sos_eos_id
             # EOS lands at each row's length slot via a broadcast compare
@@ -194,6 +224,8 @@ class Trainer:
                 nll = (1.0 - eps) * nll + eps * (-jnp.mean(logp, axis=-1))
             valid = jnp.arange(u1)[None, :] <= batch.target_lengths[:, None]
             loss = jnp.sum(nll * valid)
+            if ctc_w > 0.0:
+                loss = (1.0 - ctc_w) * loss + ctc_w * ctc_loss_sum
             num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
             return loss, (new_state, num_frames)
         logits, new_state = self.model.apply(
