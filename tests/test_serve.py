@@ -308,6 +308,9 @@ def test_service_text_modes(tmp_path, family):
             "model": "seq2seq", "loss": "attention", "enc_type": "lstm",
             "dec_blocks": "1", "d_model": "8", "num_heads": "2",
             "ffn_dim": "12", "max_decode_tokens": "10",
+            # joint model + two-pass rescoring decode through the service
+            "ctc_weight": "0.3", "decode_mode": "rescoring",
+            "rescore_weight": "0.5",
         })
     cfg["nnet"] = nnet_cfg
     net = Nnet(cfg, input_dim=info["feat_dim"] , num_labels=coder.num_labels)

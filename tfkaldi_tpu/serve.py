@@ -63,17 +63,29 @@ class DecodeService:
 
             beam_width = int(nnet.conf.get("beam_width", 1))
             if nnet.loss_type == "attention":
-                from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+                if nnet.conf.get("decode_mode", "beam") == "rescoring":
+                    from tfkaldi_tpu.decode.seq2seq import CTCRescoreDecoder
 
-                self._decoder = Seq2SeqBeamDecoder(
-                    nnet.model, state.params, state.model_state, coder,
-                    beam_width=beam_width,
-                    max_tokens=int(nnet.conf.get("max_decode_tokens", 100)),
-                    length_penalty=float(nnet.conf.get("length_penalty", 0.0)),
-                    fusion_table=fusion_from_config(
-                        nnet.conf, coder, list(coder.alphabet) + ["</s>"]
-                    ),
-                )
+                    self._decoder = CTCRescoreDecoder(
+                        nnet.model, state.params, state.model_state, coder,
+                        beam_width=int(nnet.conf.get("beam_width", 10)),
+                        rescore_weight=float(
+                            nnet.conf.get("rescore_weight", 0.5)
+                        ),
+                        max_tokens=int(nnet.conf.get("max_decode_tokens", 100)),
+                    )
+                else:
+                    from tfkaldi_tpu.decode.seq2seq import Seq2SeqBeamDecoder
+
+                    self._decoder = Seq2SeqBeamDecoder(
+                        nnet.model, state.params, state.model_state, coder,
+                        beam_width=beam_width,
+                        max_tokens=int(nnet.conf.get("max_decode_tokens", 100)),
+                        length_penalty=float(nnet.conf.get("length_penalty", 0.0)),
+                        fusion_table=fusion_from_config(
+                            nnet.conf, coder, list(coder.alphabet) + ["</s>"]
+                        ),
+                    )
             elif nnet.loss_type == "rnnt":
                 max_symbols = int(nnet.conf.get("max_symbols_per_frame", 4))
                 if beam_width > 1:
