@@ -34,6 +34,13 @@ def test_recipe_builds_all_option_objects(recipe):
             TransducerConfig.from_config(nnet, input_dim=40, num_labels=28)
         )
         assert td.vocab_size == 29
+    elif model_type == "seq2seq":
+        from tfkaldi_tpu.models import AttentionSeq2Seq, Seq2SeqConfig
+
+        s2s = AttentionSeq2Seq(
+            Seq2SeqConfig.from_config(nnet, input_dim=40, num_labels=28)
+        )
+        assert s2s.vocab_size == 29
     elif model_type == "dnn":
         dnn = DNNConfig.from_config(nnet, input_dim=440, num_labels=2000)
         assert dnn.num_hidden_layers > 0 and dnn.num_hidden_units > 0
