@@ -506,3 +506,83 @@ def test_rescoring_requires_joint_model():
     model, params, state = tiny_model(seed=68)  # ctc_weight = 0
     with pytest.raises(ValueError, match="ctc_weight"):
         CTCRescoreDecoder(model, params, state, _IdCoder())
+
+
+def test_fused_beam_matches_host_oracle():
+    """Device attention beam WITH dense fusion == the host oracle with
+    the same table lookup (labels AND the EOS column, including the
+    forced closing) — pins where the LM term enters."""
+    model, params, state = tiny_model(seed=70)
+    rng = np.random.default_rng(71)
+    x, xl, _, _ = synth(rng, b=2, t=7)
+    f = _Fusion(V, order=2)
+    f.table = rng.standard_normal(f.table.shape).astype(np.float32) * 0.7
+    k, L = 3, 4
+    dec = Seq2SeqBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=k, max_tokens=L,
+        fusion_table=f,
+    )
+    nbest = dec.decode_batch_nbest(np.asarray(x), np.asarray(xl))
+
+    def lm_row(prefix):
+        last = prefix[-1] if prefix else f.bos_id
+        return f.table[last]
+
+    eos = model.sos_eos_id
+    v_total = model.vocab_size
+    for row in range(2):
+        memory, _ = model.encode(
+            params, state, jnp.asarray(np.asarray(x)[row][None]),
+            jnp.asarray([int(xl[row])], jnp.int32), train=False,
+        )
+        mem_valid = (
+            jnp.arange(memory.shape[1])[None, :]
+            < model.output_lengths(jnp.asarray([int(xl[row])], jnp.int32))[:, None]
+        )
+
+        def next_logp(prefix):
+            toks = np.full((1, L + 1), 0, np.int32)
+            toks[0, 0] = eos
+            toks[0, 1 : 1 + len(prefix)] = prefix
+            valid = np.arange(L + 1)[None, :] <= len(prefix)
+            logits = model.decode_step_logits(
+                params, jnp.asarray(toks), jnp.asarray(valid), memory,
+                mem_valid,
+            )
+            return np.asarray(jax.nn.log_softmax(logits[0, len(prefix)]))
+
+        slots = [dict(tokens=(), score=0.0, fin=False)]
+        for _ in range(k - 1):
+            slots.append(dict(tokens=(), score=_NEG, fin=False))
+        for _ in range(L):
+            cands = []
+            for ki, s in enumerate(slots):
+                base = ki * (v_total + 1)
+                cands.append((s["score"] if s["fin"] else _NEG, base, ki, 0))
+                lp = None if s["fin"] else next_logp(s["tokens"]) + lm_row(s["tokens"])
+                for v in range(v_total):
+                    sc = _NEG if s["fin"] else s["score"] + lp[v]
+                    if len(s["tokens"]) >= L and v != eos:
+                        sc = _NEG
+                    cands.append((sc, base + 1 + v, ki, 1 + v))
+            cands.sort(key=lambda c: (-c[0], c[1]))
+            new = []
+            for sc, _, parent, choice in cands[:k]:
+                p = slots[parent]
+                if choice == 0 or choice == 1 + eos:
+                    new.append(dict(tokens=p["tokens"], score=sc, fin=True))
+                else:
+                    new.append(dict(tokens=p["tokens"] + (choice - 1,),
+                                    score=sc, fin=False))
+            slots = new
+        for s in slots:
+            if not s["fin"] and s["score"] > _NEG / 2:
+                s["score"] += float(
+                    (next_logp(s["tokens"]) + lm_row(s["tokens"]))[eos]
+                )
+        best = max(slots, key=lambda s: s["score"])
+        got_ids, got_score = nbest[row][0]
+        np.testing.assert_array_equal(
+            got_ids, np.asarray(best["tokens"], np.int32)
+        )
+        assert got_score == pytest.approx(best["score"], abs=1e-3)

@@ -360,3 +360,130 @@ def test_streaming_fused_beam_equals_offline():
         got = online.step(piece, n)
     for gi, wi in zip(got, want):
         np.testing.assert_array_equal(gi, wi)
+
+
+def test_fused_beam_matches_host_oracle():
+    """Device beam WITH dense fusion == the host oracle extended with the
+    same table lookup at label-extension points (pins exactly WHERE the
+    LM term enters the candidate scores)."""
+    model, params, state = tiny_model(seed=36)
+    rng = np.random.default_rng(37)
+    x, lens = random_batch(rng, b=2, t=7)
+    fusion = _ZeroFusion(model.config.num_labels, order=2)
+    fusion.table = (
+        rng.standard_normal(fusion.table.shape).astype(np.float32) * 0.7
+    )
+    k, s = 3, 2
+    beam = TransducerBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=k,
+        max_symbols_per_frame=s, fusion_table=fusion,
+    )
+    nbest = beam.decode_batch_nbest(x, lens)
+
+    def lm_row(prefix):
+        last = prefix[-1] if prefix else fusion.bos_id
+        return fusion.table[last]  # order-2: context = last label
+
+    # oracle: same algorithm as _oracle_beam, with the LM term added to
+    # label extensions (blank/stay untouched)
+    for row in range(2):
+        want_ids, want_score = _oracle_beam_fused(
+            model, params, x[row], int(lens[row]), k, s,
+            x.shape[1] * s, lm_row,
+        )
+        got_ids, got_score = nbest[row][0]
+        np.testing.assert_array_equal(got_ids, want_ids)
+        assert got_score == pytest.approx(want_score, abs=1e-3)
+
+
+def _oracle_beam_fused(model, params, feats_row, length, k, max_symbols,
+                       buf_len, lm_row):
+    """_oracle_beam with shallow fusion on label extensions."""
+    enc = np.asarray(
+        model.encode(params, {}, jnp.asarray(feats_row[None]),
+                     jnp.asarray([length], jnp.int32), train=False)[0]
+    )[0]
+
+    def pred_step(token, carry):
+        proj, new_carry = model.predict_step(
+            params, jnp.asarray([token], jnp.int32), jnp.asarray([True]),
+            carry,
+        )
+        return np.asarray(proj)[0], new_carry
+
+    proj0, carry0 = pred_step(model.blank_id, model.init_pred_carry(1))
+    slots = [dict(tokens=(), score=0.0, proj=proj0, carry=carry0,
+                  active=True)]
+    for _ in range(k - 1):
+        slots.append(dict(tokens=(), score=_NEG, proj=proj0, carry=carry0,
+                          active=True))
+    v_total = model.vocab_size
+
+    def logp_of(slot, enc_t):
+        logits = model.joint_step(
+            params, jnp.asarray(enc_t[None]), jnp.asarray(slot["proj"][None])
+        )
+        return np.asarray(jax.nn.log_softmax(logits, axis=-1))[0]
+
+    def merge(slots, use_active):
+        for j in range(len(slots)):
+            if slots[j]["score"] <= _NEG / 2:
+                continue
+            for i in range(j):
+                if slots[i]["score"] <= _NEG / 2:
+                    continue
+                if slots[i]["tokens"] != slots[j]["tokens"]:
+                    continue
+                if use_active and slots[i]["active"] != slots[j]["active"]:
+                    continue
+                slots[i]["score"] = float(
+                    np.logaddexp(slots[i]["score"], slots[j]["score"])
+                )
+                slots[j]["score"] = _NEG
+                break
+        return slots
+
+    for t in range(int(length)):
+        for s in slots:
+            s["active"] = True
+        for step in range(max_symbols + 1):
+            forced = step == max_symbols
+            cands = []
+            for ki, s in enumerate(slots):
+                lp = logp_of(s, enc[t]) if s["active"] else None
+                stay = (s["score"] + lp[model.blank_id]
+                        if s["active"] else s["score"])
+                if forced:
+                    s["score"] = stay
+                    s["active"] = False
+                    continue
+                base = ki * (v_total + 1)
+                cands.append((stay, base, ki, 0))
+                lm = lm_row(s["tokens"]) if s["active"] else None
+                for v in range(v_total):
+                    if v == model.blank_id or not s["active"] or \
+                            len(s["tokens"]) >= buf_len:
+                        sc = _NEG
+                    else:
+                        sc = s["score"] + lp[v] + float(lm[v])
+                    cands.append((sc, base + 1 + v, ki, 1 + v))
+            if forced:
+                slots = merge(slots, use_active=False)
+                break
+            cands.sort(key=lambda c: (-c[0], c[1]))
+            new_slots = []
+            for sc, _, parent, choice in cands[:k]:
+                p = slots[parent]
+                if choice == 0:
+                    new_slots.append(dict(tokens=p["tokens"], score=sc,
+                                          proj=p["proj"], carry=p["carry"],
+                                          active=False))
+                else:
+                    v = choice - 1
+                    proj, carry = pred_step(v, p["carry"])
+                    new_slots.append(dict(tokens=p["tokens"] + (v,),
+                                          score=sc, proj=proj, carry=carry,
+                                          active=True))
+            slots = merge(new_slots, use_active=True)
+    best = max(slots, key=lambda s: s["score"])
+    return np.asarray(best["tokens"], np.int32), best["score"]
