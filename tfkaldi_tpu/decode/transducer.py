@@ -61,6 +61,12 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
             proj = jnp.where(emit[:, None], new_proj, proj)
             return proj, carry, buf, counts, emit
 
+        # fori, deliberately NOT an early-exit while_loop: iterations after
+        # every row goes blank ARE no-ops, but an in-process forced-readback
+        # A/B (v5e, 16×512) put the while variant at 1.22× SLOWER with dense
+        # emissions and only parity (0.97×) at zero emission density — the
+        # per-iteration `any(active)` cond costs as much as the tiny bodies
+        # it could skip
         proj, carry, buf, counts, _ = jax.lax.fori_loop(
             0, max_symbols, sym,
             (proj, carry, buf, counts, jnp.ones((b,), bool)),
