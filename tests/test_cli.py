@@ -306,7 +306,7 @@ def test_cli_seq2seq_train_and_decode(workspace):
         "[nnet]\nloss = attention\nmodel = seq2seq\nnormalizer = aurora4\n"
         "enc_type = lstm\ndec_blocks = 1\nd_model = 16\nnum_heads = 2\n"
         "ffn_dim = 24\nbeam_width = 2\nmax_decode_tokens = 20\n"
-        "scan_unroll = 1",
+        "ctc_weight = 0.3\nscan_unroll = 1",
     )
     s_cfg.write_text(text)
 
@@ -320,3 +320,15 @@ def test_cli_seq2seq_train_and_decode(workspace):
     lines = out.read_text().splitlines()
     assert len(lines) == 6
     assert all(line.split(" ", 1)[0].startswith("test_spk") for line in lines)
+
+    # same checkpoint, two-pass attention-rescoring decode
+    r_cfg = tmp / "config_s2s_rescore.cfg"
+    r_cfg.write_text(
+        s_cfg.read_text().replace(
+            "[nnet]", "[nnet]\ndecode_mode = rescoring\nrescore_weight = 0.5"
+        )
+    )
+    rc = main(["--config", str(r_cfg), "--steps", "test_nnet"])
+    assert rc == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 6
