@@ -622,3 +622,54 @@ def test_subsampled_ctc_streaming_equals_offline(chunk):
             final[row], off_beam[row],
             err_msg=f"beam chunk={chunk} row={row}",
         )
+
+
+@pytest.mark.parametrize("s", [2, 3, 5])
+def test_subsample_streaming_property(s):
+    """Randomized chunk splits × ragged lengths × subsample factors: the
+    buffered stacking front-end + flush equals offline for EVERY
+    chunking (property-style over the trickiest index arithmetic)."""
+    model = _model(subsample=s, num_blocks=1, conformer=True, conv_kernel=3,
+                   causal_conv=True, left_context=3, right_context=0,
+                   d_model=12, num_heads=2, ffn_dim=16)
+    params, state = _rand_params(model, seed=50 + s)
+    rng = np.random.default_rng(60 + s)
+    b, t = 3, 17
+    x = rng.standard_normal((b, t, 8)).astype(np.float32)
+    lens = np.asarray(sorted(rng.integers(1, t + 1, b))[::-1], np.int32)
+    lens[0] = t
+    off, _ = model.apply(params, state, jnp.asarray(x), jnp.asarray(lens),
+                         train=False)
+    off = np.asarray(off)
+    out_lens = np.asarray(model.output_lengths(jnp.asarray(lens)))
+
+    for trial in range(4):
+        # random chunk split of [0, t)
+        cuts = sorted(rng.choice(np.arange(1, t), size=rng.integers(1, 6),
+                                 replace=False).tolist())
+        bounds = [0] + cuts + [t]
+        carry = model.init_stream_carry(b)
+        got = [[] for _ in range(b)]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            piece = x[:, lo:hi]
+            n = np.clip(lens - lo, 0, hi - lo).astype(np.int32)
+            n_out = np.asarray(
+                model.stream_output_lengths(carry, jnp.asarray(n))
+            )
+            out, carry = model.apply_stream(
+                params, state, jnp.asarray(piece), jnp.asarray(n), carry
+            )
+            out = np.asarray(out)
+            for r in range(b):
+                got[r].extend(out[r, : n_out[r]])
+        fo, nf, carry = model.apply_stream_flush(params, state, carry)
+        fo, nf = np.asarray(fo), np.asarray(nf)
+        for r in range(b):
+            if nf[r]:
+                got[r].append(fo[r, 0])
+            g = np.asarray(got[r])
+            assert g.shape[0] == out_lens[r], (s, trial, bounds, r)
+            np.testing.assert_allclose(
+                g, off[r, : out_lens[r]], rtol=1e-5, atol=1e-5,
+                err_msg=f"s={s} trial={trial} bounds={bounds} row={r}",
+            )
