@@ -408,3 +408,60 @@ def test_online_windowed_matches_offline(family, chunk_len):
             g, offline[row, : lengths[row]], rtol=0, atol=2e-5,
             err_msg=f"{family} chunk={chunk_len} row={row}",
         )
+
+
+def test_online_windowed_property_random_chunkings():
+    """Randomized chunk splits over the windowed TDNN streamer: equality
+    with offline for every cut pattern (property-style over the buffer /
+    window index arithmetic)."""
+    from tfkaldi_tpu.decode.decoder import Decoder
+    from tfkaldi_tpu.decode.online import OnlineWindowedDecoder
+    from tfkaldi_tpu.frontend.cmvn import splice
+    from tfkaldi_tpu.models import TDNN, TDNNConfig
+
+    import jax
+
+    dim, c, labels = 5, 2, 6
+    model = TDNN(TDNNConfig(
+        input_dim=dim * (2 * c + 1), num_labels=labels,
+        num_hidden_layers=2, num_hidden_units=12, context="-2,0,2;-1,0,1",
+    ))
+    params, state = model.init(jax.random.PRNGKey(7))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(8), params["out"]["w"].shape) * 0.4
+    )
+    prior = np.full((labels,), 1.0 / labels, np.float32)
+    rng = np.random.default_rng(17)
+    b, total = 2, 29
+    lengths = np.asarray([29, 13], np.int32)
+    feats = rng.standard_normal((b, total, dim)).astype(np.float32)
+    for row, n in enumerate(lengths):
+        feats[row, n:] = 0
+    offline = np.asarray(
+        Decoder(model, params, state, prior).compute_batch(
+            np.asarray(splice(feats, c)), lengths
+        )
+    )
+    for trial in range(4):
+        cuts = sorted(rng.choice(np.arange(1, total), size=rng.integers(1, 7),
+                                 replace=False).tolist())
+        bounds = [0] + cuts + [total]
+        dec = OnlineWindowedDecoder(model, params, state, prior,
+                                    context_width=c)
+        dec.reset(b)
+        got = [[] for _ in range(b)]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ck = feats[:, lo:hi]
+            cl = np.clip(lengths - lo, 0, hi - lo).astype(np.int32)
+            likes, nnew = dec.step(ck, cl)
+            for row in range(b):
+                got[row].append(likes[row, : nnew[row]])
+        likes, nnew = dec.flush()
+        for row in range(b):
+            got[row].append(likes[row, : nnew[row]])
+            g = np.concatenate(got[row], axis=0)
+            assert g.shape[0] == lengths[row], (trial, bounds, row)
+            np.testing.assert_allclose(
+                g, offline[row, : lengths[row]], rtol=0, atol=2e-5,
+                err_msg=f"trial={trial} bounds={bounds} row={row}",
+            )
