@@ -22,6 +22,12 @@ import numpy as np
 
 from tfkaldi_tpu.frontend.cmvn import cmvn_stats
 from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+from tfkaldi_tpu.frontend.perturb import (
+    expand_metadata,
+    factor_prefix,
+    parse_factors,
+    resample_signal,
+)
 from tfkaldi_tpu.io import ArkReader, ArkWriter, read_segments, read_spk2utt, read_wavfiles
 from tfkaldi_tpu.io.wav import read_wav
 
@@ -68,6 +74,10 @@ def prepare_data(
     if dynamic:
         conf["dynamic"] = dynamic
     opts = FeatureOpts.from_config(conf)
+    # optional 3-way speed perturbation (Kaldi sp0.9/1.0/1.1 recipe); the
+    # reference has no augmentation — see frontend/perturb.py
+    perturb_spec = str(conf.get("speed_perturb", "")).strip()
+    factors = parse_factors(perturb_spec) if perturb_spec else (1.0,)
 
     ark_path = os.path.join(featdir, "feats.ark")
     if os.path.isfile(ark_path):
@@ -136,18 +146,26 @@ def prepare_data(
                 raise ValueError(f"mixed sample rates: {rate} vs {extractor.rate}")
             if sig.ndim > 1:  # multi-channel: first channel
                 sig = sig[:, 0]
-            pending.append((utt_id, np.asarray(sig, dtype=np.float32)))
-            if len(pending) >= batch_size:
-                dispatch()
-                drain(writer, keep=1)
+            sig = np.asarray(sig, dtype=np.float32)
+            for fac in factors:
+                pending.append((factor_prefix(fac) + utt_id, resample_signal(sig, fac)))
+                if len(pending) >= batch_size:
+                    dispatch()
+                    drain(writer, keep=1)
         dispatch()
         drain(writer, keep=0)
     reader.join()
     if reader_error:
         raise reader_error[0]
 
-    # copy metadata into the featdir (prepare_data.py:72-76)
-    for name in ("utt2spk", "spk2utt", "text", "wav.scp"):
+    # copy metadata into the featdir (prepare_data.py:72-76); under speed
+    # perturbation utt2spk/spk2utt/text are expanded with prefixed copies
+    # instead (frontend/perturb.py)
+    copy_names = ("utt2spk", "spk2utt", "text", "wav.scp")
+    if factors != (1.0,):
+        expand_metadata(datadir, featdir, factors)
+        copy_names = ("wav.scp",)
+    for name in copy_names:
         src = os.path.join(datadir, name)
         if os.path.isfile(src):
             shutil.copyfile(src, os.path.join(featdir, name))
