@@ -124,6 +124,10 @@ class OnlineCTCDecoder:
         self.blank_id = int(blank_id)
         self._carry = None
         self._prev = None  # last raw frame label per row (cross-chunk dedupe)
+        # last chunk's raw per-frame argmax labels [B, T] + valid counts
+        # [B] — consumed by decode/endpoint.py::Endpointer
+        self.last_frame_labels = None
+        self.last_n_out = None
 
         def compute(chunk, lengths, carry, params, model_state):
             # under a subsampling front-end the emitted-position count
@@ -177,7 +181,10 @@ class OnlineCTCDecoder:
         lengths = np.asarray(lengths, np.int32)
         if chunk.shape[1] == 0:
             # empty chunk (e.g. a feature flush that added no frames)
-            return [np.zeros((0,), np.int32) for _ in range(chunk.shape[0])]
+            b = chunk.shape[0]
+            self.last_frame_labels = np.zeros((b, 0), np.int32)
+            self.last_n_out = np.zeros((b,), np.int32)
+            return [np.zeros((0,), np.int32) for _ in range(b)]
         paths, n_out, self._carry = self._fn(
             jnp.asarray(chunk, jnp.float32),
             jnp.asarray(lengths, jnp.int32),
@@ -185,7 +192,9 @@ class OnlineCTCDecoder:
             self.params,
             self.model_state,
         )
-        return self._collapse(np.asarray(paths), np.asarray(n_out))
+        self.last_frame_labels = np.asarray(paths)
+        self.last_n_out = np.asarray(n_out)
+        return self._collapse(self.last_frame_labels, self.last_n_out)
 
     def finish(self) -> list[np.ndarray]:
         """End the utterances: decode the subsampling front-end's final
@@ -195,12 +204,17 @@ class OnlineCTCDecoder:
             raise RuntimeError("call reset(batch_size) before finish()")
         b = self._prev.shape[0]
         if self._flush_fn is None:
+            self.last_frame_labels = np.zeros((b, 0), np.int32)
+            self.last_n_out = np.zeros((b,), np.int32)
             return [np.zeros((0,), np.int32) for _ in range(b)]
         logits, n, self._carry = self._flush_fn(
             self._carry, self.params, self.model_state
         )
-        paths = np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
-        return self._collapse(paths, np.asarray(n))
+        self.last_frame_labels = np.asarray(
+            jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        )
+        self.last_n_out = np.asarray(n)
+        return self._collapse(self.last_frame_labels, self.last_n_out)
 
 
 class OnlineCTCBeamDecoder:
@@ -241,6 +255,10 @@ class OnlineCTCBeamDecoder:
         self.fusion_scorer = fusion_scorer
         self._carry = None
         self._beams = None
+        # last chunk's raw per-frame argmax labels [B, T] + valid counts
+        # [B] — consumed by decode/endpoint.py::Endpointer
+        self.last_frame_labels = None
+        self.last_n_out = None
 
         def compute(chunk, lengths, carry, params, model_state):
             out_fn = getattr(model, "stream_output_lengths", None)
@@ -275,6 +293,8 @@ class OnlineCTCBeamDecoder:
 
         # offline search runs in f64 (ctc_beam.py); match it exactly
         log_probs = np.asarray(log_probs, np.float64)
+        self.last_frame_labels = np.argmax(log_probs, axis=-1).astype(np.int32)
+        self.last_n_out = np.asarray(n_out, np.int32)
         for row in range(log_probs.shape[0]):
             for t in range(int(n_out[row])):
                 self._beams[row] = beam_step(
@@ -289,6 +309,8 @@ class OnlineCTCBeamDecoder:
             raise RuntimeError("call reset(batch_size) before step()")
         chunk = np.asarray(chunk)
         lengths = np.asarray(lengths, np.int32)
+        self.last_frame_labels = np.zeros((chunk.shape[0], 0), np.int32)
+        self.last_n_out = np.zeros((chunk.shape[0],), np.int32)
         if chunk.shape[1] > 0:
             log_probs, n_out, self._carry = self._fn(
                 jnp.asarray(chunk, jnp.float32),
@@ -374,12 +396,19 @@ class StreamingTranscriber:
         online_extractor,  # frontend.online.OnlineFeatureExtractor
         model, params, model_state, coder, blank_id: int,
         *, cmvn: np.ndarray | None = None, beam_width: int = 1,
-        fusion_scorer=None,
+        fusion_scorer=None, endpoint_config=None,
     ):
         self.extractor = online_extractor
         self.coder = coder
         self.cmvn = None if cmvn is None else np.asarray(cmvn)
         self.beam_width = int(beam_width)
+        # optional endpointing (decode/endpoint.py): per-row blank-silence
+        # rules over the decoder's per-frame argmax stream
+        self._endpointer = None
+        if endpoint_config is not None:
+            from tfkaldi_tpu.decode.endpoint import Endpointer
+
+            self._endpointer = Endpointer(endpoint_config, blank_id)
         if fusion_scorer is not None and self.beam_width <= 1:
             raise ValueError(
                 "LM shallow fusion needs beam_width > 1 (greedy decoding "
@@ -397,6 +426,8 @@ class StreamingTranscriber:
     def reset(self, batch_size: int) -> None:
         self.extractor.reset(batch_size)
         self._dec.reset(batch_size)
+        if self._endpointer is not None:
+            self._endpointer.reset(batch_size)
         self._ids = [[] for _ in range(batch_size)]
 
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
@@ -407,12 +438,19 @@ class StreamingTranscriber:
         feats = feats.astype(np.float32)
         if self.beam_width > 1:
             ids = self._dec.step(feats, n_new)
-            return [self.coder.decode(row) for row in ids]
-        for row, new_ids in enumerate(self._dec.step(feats, n_new)):
-            self._ids[row].extend(new_ids.tolist())
-        return [
-            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
-        ]
+            out = [self.coder.decode(row) for row in ids]
+        else:
+            for row, new_ids in enumerate(self._dec.step(feats, n_new)):
+                self._ids[row].extend(new_ids.tolist())
+            out = [
+                self.coder.decode(np.asarray(row, np.int32))
+                for row in self._ids
+            ]
+        if self._endpointer is not None:
+            self._endpointer.update(
+                self._dec.last_frame_labels, self._dec.last_n_out
+            )
+        return out
 
     def push(self, audio_chunk, lengths) -> list[str]:
         """``[B, S]`` audio samples (``lengths`` valid per row) → current
@@ -438,6 +476,18 @@ class StreamingTranscriber:
             ]
         self._ids = None
         return out
+
+    def endpointed(self) -> np.ndarray:
+        """Latched per-row endpoint flags (requires ``endpoint_config``).
+
+        The serving loop polls this after each ``push`` and calls
+        ``finish()`` for rows whose utterance has ended (trailing blank
+        silence / max length — decode/endpoint.py rules)."""
+        if self._endpointer is None:
+            raise RuntimeError(
+                "StreamingTranscriber was built without endpoint_config"
+            )
+        return self._endpointer.detected()
 
 
 class OnlineSplicedDecoder:
