@@ -1112,45 +1112,24 @@ def main() -> None:
             "vs_baseline": round(e2e["e2e_fps"] / ref, 2),
             "input_native_fps": round(e2e["input_native_fps"], 1),
             "input_python_fps": round(e2e["input_python_fps"], 1),
+            # machine-readable caveat: in this sandbox the host<->device link
+            # is a ~10 MB/s tunnel, so this number measures staging, not the
+            # device. On a real TPU host it is bounded by the input pipeline.
+            "staging": "tunnel",
         }
         print(json.dumps(e2e_line))
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] e2e bench failed: {e}", file=sys.stderr)
+    # Every secondary metric already printed as its own line above. The
+    # headline prints LAST and stays compact (<500 chars) so the driver's
+    # tail capture always parses it (round 3's nested-"extra" headline
+    # exceeded the capture window and was recorded as parsed=null).
     headline = {
         "metric": "dnn_train_throughput",
         "value": round(ours, 1),
         "unit": "frames/sec",
         "vs_baseline": round(ours / ref, 2),
     }
-    extra = {}
-    if feat_line is not None:
-        # duplicated inside the headline line so a single-line parser
-        # still records the feature gate
-        extra["feature_throughput"] = feat_line
-    if lstm_line is not None:
-        extra["lstm_train_throughput"] = lstm_line
-    if gru_line is not None:
-        extra["gru_train_throughput"] = gru_line
-    if tdnn_line is not None:
-        extra["tdnn_train_throughput"] = tdnn_line
-    if cnn_line is not None:
-        extra["cnn_train_throughput"] = cnn_line
-    if conformer_line is not None:
-        extra["conformer_train_throughput"] = conformer_line
-    if conformer_ctc_line is not None:
-        extra["conformer_ctc_train_throughput"] = conformer_ctc_line
-    if decode_line is not None:
-        extra["decode_throughput"] = decode_line
-    if ctc_line is not None:
-        extra["ctc_train_throughput"] = ctc_line
-    if rnnt_line is not None:
-        extra["rnnt_train_throughput"] = rnnt_line
-    if attention_line is not None:
-        extra["attention_train_throughput"] = attention_line
-    if e2e_line is not None:
-        extra["e2e_train_throughput"] = e2e_line
-    if extra:
-        headline["extra"] = extra
     print(json.dumps(headline))
 
 

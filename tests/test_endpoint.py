@@ -173,3 +173,37 @@ def test_transcriber_endpointing_wiring():
     tx2.reset(1)
     with pytest.raises(RuntimeError, match="endpoint_config"):
         tx2.endpointed()
+
+
+def test_transcriber_endpoint_shift_follows_subsample():
+    """A subsampling front-end stretches one decoder-output frame to
+    subsample_factor feature steps; the default frame_shift must scale
+    with it (an explicit non-default shift is kept verbatim)."""
+    from tfkaldi_tpu.decode import StreamingTranscriber
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256),
+        8000,
+    )
+
+    class _Cfg:
+        bidirectional = False
+
+    class _SubModel:
+        subsample_factor = 4
+        config = _Cfg()
+
+    def make(cfg):
+        return StreamingTranscriber(
+            OnlineFeatureExtractor(ext), _SubModel(), {}, {}, None, 0,
+            endpoint_config=cfg,
+        )
+
+    # class default 0.01 -> derived 0.04 on a subsample-4 model
+    tx = make(EndpointConfig())
+    assert tx._endpointer.config.frame_shift == pytest.approx(0.04)
+    # an explicit user-set shift is honored unchanged
+    tx = make(EndpointConfig(frame_shift=0.02))
+    assert tx._endpointer.config.frame_shift == pytest.approx(0.02)

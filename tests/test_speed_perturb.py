@@ -46,26 +46,45 @@ def test_resample_identity_at_unity():
     assert resample_signal(sig, 1.0) is sig  # bit-exact, no copy
 
 
-def test_resample_length_and_slope():
-    # a linear ramp stays a ramp; slope per output sample scales by f
+def test_resample_length():
     n = 1000
     sig = np.arange(n, dtype=np.float32)
     for f in (0.9, 1.1, 2.0, 0.5):
         out = resample_signal(sig, f)
         assert len(out) == int(round(n / f))
-        diffs = np.diff(out.astype(np.float64))
-        # interior diffs equal f (linear interp of a ramp); the clipped
-        # last sample may flatten, so check all but the final diff
-        # float32 output storage quantizes values up to ~1000 at ~6e-5 abs
-        np.testing.assert_allclose(diffs[:-1], f, atol=2e-4)
-        assert out[0] == 0.0
+        assert out.dtype == np.float32
+
+
+def test_resample_tone_frequency_scales():
+    # band-limited semantics (sox speed): a pure tone at f0 comes out at
+    # f0 * factor, with the bulk of its energy still in one spectral peak
+    f0 = 1000.0
+    t = np.arange(RATE, dtype=np.float64) / RATE
+    sig = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    for f in (0.9, 1.1):
+        out = resample_signal(sig, f).astype(np.float64)
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak_hz = np.argmax(spec) * RATE / len(out)
+        assert abs(peak_hz - f0 * f) < 5.0, (f, peak_hz)
+
+
+def test_resample_antialiases_speedup():
+    # for factor > 1 content above the new effective Nyquist must be
+    # filtered out, not folded back (linear interp aliases it); 7.9 kHz
+    # at sp1.1 would land at 8.69 kHz > Nyquist -> alias to ~7.3 kHz
+    f0 = 7900.0
+    t = np.arange(RATE, dtype=np.float64) / RATE
+    sig = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    out = resample_signal(sig, 1.1).astype(np.float64)
+    # energy of the anti-aliased output is tiny vs the input tone
+    assert np.mean(out**2) < 1e-3 * np.mean(np.asarray(sig, np.float64) ** 2)
 
 
 def test_resample_empty_and_tiny():
     assert len(resample_signal(np.zeros(0, np.float32), 0.9)) == 0
     out = resample_signal(np.ones(3, np.float32), 1.1)
     assert len(out) == int(round(3 / 1.1))
-    np.testing.assert_allclose(out, 1.0)
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
 
 
 def test_expand_metadata(tmp_path):

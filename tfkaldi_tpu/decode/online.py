@@ -406,8 +406,22 @@ class StreamingTranscriber:
         # rules over the decoder's per-frame argmax stream
         self._endpointer = None
         if endpoint_config is not None:
-            from tfkaldi_tpu.decode.endpoint import Endpointer
+            import dataclasses
 
+            from tfkaldi_tpu.decode.endpoint import EndpointConfig, Endpointer
+
+            # EndpointConfig.frame_shift is per DECODER OUTPUT frame; with
+            # a subsampling front-end one output frame spans
+            # subsample_factor feature frames. If the caller left the
+            # class default (0.01 s = one unsubsampled feature step) on a
+            # subsampled model, every rule would fire subsample_factor
+            # times too late — derive the true shift from the model.
+            sub = int(getattr(model, "subsample_factor", 1) or 1)
+            default_shift = EndpointConfig.frame_shift
+            if sub != 1 and endpoint_config.frame_shift == default_shift:
+                endpoint_config = dataclasses.replace(
+                    endpoint_config, frame_shift=default_shift * sub
+                )
             self._endpointer = Endpointer(endpoint_config, blank_id)
         if fusion_scorer is not None and self.beam_width <= 1:
             raise ValueError(

@@ -39,7 +39,13 @@ def parse_factors(spec: str) -> tuple[float, ...]:
         f = float(tok)
         if f <= 0:
             raise ValueError(f"speed_perturb factor must be > 0, got {tok!r}")
-        if any(abs(f - g) < 1e-12 for g in factors):
+        # dedup on the id-prefix string, not just numerically: two factors
+        # that differ by >1e-12 but render to the same %g prefix (0.9 vs
+        # 0.8999999) would collide on utterance ids / ark keys
+        if any(
+            abs(f - g) < 1e-12 or factor_prefix(f) == factor_prefix(g)
+            for g in factors
+        ):
             raise ValueError(f"duplicate speed_perturb factor {tok!r}")
         factors.append(f)
     if not factors:
@@ -54,14 +60,50 @@ def factor_prefix(factor: float) -> str:
     return f"sp{factor:g}-"
 
 
+def _rational(factor: float) -> tuple[int, int]:
+    """``1/factor`` as ``(up, down)``; sp factors are short decimals
+    (9/10, 11/10) so the rational form is exact for the standard recipe."""
+    from fractions import Fraction
+
+    frac = Fraction(factor).limit_denominator(1000)
+    return frac.denominator, frac.numerator
+
+
+_FILTER_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _antialias_filter(up: int, down: int) -> np.ndarray:
+    """Long Kaiser-windowed lowpass at the polyphase rate.
+
+    scipy's default (``kaiser`` beta 5.0, half-length ``10*max(up,down)``)
+    leaves only ~-18 dB near the band edge; sox's ``speed`` is far
+    sharper. 32 taps/phase with beta 12 gives ~-50 dB within 4% of the
+    cutoff and a flat passband — measured in tests/test_speed_perturb.py.
+    """
+    key = (up, down)
+    h = _FILTER_CACHE.get(key)
+    if h is None:
+        from scipy.signal import firwin
+
+        max_ud = max(up, down)
+        half = 32 * max_ud
+        h = firwin(2 * half + 1, 1.0 / max_ud, window=("kaiser", 12.0))
+        _FILTER_CACHE[key] = h
+    return h
+
+
 def resample_signal(sig: np.ndarray, factor: float) -> np.ndarray:
     """Resample a 1-D signal by speed ``factor`` (sox ``speed`` semantics).
 
-    Output sample ``i`` reads input time ``i * factor`` by linear
-    interpolation; the new length is ``round(n / factor)`` so duration
-    scales by ``1/factor``. Factor 1.0 returns the input unchanged
-    (bit-exact identity — the unperturbed copy of a 3-way corpus must be
-    byte-identical to a run without perturbation).
+    Band-limited polyphase resampling (``scipy.signal.resample_poly`` on
+    a rational ``up/down`` approximation of ``1/factor``), matching sox
+    ``speed``'s anti-aliased behavior: content above the new effective
+    Nyquist is filtered out for ``factor > 1`` instead of aliasing, and
+    high frequencies are preserved for ``factor < 1``. Output length is
+    ``round(n / factor)`` so duration scales by ``1/factor``. Factor 1.0
+    returns the input unchanged (bit-exact identity — the unperturbed
+    copy of a 3-way corpus must be byte-identical to a run without
+    perturbation).
     """
     if factor == 1.0:
         return sig
@@ -69,10 +111,22 @@ def resample_signal(sig: np.ndarray, factor: float) -> np.ndarray:
     new_len = max(0, int(round(n / factor)))
     if n == 0 or new_len == 0:
         return sig[:0].astype(np.float32)
-    pos = np.arange(new_len, dtype=np.float64) * factor
-    # clip: round-up lengths can place the last read epsilon past n-1
-    pos = np.minimum(pos, n - 1)
-    out = np.interp(pos, np.arange(n, dtype=np.float64), sig.astype(np.float64))
+    from scipy.signal import resample_poly
+
+    up, down = _rational(factor)
+    # padtype='line': extend edges along the local linear trend so the
+    # filter does not ring against implicit zero padding at utterance
+    # boundaries
+    out = resample_poly(
+        sig.astype(np.float64), up, down,
+        window=_antialias_filter(up, down), padtype="line",
+    )
+    # polyphase length is ceil(n*up/down); pin to round(n/factor) so the
+    # duration contract (and downstream frame counts) are deterministic
+    if len(out) >= new_len:
+        out = out[:new_len]
+    else:  # pragma: no cover - ceil >= round always, kept as a guard
+        out = np.pad(out, (0, new_len - len(out)))
     return out.astype(np.float32)
 
 

@@ -160,11 +160,16 @@ def prepare_data(
 
     # copy metadata into the featdir (prepare_data.py:72-76); under speed
     # perturbation utt2spk/spk2utt/text are expanded with prefixed copies
-    # instead (frontend/perturb.py)
+    # instead (frontend/perturb.py). wav.scp is deliberately NOT copied
+    # when perturbing: a verbatim copy would only carry the unprefixed
+    # third of the utterance ids (mutually inconsistent with the expanded
+    # utt2spk/text), and prefixed entries pointing at the original audio
+    # would be wrong about the signal. Consumers of the perturbed featdir
+    # read features from feats.scp, never raw audio.
     copy_names = ("utt2spk", "spk2utt", "text", "wav.scp")
     if factors != (1.0,):
         expand_metadata(datadir, featdir, factors)
-        copy_names = ("wav.scp",)
+        copy_names = ()
     for name in copy_names:
         src = os.path.join(datadir, name)
         if os.path.isfile(src):
