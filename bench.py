@@ -822,6 +822,167 @@ def bench_e2e_train() -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_streaming_tpu() -> dict:
+    """Streaming serving latency + real-time factor (batch 1, 16 kHz).
+
+    Three production streaming stacks, each swept over 40/160/640 ms
+    audio chunks:
+
+    - ``conformer``: causal subsampled (x4) conformer-CTC through
+      ``StreamingTranscriber`` (raw audio -> online features -> encoder
+      -> greedy CTC), the flagship streaming recipe
+    - ``lstm_hybrid``: 2xLSTM-512 likelihood emission through
+      ``OnlineRecurrentDecoder`` (feature chunks in, the hybrid analog of
+      the reference's batch-1 loop, nnet.py:270-286)
+    - ``dnn_hybrid``: 6x2048 DNN through ``OnlineSplicedDecoder``
+      (context-5 splice lookahead)
+
+    Reports per-chunk wall latency p50/p99 (ms) and RTF = audio seconds
+    processed per wall second. In THIS sandbox every chunk crosses a
+    ~10 MB/s high-latency host<->device tunnel, so absolute latencies
+    carry a tunnel dispatch floor a real TPU host does not have (the
+    metric line is tagged ``staging: tunnel``); RTF ratios between chunk
+    sizes and between stacks remain meaningful.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tfkaldi_tpu.decode.online import (
+        OnlineRecurrentDecoder,
+        OnlineSplicedDecoder,
+        StreamingTranscriber,
+    )
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.models import (
+        DNN,
+        DNNConfig,
+        LSTM,
+        RNNConfig,
+        Transformer,
+        TransformerConfig,
+    )
+
+    rate = 16000
+    nfilt = 40
+    opts = FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=nfilt,
+                       nfft=512)
+    chunk_ms = (40, 160, 640)
+    total_audio_s = 40.0  # per (stack, chunk size) measurement window
+    rng = np.random.default_rng(0)
+
+    class _IdCoder:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    def sweep(push, chunk_samples, warmup_pushes=8):
+        """Push fixed-size chunks; return (p50_ms, p99_ms, rtf)."""
+        n_chunks = max(8, int(total_audio_s * rate / chunk_samples))
+        chunk = (rng.standard_normal((1, chunk_samples)) * 1000).astype(np.float32)
+        lens = np.asarray([chunk_samples])
+        for _ in range(warmup_pushes):  # compile all bucket shapes
+            push(chunk, lens)
+        lat = np.empty(n_chunks)
+        t_start = time.perf_counter()
+        for i in range(n_chunks):
+            t0 = time.perf_counter()
+            push(chunk, lens)
+            lat[i] = time.perf_counter() - t0
+        wall = time.perf_counter() - t_start
+        rtf = (n_chunks * chunk_samples / rate) / wall
+        return (
+            float(np.percentile(lat, 50) * 1e3),
+            float(np.percentile(lat, 99) * 1e3),
+            float(rtf),
+        )
+
+    results: dict[str, dict] = {}
+
+    # -- flagship: causal subsampled conformer-CTC, raw audio in ----------
+    num_labels = 29  # character CTC
+    model = Transformer(TransformerConfig(
+        input_dim=nfilt, num_labels=num_labels + 1, num_blocks=12, d_model=256,
+        num_heads=4, ffn_dim=1024, conformer=True, conv_kernel=15,
+        causal_conv=True, left_context=64, right_context=0, subsample=4,
+        compute_dtype=jnp.bfloat16,
+    ))
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    ext = FeatureExtractor(opts, rate)
+    res = {}
+    feat_res = {}
+    for ms in chunk_ms:
+        samples = rate * ms // 1000
+        tx = StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, mstate, _IdCoder(),
+            num_labels, beam_width=1,
+        )
+        tx.reset(1)
+        p50, p99, rtf = sweep(tx.push, samples)
+        res[str(ms)] = {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                        "rtf": round(rtf, 2)}
+        # stage budget: the online feature front-end alone on the same
+        # chunks (encoder+search = total - features)
+        fext = OnlineFeatureExtractor(ext)
+        fext.reset(1)
+        fp50, _, _ = sweep(lambda c, l: fext.step(c, l), samples, warmup_pushes=4)
+        feat_res[str(ms)] = round(fp50, 2)
+        print(f"[bench] streaming conformer {ms}ms: p50 {p50:.1f}ms p99 {p99:.1f}ms "
+              f"rtf {rtf:.2f} (features alone p50 {fp50:.1f}ms)", file=sys.stderr)
+    results["conformer"] = res
+    results["conformer_features_p50_ms"] = feat_res
+
+    # -- LSTM hybrid: feature chunks -> streaming likelihoods -------------
+    o = 2000
+    lstm = LSTM(RNNConfig(input_dim=nfilt, num_labels=o, num_layers=2,
+                          hidden_units=512, bidirectional=False,
+                          compute_dtype=jnp.bfloat16))
+    lparams, lstate = lstm.init(jax.random.PRNGKey(1))
+    prior = np.full((o,), 1.0 / o, np.float32)
+    res = {}
+    for ms in chunk_ms:
+        frames = max(1, ms // 10)  # 10 ms winstep
+        dec = OnlineRecurrentDecoder(lstm, lparams, lstate, prior)
+        dec.reset(1)
+        fchunk = rng.standard_normal((1, frames, nfilt)).astype(np.float32)
+        flens = np.asarray([frames])
+        # np.asarray: step returns an unsynced device array; serving reads
+        # the likelihoods on host, so the honest latency includes it
+        p50, p99, rtf = sweep(
+            lambda c, l, d=dec, fc=fchunk, fl=flens: np.asarray(d.step(fc, fl)),
+            rate * ms // 1000,
+        )
+        res[str(ms)] = {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                        "rtf": round(rtf, 2)}
+        print(f"[bench] streaming lstm hybrid {ms}ms: p50 {p50:.1f}ms "
+              f"p99 {p99:.1f}ms rtf {rtf:.2f}", file=sys.stderr)
+    results["lstm_hybrid"] = res
+
+    # -- DNN hybrid: spliced lookahead emission ----------------------------
+    cw = 5
+    dnn = DNN(DNNConfig(input_dim=nfilt * (2 * cw + 1), num_labels=o,
+                        num_hidden_layers=6, num_hidden_units=2048,
+                        nonlin="relu", batch_norm=True,
+                        compute_dtype=jnp.bfloat16))
+    dparams, dstate = dnn.init(jax.random.PRNGKey(2))
+    res = {}
+    for ms in chunk_ms:
+        frames = max(1, ms // 10)
+        dec = OnlineSplicedDecoder(dnn, dparams, dstate, prior, cw)
+        dec.reset(1)
+        fchunk = rng.standard_normal((1, frames, nfilt)).astype(np.float32)
+        flens = np.asarray([frames])
+        p50, p99, rtf = sweep(
+            lambda c, l, d=dec, fc=fchunk, fl=flens: d.step(fc, fl),
+            rate * ms // 1000,
+        )
+        res[str(ms)] = {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                        "rtf": round(rtf, 2)}
+        print(f"[bench] streaming dnn hybrid {ms}ms: p50 {p50:.1f}ms "
+              f"p99 {p99:.1f}ms rtf {rtf:.2f}", file=sys.stderr)
+    results["dnn_hybrid"] = res
+    return results
+
+
 def bench_reference_proxy() -> float:
     """Numpy float32 fwd+bwd of the same MLP on one microbatch, extrapolated.
 
@@ -1097,6 +1258,31 @@ def main() -> None:
         print(json.dumps(attention_line))
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] attention bench failed: {e}", file=sys.stderr)
+
+    # streaming serving latency/RTF (beyond the reference — it has no
+    # online story; the implied comparison point is its batch-1 decode
+    # loop, nnet.py:270-286). Non-fatal.
+    try:
+        st = bench_streaming_tpu()
+        for key, metric in (("conformer", "streaming_rtf"),
+                            ("lstm_hybrid", "streaming_rtf_lstm_hybrid"),
+                            ("dnn_hybrid", "streaming_rtf_dnn_hybrid")):
+            line = {
+                "metric": metric,
+                # headline value: RTF at the 160 ms serving chunk
+                "value": st[key]["160"]["rtf"],
+                "unit": "x realtime (batch 1)",
+                "vs_baseline": st[key]["160"]["rtf"],  # >1 = faster than live audio
+                "chunks_ms": st[key],
+                # per-chunk latencies cross the sandbox's high-latency
+                # host<->device tunnel; see bench_streaming_tpu docstring
+                "staging": "tunnel",
+            }
+            if key == "conformer":
+                line["features_p50_ms"] = st["conformer_features_p50_ms"]
+            print(json.dumps(line))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] streaming bench failed: {e}", file=sys.stderr)
 
     ref = bench_reference_proxy()
 
