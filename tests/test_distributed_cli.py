@@ -151,6 +151,110 @@ def test_two_process_cli_matches_single_process(tmp_path):
         np.testing.assert_allclose(s_loss, d_loss, rtol=2e-4)
 
 
+def _setup_adapt(tmp_path, tag, extra: dict):
+    cfg_path = _setup(tmp_path, tag)
+    text = cfg_path.read_text()
+    for key, val in extra.items():
+        pat = re.compile(rf"^{key} = .*$", re.M)
+        if pat.search(text):
+            text = pat.sub(f"{key} = {val}", text)
+        else:
+            text += f"{key} = {val}\n"
+    cfg_path.write_text(text)
+    return cfg_path
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only subprocess test")
+def test_two_process_cli_validation_rollback(tmp_path):
+    """The controller's validation-rollback state machine under REAL
+    multi-host execution (2 processes x 2 devices): an aggressive LR makes
+    validation worsen, both hosts must take the rollback (restore the
+    validated snapshot, rewind their own shard cursors, halve the LR) in
+    lockstep, and the full loss trajectory — including the replayed
+    steps — must match a single-process run over the same global batches.
+    This is the multi-host analog of what dryrun_multichip covers
+    single-process (reference control flow: nnet.py:167-207)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_")) and k != "PYTHONPATH"
+    }
+    env["PYTHONPATH"] = repo
+    port = 12600 + (os.getpid() + 31) % 1000
+
+    adapt = {
+        "initial_learning_rate": "0.9",  # aggressive: validation worsens
+        "valid_adapt": "True",
+        "valid_retries": "2",
+        "valid_frequency": "2",
+        "num_epochs": "4",
+    }
+    cfg_d = _setup_adapt(tmp_path / "dual", "d", adapt)
+    outs = _run(repo, env, cfg_d, 2, port)
+    losses = [_losses(o) for o in outs]
+    assert losses[0] and losses[0] == losses[1], (losses[0][:3], losses[1][:3])
+    # the rollback fired on both hosts, the same number of times
+    rb = [out.count("returning to the previously validated model")
+          for out in outs]
+    assert rb[0] == rb[1] > 0, rb
+    # replayed steps appear in the trajectory (a step number repeats)
+    steps_d = [s for s, _ in losses[0]]
+    assert len(set(steps_d)) < len(steps_d), steps_d
+
+    cfg_s = _setup_adapt(tmp_path / "single", "s", adapt)
+    (out_s,) = _run(repo, env, cfg_s, 1, port + 1)
+    single = _losses(out_s)
+    assert out_s.count("returning to the previously validated model") == rb[0]
+    assert [s for s, _ in single] == steps_d
+    for (s_step, s_loss), (d_step, d_loss) in zip(single, losses[0]):
+        assert s_step == d_step
+        np.testing.assert_allclose(s_loss, d_loss, rtol=2e-4)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only subprocess test")
+def test_two_process_cli_checkpoint_resume(tmp_path):
+    """Checkpoint-resume across 2 processes x 2 devices: train 2 epochs in
+    one uninterrupted run, then reproduce it as run-to-epoch-1 + a second
+    CLI invocation resuming from the step checkpoint (starting_step
+    rounding + per-host dispenser fast-forward, reference nnet.py:101-108).
+    The resumed tail's per-step losses must equal the uninterrupted run's."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_")) and k != "PYTHONPATH"
+    }
+    env["PYTHONPATH"] = repo
+    port = 12600 + (os.getpid() + 63) % 1000
+
+    # uninterrupted 6-step reference trajectory (3 batches/epoch x 2)
+    full = {"num_epochs": "2", "check_freq": "2"}
+    cfg_full = _setup_adapt(tmp_path / "full", "f", full)
+    outs = _run(repo, env, cfg_full, 2, port)
+    ref = _losses(outs[0])
+    assert _losses(outs[1]) == ref and len(ref) == 6
+
+    # phase 1: stop after epoch 1 (3 steps, checkpoint at step 2)
+    cfg_p1 = _setup_adapt(tmp_path / "resume", "r",
+                          {"num_epochs": "1", "check_freq": "2"})
+    outs1 = _run(repo, env, cfg_p1, 2, port + 1)
+    assert len(_losses(outs1[0])) == 3
+    # phase 2: same expdir, resume from the step-2 checkpoint (the
+    # starting_step=3 request rounds DOWN to it, replaying step 2) and
+    # finish epoch 2
+    cfg_p2 = _setup_adapt(tmp_path / "resume", "r",
+                          {"num_epochs": "2", "check_freq": "2",
+                           "starting_step": "3"})
+    outs2 = _run(repo, env, cfg_p2, 2, port + 2)
+    tail = _losses(outs2[0])
+    assert tail == _losses(outs2[1])
+    assert [s for s, _ in tail] == [2, 3, 4, 5]
+    for (r_step, r_loss), (t_step, t_loss) in zip(ref[2:], tail):
+        assert r_step == t_step
+        np.testing.assert_allclose(r_loss, t_loss, rtol=1e-6)
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="linux-only subprocess test")
 def test_two_process_cli_uneven_target_coverage(tmp_path):
     """Strided scp shards with UNEVEN target coverage (one utterance has no
