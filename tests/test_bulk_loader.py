@@ -163,6 +163,186 @@ def test_bulk_controller_losses_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _both_text(tmp_path, batch=4, context=0, bucket=16):
+    """Text-target twin of _both: featdir + Kaldi `text` transcriptions,
+    TextBatchDispenser vs BulkTextBatchSource."""
+    import os
+
+    from tfkaldi_tpu.data import TextBatchDispenser, TextCoder
+    from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer
+    from tfkaldi_tpu.data.bulk_loader import BulkTextBatchSource
+
+    featdir, _, info = make_featdir(tmp_path, num_speakers=2, utts_per_speaker=6)
+    words = ["HELLO WORLD", "SPEECH", "ON TPU", "A B C", "KALDI", "ARK IO"]
+    textfile = os.path.join(featdir, "text")
+    with open(textfile, "w") as f:
+        for i, utt in enumerate(info["utts"]):
+            f.write(f"{utt} {words[i % len(words)]}\n")
+
+    coder = TextCoder(aurora4_normalizer)
+    reader = FeatureReader(
+        f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk",
+        context, 60,
+    )
+    disp = TextBatchDispenser(reader, coder, batch, textfile)
+    batcher = DeviceBatcher(bucket_multiple=bucket)
+    bulk = BulkTextBatchSource(
+        f"{featdir}/feats.scp",
+        f"{featdir}/cmvn.scp",
+        f"{featdir}/utt2spk",
+        context,
+        coder,
+        textfile,
+        batch,
+        bucket_multiple=bucket,
+    )
+    return disp, batcher, bulk
+
+
+def test_bulk_text_matches_python_dispenser(tmp_path):
+    """Byte-identical text-target batches (features AND encoded targets AND
+    both length vectors) vs TextBatchDispenser + DeviceBatcher."""
+    disp, batcher, bulk = _both_text(tmp_path)
+    assert disp.max_target_length == bulk.max_target_length
+    np.testing.assert_array_equal(
+        disp.compute_target_count(), bulk.compute_target_count()
+    )
+    for _ in range(4):  # wraps around the 12-utt corpus
+        py_batch = batcher(*disp.get_batch())
+        nat_batch = bulk.get_batch()
+        np.testing.assert_array_equal(py_batch.input_lengths, nat_batch.input_lengths)
+        np.testing.assert_array_equal(py_batch.target_lengths, nat_batch.target_lengths)
+        assert py_batch.targets.shape == nat_batch.targets.shape
+        np.testing.assert_array_equal(py_batch.targets, nat_batch.targets)
+        assert py_batch.inputs.shape == nat_batch.inputs.shape
+        np.testing.assert_array_equal(py_batch.inputs, nat_batch.inputs)
+
+
+def test_bulk_text_cursor_stream_matches_python(tmp_path):
+    """skip/return/split cursor equivalence for the text source (resume
+    fast-forward + validation rewind on the CTC/RNN-T/attention path)."""
+    disp, batcher, bulk = _both_text(tmp_path)
+    ops = [
+        "get", "get", "split", "get", "skip", "get", "return", "return",
+        "get", "get", "get", "get",
+    ]
+    for op in ops:
+        if op == "get":
+            py_batch = batcher(*disp.get_batch())
+            nat_batch = bulk.get_batch()
+            np.testing.assert_array_equal(py_batch.inputs, nat_batch.inputs)
+            np.testing.assert_array_equal(py_batch.targets, nat_batch.targets)
+        elif op == "skip":
+            disp.skip_batch()
+            bulk.skip_batch()
+        elif op == "return":
+            disp.return_batch()
+            bulk.return_batch()
+        elif op == "split":
+            disp.split()
+            bulk.split()
+            assert disp.num_utt == bulk.num_utt
+
+
+def test_bulk_text_spliced_context(tmp_path):
+    """Context splicing (context_width > 0) with text targets: the
+    too-short predicate and spliced features must match the Python path."""
+    disp, batcher, bulk = _both_text(tmp_path, context=2)
+    for _ in range(3):
+        py_batch = batcher(*disp.get_batch())
+        nat_batch = bulk.get_batch()
+        np.testing.assert_array_equal(py_batch.inputs, nat_batch.inputs)
+        np.testing.assert_array_equal(py_batch.targets, nat_batch.targets)
+
+
+def test_bulk_text_get_padded_batch_honors_batcher(tmp_path):
+    disp, _, bulk = _both_text(tmp_path)
+    fixed = DeviceBatcher(fixed_input_length=64, fixed_target_length=32)
+    py_batch = disp.get_padded_batch(fixed)
+    nat_batch = bulk.get_padded_batch(fixed)
+    assert nat_batch.inputs.shape[1] == 64
+    assert nat_batch.targets.shape[1] == 32
+    np.testing.assert_array_equal(py_batch.inputs, nat_batch.inputs)
+    np.testing.assert_array_equal(py_batch.targets, nat_batch.targets)
+
+
+def test_bulk_text_controller_ctc_losses_bit_identical(tmp_path):
+    """Full-controller CTC equivalence: training through the native text
+    source produces bit-identical losses and final params vs the Python
+    dispenser path (the production conformer-CTC input seam)."""
+    import os
+
+    import jax
+
+    from tfkaldi_tpu.data import TextBatchDispenser, TextCoder
+    from tfkaldi_tpu.data.target_normalizers import aurora4_normalizer
+    from tfkaldi_tpu.data.bulk_loader import BulkTextBatchSource
+    from tfkaldi_tpu.models import LSTM, RNNConfig
+    from tfkaldi_tpu.train import (
+        NnetTrainOptions,
+        Trainer,
+        TrainerConfig,
+        TrainingController,
+    )
+
+    words = ["HELLO WORLD", "SPEECH", "ON TPU", "A B C"]
+    results = {}
+    for kind in ("python", "native"):
+        base = tmp_path / kind
+        base.mkdir()
+        featdir, _, info = make_featdir(base, num_speakers=2, utts_per_speaker=8)
+        textfile = os.path.join(featdir, "text")
+        with open(textfile, "w") as f:
+            for i, utt in enumerate(info["utts"]):
+                f.write(f"{utt} {words[i % len(words)]}\n")
+        coder = TextCoder(aurora4_normalizer)
+        if kind == "python":
+            reader = FeatureReader(
+                f"{featdir}/feats.scp", f"{featdir}/cmvn.scp",
+                f"{featdir}/utt2spk", 0, 60,
+            )
+            source = TextBatchDispenser(reader, coder, 4, textfile)
+        else:
+            source = BulkTextBatchSource(
+                f"{featdir}/feats.scp",
+                f"{featdir}/cmvn.scp",
+                f"{featdir}/utt2spk",
+                0,
+                coder,
+                textfile,
+                4,
+                max_input_length=60,
+            )
+        model = LSTM(RNNConfig(
+            input_dim=info["feat_dim"], num_labels=coder.num_labels + 1,
+            num_layers=1, hidden_units=8, bidirectional=True,
+        ))
+        num_steps = int(source.num_batches * 2)
+        trainer = Trainer(model, TrainerConfig(
+            init_learning_rate=0.05, num_steps=num_steps,
+            loss_type="ctc", ctc_blank_id=coder.num_labels,
+        ))
+        opts = NnetTrainOptions(
+            savedir=str(base / "save"),
+            num_epochs=2, batch_size=4, valid_batches=1, valid_frequency=2,
+            valid_adapt=True, valid_retries=1, check_freq=2,
+        )
+        losses = []
+        controller = TrainingController(
+            trainer, source, DeviceBatcher(bucket_multiple=16), opts,
+            metrics_hook=lambda loss, **kw: losses.append(loss),
+        )
+        state = controller.train()
+        results[kind] = (losses, state)
+
+    py_losses, py_state = results["python"]
+    nat_losses, nat_state = results["native"]
+    assert py_losses == nat_losses
+    assert len(py_losses) > 2
+    for a, b in zip(jax.tree.leaves(py_state.params), jax.tree.leaves(nat_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bulk_no_cmvn_identity(tmp_path):
     """cmvnfile=None (the apply_cmvn=False config) must yield raw spliced
     features, bit-exact vs the Python reader with CMVN disabled."""

@@ -297,10 +297,36 @@ def main(argv=None) -> int:
                 return 1
             batch_size //= n_proc
         if ctc:
-            dispenser = TextBatchDispenser(
-                featreader, text_coder, batch_size,
-                os.path.join(train_featdir, "text"),
+            # production input path for the text-target recipes
+            # (CTC/RNN-T/attention): the native bulk loader, byte-identical
+            # batches to TextBatchDispenser + DeviceBatcher; opt out with
+            # [nnet] native_loader = False
+            from tfkaldi_tpu.io import native
+
+            use_native = (
+                config.get("nnet", "native_loader", fallback="True") != "False"
+                and native.available()
             )
+            if use_native:
+                from tfkaldi_tpu.data.bulk_loader import BulkTextBatchSource
+
+                dispenser = BulkTextBatchSource(
+                    train_scp,
+                    _cmvn_path(config, train_featdir),
+                    os.path.join(train_featdir, "utt2spk"),
+                    int(config.get("nnet", "context_width")),
+                    text_coder,
+                    os.path.join(train_featdir, "text"),
+                    batch_size,
+                    max_input_length=max_input_length,
+                )
+                log.info("using native bulk data loader (text targets)")
+            else:
+                log.info("using Python data loader (native unavailable or disabled)")
+                dispenser = TextBatchDispenser(
+                    featreader, text_coder, batch_size,
+                    os.path.join(train_featdir, "text"),
+                )
         else:
             # merge per-job alignments (main.py:139-142)
             from tfkaldi_tpu.kaldi.gmm import merge_alignments

@@ -264,3 +264,223 @@ class BulkAlignmentBatchSource:
         minlength = self.num_labels or (int(max(a.max() for a in counted)) + 1)
         encoded = np.concatenate(counted)
         return np.bincount(encoded, minlength=minlength)
+
+
+class BulkTextBatchSource:
+    """Native-backed batch source for TEXT-target training (CTC / RNN-T /
+    attention — the flagship beyond-reference recipes).
+
+    The text twin of :class:`BulkAlignmentBatchSource`: the whole feature
+    batch (read + CMVN + splice + padding) comes from one native call per
+    ark file; targets are the coder-encoded transcriptions, padded on the
+    host (they are tiny next to the features). Byte-identical batches to
+    TextBatchDispenser + DeviceBatcher, including cursor semantics —
+    verified in tests/test_bulk_loader.py.
+
+    Unlike the alignment source, frame counts cannot be derived from the
+    targets (text length != frame count), so they come from the same
+    15-byte ark header scan the Python dispenser uses for its usable-set
+    predicate (io/ark.py::scan_scp_shapes).
+    """
+
+    def __init__(
+        self,
+        scpfile: str,
+        cmvnfile: str | None,
+        utt2spkfile: str,
+        context_width: int,
+        target_coder,
+        textfile: str,
+        batch_size: int,
+        bucket_multiple: int = 128,
+        max_input_length: int | None = None,
+    ):
+        if not native.available():
+            raise RuntimeError("native arkio unavailable")
+        self.reader = ArkReader(scpfile)
+        utt2spk = read_utt2spk(utt2spkfile)
+        self.context_width = int(context_width)
+        self.batch_size = int(batch_size)
+        self.bucket_multiple = int(bucket_multiple)
+        self.target_coder = target_coder
+        self._max_input_length = max_input_length
+
+        # encode every target once (dispenser.py:49-52 semantics), scoped
+        # to THIS scp (multi-host shards; dispenser.py:41-47)
+        target_dict: dict[str, str] = {}
+        with open(textfile, "r") as fid:
+            for line in fid:
+                parts = line.strip().split(" ")
+                target_dict[parts[0]] = " ".join(parts[1:])
+        in_scp = set(self.reader.utt_ids)
+        self._encoded = {
+            utt: target_coder.encode(text)
+            for utt, text in target_dict.items()
+            if utt in in_scp
+        }
+
+        # frame counts from header-only scans; usable = has targets AND
+        # long enough to splice (the dispenser's aligned predicate)
+        from tfkaldi_tpu.io.ark import scan_scp_shapes
+
+        with_targets = [
+            (utt, entry)
+            for utt, entry in zip(self.reader.utt_ids, self.reader.scp_data)
+            if utt in self._encoded
+        ]
+        shapes = scan_scp_shapes([entry for _, entry in with_targets])
+        min_frames = 2 * self.context_width + 1
+        self._with_targets = [utt for utt, _ in with_targets]
+        self._entries = []  # (utt_id, ark_path, offset, num_frames)
+        for (utt, (path, offset)), (rows, _cols) in zip(with_targets, shapes):
+            if rows < min_frames:
+                log.warning("%s is too short to splice", utt)
+                continue
+            self._entries.append((utt, path, offset, rows))
+        for utt in self.reader.utt_ids:
+            if utt not in self._encoded:
+                log.warning("no targets for %s", utt)
+
+        if cmvnfile:
+            cmvn_reader = ArkReader(cmvnfile)
+            self._cmvn = {
+                spk: np.ascontiguousarray(cmvn_reader.read_utt(spk), dtype=np.float32)
+                for spk in set(utt2spk.values())
+            }
+            cmvn_reader.close()
+            self.feat_dim = int(next(iter(self._cmvn.values())).shape[1]) - 1
+        else:
+            _, first, _ = self.reader.read_next_utt()
+            self.reader.close()
+            self.reader = ArkReader(scpfile)  # rewind
+            dim = int(first.shape[1])
+            ident = np.zeros((2, dim + 1), dtype=np.float32)
+            ident[0, -1] = 1.0
+            ident[1, :-1] = 1.0
+            ident[1, -1] = 1.0
+            self._cmvn = _IdentityStats(ident)
+            self.feat_dim = dim
+        self._utt2spk = utt2spk
+        self.cursor = 0
+        self._num_batches_limit = None
+
+    # -- cursor semantics (shared shape with the alignment source) --------
+
+    @property
+    def num_utt(self) -> int:
+        return len(self._with_targets)
+
+    @property
+    def num_batches(self) -> float:
+        raw = self.num_utt / self.batch_size
+        limit = self._num_batches_limit
+        return raw if limit is None else min(raw, limit)
+
+    def limit_num_batches(self, limit: float) -> None:
+        self._num_batches_limit = float(limit)
+
+    @property
+    def num_labels(self) -> int:
+        return self.target_coder.num_labels
+
+    @property
+    def max_input_length(self) -> int:
+        if self._max_input_length is None:
+            raise AttributeError("BulkTextBatchSource built without max_input_length")
+        return int(self._max_input_length)
+
+    @property
+    def max_target_length(self) -> int:
+        """Max over every encoded target in this scp (incl. too-short
+        utterances), like the Python dispenser's max over _encoded."""
+        return max((t.size for t in self._encoded.values()), default=0)
+
+    def split(self) -> None:
+        self._entries = self._entries[self.cursor :]
+        self.cursor = 0
+
+    def skip_batch(self) -> None:
+        n = max(len(self._entries), 1)
+        self.cursor = (self.cursor + self.batch_size) % n
+
+    def return_batch(self) -> None:
+        n = max(len(self._entries), 1)
+        self.cursor = (self.cursor - self.batch_size) % n
+
+    # -- batches ----------------------------------------------------------
+
+    def get_padded_batch(self, batcher) -> PaddedBatch:
+        return self.get_batch(
+            fixed_input_length=batcher.fixed_input_length,
+            fixed_target_length=batcher.fixed_target_length,
+            bucket_multiple=batcher.bucket_multiple,
+        )
+
+    def get_batch(
+        self,
+        fixed_input_length: int | None = None,
+        fixed_target_length: int | None = None,
+        bucket_multiple: int | None = None,
+    ) -> PaddedBatch:
+        n = self.batch_size
+        n_avail = len(self._entries)
+        if n_avail == 0:
+            raise RuntimeError(
+                "no usable utterances: every scp entry lacks targets "
+                "or is too short to splice"
+            )
+        idx = [(self.cursor + j) % n_avail for j in range(n)]
+        self.cursor = (self.cursor + n) % n_avail
+        entries = [self._entries[i] for i in idx]
+        bucket = bucket_multiple or self.bucket_multiple
+
+        t_max = max(e[3] for e in entries)
+        t_pad = fixed_input_length or round_up(t_max, bucket)
+        if t_max > t_pad:
+            raise ValueError("utterance longer than fixed padded length")
+
+        by_path: dict[str, list[int]] = {}
+        for j, e in enumerate(entries):
+            by_path.setdefault(e[1], []).append(j)
+
+        def read_group(path, js):
+            offsets = np.asarray([entries[j][2] for j in js], dtype=np.int64)
+            stats = np.stack([self._cmvn[self._utt2spk[entries[j][0]]] for j in js])
+            return native.read_cmvn_splice_batch(
+                path, offsets, stats, self.context_width, t_pad, self.feat_dim
+            )
+
+        if len(by_path) == 1:
+            (path, js), = by_path.items()
+            feats, rows = read_group(path, js)
+        else:
+            width = self.feat_dim * (2 * self.context_width + 1)
+            feats = np.empty((n, t_pad, width), dtype=np.float32)
+            rows = np.empty(n, dtype=np.int32)
+            for path, js in by_path.items():
+                group_feats, group_rows = read_group(path, js)
+                feats[js] = group_feats
+                rows[js] = group_rows
+        if np.any(rows < 0):
+            raise RuntimeError("unexpected too-short utterance in bulk batch")
+
+        encoded = [self._encoded[e[0]] for e in entries]
+        target_lengths = np.asarray([t.size for t in encoded], dtype=np.int32)
+        l_pad = fixed_target_length or round_up(
+            int(target_lengths.max(initial=1)), bucket
+        )
+        if int(target_lengths.max(initial=0)) > l_pad:
+            raise ValueError("utterance longer than fixed padded length")
+        targets = np.zeros((n, l_pad), dtype=np.int32)
+        for j, t in enumerate(encoded):
+            targets[j, : t.size] = t
+        return PaddedBatch(
+            feats, targets, np.asarray(rows, dtype=np.int32), target_lengths
+        )
+
+    def compute_target_count(self) -> np.ndarray:
+        """Bincount over all encoded targets of this scp — the class prior
+        numerator, exactly like the Python dispenser
+        (batchdispenser.py:128-145)."""
+        encoded = np.concatenate(list(self._encoded.values()))
+        return np.bincount(encoded, minlength=self.target_coder.num_labels)
