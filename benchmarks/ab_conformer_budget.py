@@ -108,25 +108,24 @@ def build(arm: str):
     elif arm == "no_conv":
         model._conv_module = types.MethodType(_conv_deleted, model)
     elif arm == "no_macaron":
-        # delete the macaron pair's FIRST ffn only: _ffn receives the
-        # param subtree directly, so identify ffn1 calls by the object
-        # identity of the dicts in the params tree (captured after
-        # init_state below, before the jit trace)
-        ffn1_ids: set[int] = set()
+        # delete the macaron pair's FIRST ffn only. _ffn receives the
+        # param subtree directly and jit's pytree unflatten rebuilds the
+        # dicts, so object identity can't tag ffn1 — instead use a
+        # trace-time call counter: in the conformer apply() each block
+        # calls _ffn exactly twice, ffn1 first (transformer.py:424-442),
+        # so odd-numbered calls (1st, 3rd, ...) are the macaron halves.
+        call_no = [0]
 
         def ffn_probe(self, h, p, dtype):
-            if id(p) in ffn1_ids:
+            call_no[0] += 1
+            if call_no[0] % 2 == 1:  # ffn1 of the current block
                 return jnp.zeros_like(h)
             return Transformer._ffn(self, h, p, dtype)
 
         model._ffn = types.MethodType(ffn_probe, model)
-        model._ffn1_ids = ffn1_ids
     trainer = Trainer(model, TrainerConfig(init_learning_rate=1e-3,
                                            num_steps=1000))
     state = trainer.init_state(jax.random.PRNGKey(0))
-    if arm == "no_macaron":
-        for blk in state.params["blocks"]:
-            model._ffn1_ids.add(id(blk["ffn1"]))
     return model, trainer, state
 
 

@@ -11,6 +11,10 @@ harness measures frames/s at per-chip batch 32 -> 64 -> 128 for:
   conformer1 12-block conformer CE, 1:1      (T=512)
   conformer4 12-block conformer-CTC, sub4    (T=512 input frames)
   rnnt       2xLSTM-512 enc transducer       (T=256, U=64)
+  conf_rnnt4 causal conformer-s4 transducer  (config_AURORA4_transducer.cfg
+             shapes: 12x256 enc, L64/R0, pred 1x320, joint 320; T=512 U=64)
+  conf_attn4 conformer-s4 + 4-block decoder  (config_AURORA4_attention.cfg
+             shapes, joint CTC 0.3 + attention CE; T=512 U=64)
 
 One process, interleaved best-of-trials per (family, batch). OOM at a
 batch size is recorded as such, not fatal.
@@ -29,6 +33,8 @@ from tfkaldi_tpu.models import (
     GRU,
     LSTM,
     RNNConfig,
+    AttentionSeq2Seq,
+    Seq2SeqConfig,
     Transducer,
     TransducerConfig,
     Transformer,
@@ -100,6 +106,42 @@ def build(family, b):
             num_steps=1000, loss_type="rnnt"))
         batch = text_batch(rng, b, t, F, u)
         frames = b * t
+    elif family == "conf_rnnt4":
+        # the shipped config_AURORA4_transducer.cfg recipe shapes
+        t, u = 512, 64
+        model = Transducer(TransducerConfig(
+            input_dim=40, num_labels=V - 1, enc_type="conformer",
+            pred_layers=1, pred_units=320, embed_dim=128, joint_units=320,
+            compute_dtype=jnp.bfloat16,
+            enc_extra=(
+                ("num_blocks", "12"), ("d_model", "256"),
+                ("num_heads", "4"), ("ffn_dim", "1024"),
+                ("conv_kernel", "15"), ("subsample", "4"),
+                ("attention_left_context", "64"),
+                ("attention_right_context", "0"),
+                ("causal_conv", "True"),
+            )))
+        trainer = Trainer(model, TrainerConfig(
+            num_steps=1000, loss_type="rnnt"))
+        batch = text_batch(rng, b, t, 40, u)
+        frames = b * t
+    elif family == "conf_attn4":
+        # the shipped config_AURORA4_attention.cfg recipe shapes
+        t, u = 512, 64
+        model = AttentionSeq2Seq(Seq2SeqConfig(
+            input_dim=40, num_labels=V - 1, enc_type="conformer",
+            dec_blocks=4, d_model=256, num_heads=4, ffn_dim=1024,
+            label_smoothing=0.1, ctc_weight=0.3,
+            compute_dtype=jnp.bfloat16,
+            enc_extra=(
+                ("num_blocks", "12"), ("d_model", "256"),
+                ("num_heads", "4"), ("ffn_dim", "1024"),
+                ("conv_kernel", "15"), ("subsample", "4"),
+            )))
+        trainer = Trainer(model, TrainerConfig(
+            num_steps=1000, loss_type="attention"))
+        batch = text_batch(rng, b, t, 40, u)
+        frames = b * t
     else:
         raise ValueError(family)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -108,7 +150,10 @@ def build(family, b):
 
 def main():
     results = {}
-    for family in ("lstm", "gru", "conformer1", "conformer4", "rnnt"):
+    import sys
+    families = sys.argv[1:] or ["lstm", "gru", "conformer1", "conformer4",
+                                "rnnt", "conf_rnnt4", "conf_attn4"]
+    for family in families:
         results[family] = {}
         for b in BATCHES:
             try:
