@@ -157,6 +157,18 @@ def test_unsupported_shapes_fall_back():
         model_forced._use_pallas(t=10, b=3, h_units=16)
 
 
+def test_supported_vmem_guard():
+    """supported() rejects shapes whose backward-kernel working set
+    exceeds the scoped-VMEM cap (measured compile failure at b=256,
+    T=256, H=512 on v5e) while keeping the measured-good b=128."""
+    from tfkaldi_tpu.ops.pallas_lstm import supported
+
+    assert supported(256, 128, 512)   # measured optimum (1.12M f/s)
+    assert not supported(256, 256, 512)   # > 112 MiB working set
+    assert supported(256, 32, 1024)
+    assert not supported(256, 128, 1024)
+
+
 def test_auto_gate_checks_local_shard(monkeypatch):
     """Under multiple devices the custom_partitioning rule hands each
     device its LOCAL batch shard, so scan_impl='auto' must validate the
