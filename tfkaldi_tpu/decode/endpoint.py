@@ -104,6 +104,17 @@ class Endpointer:
             self._detected |= ok
         return self.detected()
 
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new utterances (the per-slot analog
+        of ``reset``); other rows' counters are untouched."""
+        if self._detected is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        idx = np.asarray(list(rows), np.int64)
+        self._total[idx] = 0
+        self._trailing[idx] = 0
+        self._seen_speech[idx] = False
+        self._detected[idx] = False
+
     def detected(self) -> np.ndarray:
         """Latched per-row endpoint flags (copy)."""
         if self._detected is None:

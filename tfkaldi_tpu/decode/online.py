@@ -216,6 +216,49 @@ class OnlineCTCDecoder:
         self.last_n_out = np.asarray(n)
         return self._collapse(self.last_frame_labels, self.last_n_out)
 
+    def finish_rows(self, rows) -> list[np.ndarray]:
+        """``finish()`` for a subset of rows: decode THEIR final partial
+        group; other rows' carry and collapse state are untouched (the
+        flush runs batched on device, then the unselected rows' carry is
+        restored row-wise). Returns the full per-row list — entries
+        outside ``rows`` are empty. Multi-stream serving uses this to end
+        one slot of a shared batch."""
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before finish_rows()")
+        b = self._prev.shape[0]
+        sel = np.zeros((b,), bool)
+        sel[np.asarray(list(rows), np.int64)] = True
+        if self._flush_fn is None:
+            self.last_frame_labels = np.zeros((b, 0), np.int32)
+            self.last_n_out = np.zeros((b,), np.int32)
+            return [np.zeros((0,), np.int32) for _ in range(b)]
+        old_carry = self._carry
+        logits, n, flushed = self._flush_fn(
+            old_carry, self.params, self.model_state
+        )
+        self._carry = self.model.merge_stream_carry(
+            jnp.asarray(sel), flushed, old_carry
+        )
+        self.last_frame_labels = np.asarray(
+            jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        )
+        self.last_n_out = np.where(sel, np.asarray(n), 0).astype(np.int32)
+        return self._collapse(self.last_frame_labels, self.last_n_out)
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new utterances (the per-slot
+        analog of ``reset``); other rows keep streaming."""
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        b = self._prev.shape[0]
+        sel = np.zeros((b,), bool)
+        idx = np.asarray(list(rows), np.int64)
+        sel[idx] = True
+        self._carry = self.model.merge_stream_carry(
+            jnp.asarray(sel), self.model.init_stream_carry(b), self._carry
+        )
+        self._prev[idx] = -1
+
 
 class OnlineCTCBeamDecoder:
     """Streaming CTC prefix beam search for unidirectional LSTM/GRU.
@@ -337,6 +380,50 @@ class OnlineCTCBeamDecoder:
                 np.asarray(n),
             )
         return self.best()
+
+    def finish_rows(self, rows) -> list[np.ndarray]:
+        """``finish()`` for a subset of rows: advance THEIR beams over the
+        final partial group; other rows' carry and beams are untouched.
+        Returns the full per-row best list — entries at ``rows`` are
+        final."""
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before finish_rows()")
+        b = len(self._beams)
+        sel = np.zeros((b,), bool)
+        sel[np.asarray(list(rows), np.int64)] = True
+        if self._flush_fn is not None:
+            old_carry = self._carry
+            logits, n, flushed = self._flush_fn(
+                old_carry, self.params, self.model_state
+            )
+            self._carry = self.model.merge_stream_carry(
+                jnp.asarray(sel), flushed, old_carry
+            )
+            self._advance(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                np.where(sel, np.asarray(n), 0),
+            )
+        else:
+            self.last_frame_labels = np.zeros((b, 0), np.int32)
+            self.last_n_out = np.zeros((b,), np.int32)
+        return self.best()
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new utterances (the per-slot
+        analog of ``reset``); other rows keep streaming."""
+        from tfkaldi_tpu.decode.ctc_beam import initial_beams
+
+        if self._carry is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        b = len(self._beams)
+        sel = np.zeros((b,), bool)
+        idx = np.asarray(list(rows), np.int64)
+        sel[idx] = True
+        self._carry = self.model.merge_stream_carry(
+            jnp.asarray(sel), self.model.init_stream_carry(b), self._carry
+        )
+        for row in idx:
+            self._beams[int(row)] = initial_beams()
 
     def best(self) -> list[np.ndarray]:
         """Per-row highest-marginal hypothesis over all frames seen."""
@@ -490,6 +577,41 @@ class StreamingTranscriber:
             ]
         self._ids = None
         return out
+
+    def finish_rows(self, rows) -> list[str]:
+        """Finish a subset of rows: flush their feature tails and final
+        decoder groups through the shared batched step; other rows keep
+        streaming undisturbed. Returns the full per-row transcript list —
+        entries at ``rows`` are FINAL. The finished rows keep their
+        transcript (and stale state) until ``reset_rows`` re-arms their
+        slots for new streams. This is the multi-stream serving primitive:
+        N concurrent utterances share one batched device program and end
+        independently."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before finish_rows()")
+        self._feed(*self.extractor.flush_rows(rows))
+        if self.beam_width > 1:
+            out = [self.coder.decode(r) for r in self._dec.finish_rows(rows)]
+        else:
+            for row, new_ids in enumerate(self._dec.finish_rows(rows)):
+                self._ids[row].extend(new_ids.tolist())
+            out = [
+                self.coder.decode(np.asarray(row, np.int32))
+                for row in self._ids
+            ]
+        return out
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new streams (the per-slot analog
+        of ``reset``); other rows keep streaming."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        self.extractor.reset_rows(rows)
+        self._dec.reset_rows(rows)
+        if self._endpointer is not None:
+            self._endpointer.reset_rows(rows)
+        for row in rows:
+            self._ids[int(row)] = []
 
     def endpointed(self) -> np.ndarray:
         """Latched per-row endpoint flags (requires ``endpoint_config``).

@@ -261,6 +261,62 @@ class OnlineTransducerDecoder:
             buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
         ]
 
+    # -- per-slot lifecycle (multi-stream serving) ----------------------
+
+    def _merge_state(self, take_mask, new_state, old_state):
+        """Row-wise select over the (encoder carry, projection, prediction
+        carry) triple — rows where ``take_mask`` take ``new_state``."""
+        mask = jnp.asarray(take_mask)
+        enc_n, proj_n, pred_n = new_state
+        enc_o, proj_o, pred_o = old_state
+        return (
+            self.model.encoder.merge_stream_carry(mask, enc_n, enc_o),
+            jnp.where(mask[:, None], proj_n, proj_o),
+            self.model.predictor.merge_stream_carry(mask, pred_n, pred_o),
+        )
+
+    def finish_rows(self, rows) -> list[np.ndarray]:
+        """``finish()`` for a subset of rows: decode THEIR final partial
+        group; other rows' encoder/prediction state is untouched (the
+        flush runs batched, then unselected rows' state is restored
+        row-wise). Returns the full per-row list — entries outside
+        ``rows`` are empty."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before finish_rows()")
+        enc_carry, proj, pred_carry = self._state
+        b = proj.shape[0]
+        sel = np.zeros((b,), bool)
+        sel[np.asarray(list(rows), np.int64)] = True
+        buf, counts, enc2, proj2, pred2 = self._flush_fn(
+            self.params, enc_carry, proj, pred_carry
+        )
+        self._state = self._merge_state(
+            sel, (enc2, proj2, pred2), (enc_carry, proj, pred_carry)
+        )
+        buf = np.asarray(buf)
+        counts = np.where(sel, np.asarray(counts), 0)
+        return [
+            buf[i, : int(counts[i])].astype(np.int32) for i in range(b)
+        ]
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new utterances: zero their encoder
+        state and re-prime their prediction network with the start token;
+        other rows keep streaming."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        b = self._state[1].shape[0]
+        sel = np.zeros((b,), bool)
+        sel[np.asarray(list(rows), np.int64)] = True
+        proj0, pred0 = self._init_fn(
+            self.params,
+            jnp.full((b,), self.model.blank_id, jnp.int32),
+            jnp.ones((b,), bool),
+            self.model.init_pred_carry(b),
+        )
+        fresh = (self.model.encoder.init_stream_carry(b), proj0, pred0)
+        self._state = self._merge_state(sel, fresh, self._state)
+
 
 class StreamingTransducerTranscriber:
     """Raw audio chunks → incremental transducer transcripts, end to end.
@@ -342,3 +398,28 @@ class StreamingTransducerTranscriber:
         ]
         self._ids = None
         return out
+
+    def finish_rows(self, rows) -> list[str]:
+        """Finish a subset of rows: flush their feature tails and final
+        encoder groups through the shared batched step; other rows keep
+        streaming undisturbed. Returns the full per-row transcript list —
+        entries at ``rows`` are FINAL (re-arm their slots with
+        ``reset_rows`` before reuse)."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before finish_rows()")
+        self._feed(*self.extractor.flush_rows(rows))
+        for row, ids in enumerate(self._dec.finish_rows(rows)):
+            self._ids[row].extend(ids.tolist())
+        return [
+            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
+        ]
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new streams (the per-slot analog
+        of ``reset``); other rows keep streaming."""
+        if self._ids is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        self.extractor.reset_rows(rows)
+        self._dec.reset_rows(rows)
+        for row in rows:
+            self._ids[int(row)] = []

@@ -201,10 +201,17 @@ class OnlineFeatureExtractor:
         of a shorter-than-one-window utterance), then require ``reset``."""
         if self._buf is None:
             raise RuntimeError("call reset(batch_size) before flush()")
+        out = self._flush_impl(range(len(self._buf)))
+        self._buf = None
+        return out
+
+    def _flush_impl(self, rows) -> tuple[np.ndarray, np.ndarray]:
         wl = self.extractor.frame_len
         ws = self.extractor.frame_step
         target, _ = self.extractor.frame_geometry(self._total)
-        rem = np.maximum(target.astype(np.int64) - self._emitted, 0)
+        rem = np.zeros((len(self._buf),), np.int64)
+        sel = np.asarray(list(rows), np.int64)
+        rem[sel] = np.maximum(target.astype(np.int64) - self._emitted, 0)[sel]
         for row, r in enumerate(rem):
             if r == 0:
                 continue
@@ -216,9 +223,28 @@ class OnlineFeatureExtractor:
                 self._buf[row] = np.concatenate(
                     [self._buf[row], np.zeros((needed - have,), self._np_dtype)]
                 )
-        out = self._emit(rem)
-        self._buf = None
-        return out
+        return self._emit(rem)
+
+    def flush_rows(self, rows) -> tuple[np.ndarray, np.ndarray]:
+        """``flush()`` for a subset of rows: emit THEIR remaining frames
+        (other rows emit 0 and keep streaming undisturbed). The extractor
+        stays usable; re-arm the finished rows with ``reset_rows`` before
+        their slots take a new stream. Multi-stream serving uses this to
+        end one slot of a shared batch."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before flush_rows()")
+        return self._flush_impl(rows)
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for a new stream (the per-slot analog
+        of ``reset``); other rows' buffers are untouched."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        for row in rows:
+            self._buf[row] = np.zeros((0,), self._np_dtype)
+            self._prev[row] = 0
+            self._total[row] = 0
+            self._emitted[row] = 0
 
 
 class OnlineDynamicExtractor:
@@ -348,3 +374,27 @@ class OnlineDynamicExtractor:
         out = self._emit(self._total - self._emitted, flushing=True)
         self._buf = None
         return out
+
+    def flush_rows(self, rows):
+        """``flush()`` for a subset of rows (see
+        ``OnlineFeatureExtractor.flush_rows``): emits their remaining
+        frames with the true end reflection; other rows keep streaming."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before flush_rows()")
+        self._ingest(*self._static.flush_rows(rows))
+        sel = np.asarray(list(rows), np.int64)
+        rem = np.zeros((len(self._buf),), np.int64)
+        rem[sel] = (self._total - self._emitted)[sel]
+        return self._emit(rem, flushing=True)
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for a new stream (the per-slot analog
+        of ``reset``)."""
+        if self._buf is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        self._static.reset_rows(rows)
+        for row in rows:
+            self._buf[row] = None
+            self._start[row] = 0
+            self._total[row] = 0
+            self._emitted[row] = 0

@@ -212,6 +212,20 @@ class LSTM:
         return [tuple(zeros for _ in range(self._CARRIES))
                 for _ in range(cfg.num_layers)]
 
+    def merge_stream_carry(self, take_mask, new, old):
+        """Row-wise select over stream carries: rows where ``take_mask``
+        (bool ``[B]``) is True take ``new``, others keep ``old``. Every
+        RNN carry leaf is batch-major ``[B, H]``. Used by multi-stream
+        serving to finish/reset one slot without disturbing the rest
+        (the reference serves one utterance per rebuilt batch-1 graph,
+        decoder.py:8-47 — no such concept exists there)."""
+        mask = jnp.asarray(take_mask)
+
+        def sel(a, b):
+            return jnp.where(mask.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+
+        return jax.tree.map(sel, new, old)
+
     def _stream_step(self, cd, whc):
         return _lstm_stream_step(cd, whc)
 

@@ -516,6 +516,22 @@ class Transformer:
             carry["in_fill"] = jnp.zeros((batch_size,), jnp.int32)
         return carry
 
+    def merge_stream_carry(self, take_mask, new, old):
+        """Row-wise select over stream carries: rows where ``take_mask``
+        (bool ``[B]``) is True take ``new``, others keep ``old``. The
+        attention/conv caches are ``[num_blocks, B, ...]`` (batch dim 1);
+        everything else is batch-major. Used by multi-stream serving to
+        finish/reset one slot without disturbing the rest."""
+        mask = jnp.asarray(take_mask)
+        out = {}
+        for key in old:
+            a, b = new[key], old[key]
+            bdim = 1 if key in ("h_cache", "conv_cache") else 0
+            shape = [1] * a.ndim
+            shape[bdim] = -1
+            out[key] = jnp.where(mask.reshape(shape), a, b)
+        return out
+
     def _stream_stack(self, chunk, v, carry):
         """Stacking front-end for streaming: buffer raw frames until
         complete ``s``-groups exist, emit the stacked groups.
