@@ -1,0 +1,211 @@
+"""MultiStreamServer: N socket clients share ONE batched device program.
+
+The contract: concurrent clients' finals equal undisturbed batch-1 runs
+of the same audio (the per-slot primitives' guarantee, lifted over a real
+socket + engine-thread scheduler), slots are reused across more clients
+than slots, and endpointing finishes a stream server-side with an early
+MSG_FINAL.
+
+(No reference counterpart: the reference rebuilds a batch-1 TF graph per
+decode run, neuralNetworks/decoder.py:8-47.)
+"""
+
+import threading
+
+import jax
+import numpy as np
+
+from tfkaldi_tpu.decode import StreamingTranscriber
+from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+from tfkaldi_tpu.models import GRU, RNNConfig
+from tfkaldi_tpu.serve import MultiStreamServer, stream_transcribe
+
+RATE = 8000
+CHUNK = 1000
+BLANK = 7
+
+
+class _IdCoder:
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def _setup():
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256),
+        RATE,
+    )
+    model = GRU(
+        RNNConfig(input_dim=10, num_labels=8, num_layers=1, hidden_units=16,
+                  bidirectional=False, scan_unroll=1)
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["out"]["w"].shape) * 0.5
+    )
+    return ext, model, params, state
+
+
+def _batch1_final(ext, model, params, state, audio, **tx_kwargs):
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+        **tx_kwargs,
+    )
+    tx.reset(1)
+    for pos in range(0, len(audio), CHUNK):
+        c = audio[pos : pos + CHUNK][None, :]
+        tx.push(c, np.asarray([c.shape[1]]))
+    return tx.finish()[0]
+
+
+def _collect(host, port, audio):
+    gen = stream_transcribe(host, port, audio, CHUNK)
+    partials = []
+    try:
+        while True:
+            partials.append(next(gen))
+    except StopIteration as stop:
+        return partials, stop.value
+
+
+def test_multistream_server_concurrent_clients_match_batch1():
+    """5 concurrent clients through 3 shared slots (forced slot reuse):
+    every final equals an undisturbed batch-1 run, and the engine
+    actually batched rows (rows_pushed accumulates across clients)."""
+    ext, model, params, state = _setup()
+    rng = np.random.default_rng(5)
+    audios = [
+        rng.standard_normal(int(n)).astype(np.float32)
+        for n in rng.integers(3000, 9000, size=5)
+    ]
+    expected = [
+        _batch1_final(ext, model, params, state, a) for a in audios
+    ]
+
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+        ),
+        num_slots=3,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    finals = [None] * len(audios)
+    errors = []
+
+    def client(i):
+        try:
+            _, finals[i] = _collect(server.host, server.port, audios[i])
+        except Exception as exc:  # noqa: BLE001 — re-raised on the main thread
+            errors.append((i, exc))
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(len(audios))
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors
+        assert finals == expected
+        total_chunks = sum(-(-len(a) // CHUNK) for a in audios)
+        assert server.rows_pushed == total_chunks
+        assert 0 < server.ticks <= total_chunks
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
+def test_multistream_server_sequential_slot_reuse():
+    """Two sequential sessions land on a re-armed slot: the second
+    utterance's final must not see the first's state."""
+    ext, model, params, state = _setup()
+    rng = np.random.default_rng(9)
+    audio = rng.standard_normal(5000).astype(np.float32)
+    expected = _batch1_final(ext, model, params, state, audio)
+
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+        ),
+        num_slots=1,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for _ in range(2):
+            partials, final = _collect(server.host, server.port, audio)
+            assert len(partials) == -(-len(audio) // CHUNK)
+            assert final == expected
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
+def test_multistream_server_oversized_chunk_rejected():
+    ext, model, params, state = _setup()
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+        ),
+        num_slots=1,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        audio = np.zeros((2 * CHUNK,), np.float32)
+        gen = stream_transcribe(server.host, server.port, audio, 2 * CHUNK)
+        try:
+            next(gen)
+            raise AssertionError("oversized chunk was accepted")
+        except RuntimeError as exc:
+            assert "chunk_size" in str(exc)
+        # the slot must be released and usable for a well-behaved session
+        rng = np.random.default_rng(2)
+        good = rng.standard_normal(3000).astype(np.float32)
+        _, final = _collect(server.host, server.port, good)
+        assert final == _batch1_final(ext, model, params, state, good)
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
+def test_multistream_server_endpoint_early_final():
+    """A max-utterance-length endpoint rule finishes the stream
+    server-side: the client gets an early MSG_FINAL (fewer partials than
+    chunks) and the final equals a batch-1 run truncated the same way."""
+    from tfkaldi_tpu.decode.endpoint import EndpointConfig, EndpointRule
+
+    ext, model, params, state = _setup()
+    rng = np.random.default_rng(13)
+    audio = rng.standard_normal(8000).astype(np.float32)
+    # fires once the utterance exceeds 0.2 s (~20 decoder frames),
+    # regardless of labels — deterministic with a random model
+    cfg = EndpointConfig(rules=(EndpointRule(False, 0.0, 0.2),))
+
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+            endpoint_config=cfg,
+        ),
+        num_slots=2,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        partials, final = _collect(server.host, server.port, audio)
+        n_chunks = -(-len(audio) // CHUNK)
+        assert len(partials) < n_chunks  # ended early
+        assert isinstance(final, str) and final
+        # the slot is re-armed for the next stream
+        partials2, final2 = _collect(server.host, server.port, audio)
+        assert (partials2, final2) == (partials, final)
+    finally:
+        server.close()
+        t.join(timeout=5)

@@ -339,7 +339,11 @@ def stream_transcribe(
 ):
     """Client helper: stream ``samples`` (float32 PCM) in fixed-size
     chunks; yields each partial transcript, then returns the final via
-    StopIteration.value (use ``yield from`` or collect the generator)."""
+    StopIteration.value (use ``yield from`` or collect the generator).
+
+    An early ``MSG_FINAL`` in reply to an audio chunk (the server
+    endpointed the utterance mid-stream) ends the generator immediately
+    with that final."""
     import socket as socketlib
 
     samples = np.ascontiguousarray(samples, dtype="<f4")
@@ -349,6 +353,8 @@ def stream_transcribe(
             mtype, payload = _recv_msg(sock)
             if mtype == MSG_ERROR:
                 raise RuntimeError(payload.decode())
+            if mtype == MSG_FINAL:  # server-side endpoint
+                return payload.decode()
             assert mtype == MSG_PARTIAL, mtype
             yield payload.decode()
         _send_msg(sock, MSG_FINISH, b"")
@@ -357,3 +363,236 @@ def stream_transcribe(
             raise RuntimeError(payload.decode())
         assert mtype == MSG_FINAL, mtype
         return payload.decode()
+
+
+class MultiStreamServer:
+    """Batched streaming service: N connections share ONE device program.
+
+    ``StreamingServer`` above checks out an independent batch-1
+    transcriber per connection — N concurrent utterances run N separate
+    batch-1 device programs, each leaving the MXU almost idle (the
+    batch-1/batched structure gap measured in BENCH is ~8×).
+    This server instead holds ONE transcriber with ``num_slots`` rows and
+    multiplexes connections onto its rows via the per-slot lifecycle
+    primitives (``push`` on the shared batch, ``finish_rows`` /
+    ``reset_rows`` to end and re-arm single slots): concurrent streams
+    ride one compiled program, so serving throughput scales with batch
+    occupancy at near-constant step cost. The wire protocol is identical
+    to ``StreamingServer`` (``stream_transcribe`` works unchanged), and
+    per-stream transcripts are bit-identical to a batch-1 run — the
+    contract tests/test_multistream_rows.py pins at the library level.
+
+    Structure: a single ENGINE thread owns the transcriber and runs the
+    tick loop — drain slot claims (batched ``reset_rows``), gather at
+    most one pending message per slot, ``push`` all gathered audio as one
+    batch (idle rows ride along with length 0, which leaves their state
+    untouched), then ``finish_rows`` for finishing slots in one batched
+    call. Connection threads never touch the transcriber; they talk to
+    the engine through per-slot queues, so all device state has a single
+    owner and needs no locks.
+
+    If the transcriber was built with an ``endpoint_config``, rows whose
+    endpoint latches are finished server-side: the client's next reply is
+    an early ``MSG_FINAL`` instead of a partial (``stream_transcribe``
+    returns on it).
+
+    Audio chunks larger than ``chunk_size`` samples are rejected
+    (``MSG_ERROR``) — every tick pushes a fixed ``[num_slots,
+    chunk_size]`` batch so exactly one device program is compiled.
+
+    No reference counterpart: the reference rebuilds a batch-1 TF graph
+    per decode run (neuralNetworks/decoder.py:8-47).
+    """
+
+    def __init__(
+        self,
+        transcriber,  # StreamingTranscriber or StreamingTransducerTranscriber
+        *,
+        num_slots: int = 8,
+        chunk_size: int = 1600,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tick_seconds: float = 0.002,
+    ):
+        import queue
+        import socket as socketlib
+        import threading
+
+        self.tx = transcriber
+        self.num_slots = int(num_slots)
+        self.chunk_size = int(chunk_size)
+        self._tick_seconds = float(tick_seconds)
+        self.tx.reset(self.num_slots)
+        self._has_endpoint = getattr(transcriber, "_endpointer", None) is not None
+
+        self._inbox = [queue.Queue() for _ in range(self.num_slots)]
+        self._outbox = [queue.Queue() for _ in range(self.num_slots)]
+        self._free: "queue.Queue[int]" = queue.Queue()
+        for s in range(self.num_slots):
+            self._free.put(s)
+        self._claims: "queue.Queue[int]" = queue.Queue()
+        # a connection may not feed audio into a freshly claimed slot until
+        # the ENGINE has re-armed it (reset_rows) — otherwise a tick that
+        # already drained the claim queue could push the new stream's first
+        # chunk through the previous stream's stale state
+        self._armed = [threading.Event() for _ in range(self.num_slots)]
+        self._work = threading.Event()  # any inbox/claim pending
+        self._closing = False
+        # occupancy stats (engine-thread only): ticks and rows-with-audio,
+        # for measuring how full the shared batch runs
+        self.ticks = 0
+        self.rows_pushed = 0
+
+        self._sock = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+        self._sock.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen()
+        self.host, self.port = self._sock.getsockname()
+        self._engine = threading.Thread(target=self._engine_loop, daemon=True)
+        self._engine.start()
+
+    # -- engine thread: sole owner of the transcriber -------------------
+
+    def _engine_loop(self) -> None:
+        import queue
+
+        while not self._closing:
+            if not self._work.wait(timeout=0.1):
+                continue
+            self._work.clear()
+            # 1) re-arm freshly claimed slots, batched
+            claimed = []
+            while True:
+                try:
+                    claimed.append(self._claims.get_nowait())
+                except queue.Empty:
+                    break
+            if claimed:
+                self.tx.reset_rows(claimed)
+                for s in claimed:
+                    self._armed[s].set()
+            # 2) gather at most one pending message per slot
+            audio_rows: dict[int, np.ndarray] = {}
+            finish_slots: list[int] = []
+            for s in range(self.num_slots):
+                try:
+                    mtype, samples = self._inbox[s].get_nowait()
+                except queue.Empty:
+                    continue
+                if mtype == MSG_AUDIO:
+                    audio_rows[s] = samples
+                else:
+                    finish_slots.append(s)
+            if not audio_rows and not finish_slots:
+                continue
+            try:
+                self._tick(audio_rows, finish_slots)
+            except Exception as exc:  # noqa: BLE001 — fail the streams, not the engine
+                log.exception("engine tick failed")
+                for s in list(audio_rows) + finish_slots:
+                    self._outbox[s].put((MSG_ERROR, str(exc)))
+            # small coalescing window: let concurrent clients' next chunks
+            # land so the following tick batches them together
+            if self._tick_seconds:
+                time.sleep(self._tick_seconds)
+            self._work.set()  # re-check inboxes once more before sleeping
+
+    def _tick(self, audio_rows, finish_slots) -> None:
+        if audio_rows:
+            chunk = np.zeros((self.num_slots, self.chunk_size), np.float32)
+            lengths = np.zeros((self.num_slots,), np.int64)
+            for s, samples in audio_rows.items():
+                chunk[s, : len(samples)] = samples
+                lengths[s] = len(samples)
+            partials = self.tx.push(chunk, lengths)
+            self.ticks += 1
+            self.rows_pushed += len(audio_rows)
+            endpointed = (
+                self.tx.endpointed() if self._has_endpoint else None
+            )
+            ep_rows = [
+                s for s in audio_rows
+                if endpointed is not None and bool(endpointed[s])
+            ]
+            if ep_rows:
+                finals = self.tx.finish_rows(ep_rows)
+                for s in ep_rows:
+                    self._outbox[s].put((MSG_FINAL, finals[s]))
+            for s in audio_rows:
+                if s not in ep_rows:
+                    self._outbox[s].put((MSG_PARTIAL, partials[s]))
+        if finish_slots:
+            finals = self.tx.finish_rows(finish_slots)
+            for s in finish_slots:
+                self._outbox[s].put((MSG_FINAL, finals[s]))
+
+    # -- connection threads ---------------------------------------------
+
+    def _handle(self, conn) -> None:
+        import queue
+
+        slot = self._free.get()
+        self._armed[slot].clear()
+        self._claims.put(slot)
+        self._work.set()
+        self._armed[slot].wait()
+        try:
+            while True:
+                mtype, payload = _recv_msg(conn)
+                if mtype is None:  # client hung up mid-stream
+                    return
+                if mtype == MSG_AUDIO:
+                    samples = np.frombuffer(payload, dtype="<f4")
+                    if len(samples) > self.chunk_size:
+                        raise ValueError(
+                            f"chunk of {len(samples)} samples exceeds the "
+                            f"server chunk_size {self.chunk_size}"
+                        )
+                    self._inbox[slot].put((MSG_AUDIO, samples))
+                elif mtype == MSG_FINISH:
+                    self._inbox[slot].put((MSG_FINISH, None))
+                else:
+                    raise ValueError(f"unknown message type {mtype!r}")
+                self._work.set()
+                rtype, text = self._outbox[slot].get()
+                if rtype == MSG_ERROR:
+                    raise RuntimeError(text)
+                _send_msg(conn, rtype, text.encode())
+                if rtype == MSG_FINAL:
+                    return
+        except Exception as exc:  # noqa: BLE001 — surfaced to the client
+            log.exception("multi-stream session failed")
+            try:
+                _send_msg(conn, MSG_ERROR, str(exc).encode())
+            except OSError:
+                pass
+        finally:
+            conn.close()
+            # drain any stale reply left by a mid-stream hangup, then
+            # release the slot (reset_rows happens on the next claim)
+            try:
+                while True:
+                    self._outbox[slot].get_nowait()
+            except queue.Empty:
+                pass
+            self._free.put(slot)
+
+    def serve_forever(self, stop=lambda: False, poll_seconds: float = 0.2) -> None:
+        """Accept loop; one thread per connection. Returns when ``stop()``
+        is True (checked between accepts) or ``close()`` is called."""
+        import threading
+
+        self._sock.settimeout(poll_seconds)
+        while not (stop() or self._closing):
+            try:
+                conn, _ = self._sock.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return  # closed
+            threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+
+    def close(self) -> None:
+        self._closing = True
+        self._work.set()
+        self._sock.close()
