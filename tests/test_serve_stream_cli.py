@@ -1,0 +1,179 @@
+"""`cli.serve --stream`: a trained CTC config served over the
+multi-stream socket, driven end to end from the command line.
+
+Covers the config-to-transcriber factory (weights restored from the
+final checkpoint, feature chain from [dnn-features], pooled-corpus CMVN)
+and the MultiStreamServer behind the CLI flags: concurrent clients'
+finals must equal the library-level transcriber on the same audio.
+"""
+
+import os
+import threading
+import time
+from configparser import ConfigParser
+
+import jax
+import numpy as np
+import pytest
+
+from tests.synthetic import make_featdir
+from tfkaldi_tpu.nnet import Nnet
+from tfkaldi_tpu.train import Trainer, TrainerConfig
+from tfkaldi_tpu.train import checkpoint as ckpt
+
+RATE = 8000
+CHUNK = 800
+FEAT_DIM = 10
+
+
+@pytest.fixture(scope="module")
+def ctc_config(tmp_path_factory):
+    """A featdir + trained(-enough) streaming CTC GRU config on disk."""
+    tmp = tmp_path_factory.mktemp("stream_cli")
+    featdir, _, info = make_featdir(tmp, feat_dim=FEAT_DIM)
+    cfg_path = tmp / "stream.cfg"
+    cfg_path.write_text(
+        f"""[directories]
+expdir = {tmp}/exp
+train_features = {os.path.dirname(featdir)}
+
+[dnn-features]
+name = {os.path.basename(featdir)}
+type = fbank
+dynamic = nodelta
+nfilt = {FEAT_DIM}
+nfft = 256
+
+[nnet]
+name = streamnet
+model = gru
+loss = ctc
+context_width = 0
+num_hidden_layers = 1
+num_hidden_units = 16
+bidirectional = False
+scan_unroll = 1
+batch_size = 4
+num_epochs = 1
+initial_learning_rate = 0.01
+learning_rate_decay = 1
+"""
+    )
+    config = ConfigParser()
+    assert config.read(str(cfg_path))
+
+    from tfkaldi_tpu.cli.main import resolve_labels
+
+    _ctc, coder, num_labels, _ = resolve_labels(config)
+    net = Nnet(config, input_dim=FEAT_DIM, num_labels=num_labels)
+    # an (untrained) final checkpoint is enough to exercise the path;
+    # spread the output weights so transcripts are non-trivial
+    trainer = Trainer(net.model, TrainerConfig(loss_type=net.loss_type))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state.params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), state.params["out"]["w"].shape)
+    )
+    ckpt.save_state(os.path.join(net.savedir, "final"), state, block=True)
+    return str(cfg_path), featdir, config, net, coder
+
+
+def test_stream_cli_serves_concurrent_clients(ctc_config, tmp_path):
+    cfg_path, featdir, config, net, coder = ctc_config
+    from tfkaldi_tpu.cli.serve import main as serve_main
+    from tfkaldi_tpu.serve import (
+        build_streaming_transcriber,
+        global_cmvn,
+        stream_transcribe,
+    )
+
+    port_file = tmp_path / "port"
+    stopping = threading.Event()
+    rc = []
+    t = threading.Thread(
+        target=lambda: rc.append(
+            serve_main(
+                [
+                    "--config", cfg_path, "--stream",
+                    "--slots", "2", "--chunk-size", str(CHUNK),
+                    "--rate", str(RATE), "--port-file", str(port_file),
+                ],
+                stop=stopping.is_set,
+            )
+        ),
+        daemon=True,
+    )
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while not port_file.exists() and time.time() < deadline:
+            time.sleep(0.05)
+        assert port_file.exists(), "server never wrote the port file"
+        host, port = port_file.read_text().split()
+
+        rng = np.random.default_rng(17)
+        audios = [
+            (rng.standard_normal(int(n)) * 0.1).astype(np.float32)
+            for n in (4000, 6500, 3000)
+        ]
+
+        # expected: the library-level transcriber from the same config
+        stats = global_cmvn(featdir)
+        expected = []
+        for a in audios:
+            tx = build_streaming_transcriber(
+                net, coder, RATE, dict(config["dnn-features"]), cmvn=stats
+            )
+            tx.reset(1)
+            for pos in range(0, len(a), CHUNK):
+                c = a[pos : pos + CHUNK][None, :]
+                tx.push(c, np.asarray([c.shape[1]]))
+            expected.append(tx.finish()[0])
+
+        finals = [None] * len(audios)
+
+        def client(i):
+            gen = stream_transcribe(host, int(port), audios[i], CHUNK)
+            try:
+                while True:
+                    next(gen)
+            except StopIteration as s:
+                finals[i] = s.value
+
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(len(audios))
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert finals == expected
+    finally:
+        stopping.set()
+        t.join(timeout=10)
+    assert rc == [0]
+
+
+def test_build_streaming_transcriber_rejects_hybrid(ctc_config, tmp_path):
+    """Hybrid configs have no streaming text transcriber; the factory must
+    say so instead of producing something subtly wrong."""
+    _, featdir, config, net, coder = ctc_config
+    from tfkaldi_tpu.serve import build_streaming_transcriber
+
+    hybrid = ConfigParser()
+    hybrid["directories"] = {"expdir": str(tmp_path / "exp")}
+    hybrid["nnet"] = {
+        "name": "hyb", "context_width": "0", "num_hidden_layers": "1",
+        "num_hidden_units": "8",
+    }
+    hnet = Nnet(hybrid, input_dim=FEAT_DIM, num_labels=5)
+    trainer = Trainer(hnet.model, TrainerConfig())
+    ckpt.save_state(
+        os.path.join(hnet.savedir, "final"),
+        trainer.init_state(jax.random.PRNGKey(0)),
+        block=True,
+    )
+    with pytest.raises(ValueError, match="streaming"):
+        build_streaming_transcriber(
+            hnet, coder, RATE, dict(config["dnn-features"])
+        )

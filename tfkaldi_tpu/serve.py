@@ -202,6 +202,99 @@ class DecodeService:
                 time.sleep(poll_seconds)
 
 
+def global_cmvn(featdir: str) -> np.ndarray:
+    """Corpus-global CMVN stats: the sum of a featdir's per-speaker
+    stats (``cmvn.scp``; Kaldi ``[2, dim+1]`` layout, frontend/cmvn.py).
+
+    Live streams have no speaker-level statistics (the offline pipeline's
+    per-speaker CMVN, feature_reader.py:91-115, needs the whole corpus up
+    front), so streaming serving normalizes with the training corpus'
+    pooled stats instead — the standard online-CMVN fallback."""
+    from tfkaldi_tpu.io import ArkReader
+
+    reader = ArkReader(os.path.join(featdir, "cmvn.scp"))
+    try:
+        total = None
+        for speaker in list(reader.utt_ids):
+            stats = np.asarray(reader.read_utt(speaker), np.float64)
+            total = stats if total is None else total + stats
+    finally:
+        reader.close()
+    if total is None:
+        raise ValueError(f"no CMVN stats in {featdir}/cmvn.scp")
+    return total
+
+
+def build_streaming_transcriber(
+    nnet,  # tfkaldi_tpu.nnet.Nnet (config already parsed)
+    coder,
+    samplerate: int,
+    features_conf: dict,
+    *,
+    cmvn: np.ndarray | None = None,
+    beam_width: int | None = None,
+    endpoint_config=None,
+):
+    """Build the streaming transcriber a trained config describes.
+
+    Loads the final weights once (like ``DecodeService``), constructs the
+    online feature chain from the ``[dnn-features]`` section (delta
+    front-ends get the lookahead-buffering ``OnlineDynamicExtractor``),
+    and returns the paradigm's transcriber: ``StreamingTranscriber`` for
+    CTC, ``StreamingTransducerTranscriber`` for RNN-T. Hybrid/attention
+    configs are rejected — their decoders need the whole utterance (the
+    spool ``DecodeService`` serves those).
+    """
+    from tfkaldi_tpu.decode.online import StreamingTranscriber
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import (
+        OnlineDynamicExtractor,
+        OnlineFeatureExtractor,
+    )
+
+    trainer = Trainer(nnet.model, TrainerConfig())
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    state = ckpt.restore_state(os.path.join(nnet.savedir, "final"), template)
+
+    opts = FeatureOpts.from_config(features_conf)
+    ext = FeatureExtractor(opts, samplerate)
+    online_ext = (
+        OnlineFeatureExtractor(ext)
+        if opts.dynamic == "nodelta"
+        else OnlineDynamicExtractor(ext)
+    )
+    if beam_width is None:
+        beam_width = int(nnet.conf.get("beam_width", 1))
+    if nnet.loss_type == "ctc":
+        from tfkaldi_tpu.decode.lm import fusion_from_config
+
+        fusion = None
+        if beam_width > 1:
+            fusion = fusion_from_config(nnet.conf, coder, list(coder.alphabet))
+        return StreamingTranscriber(
+            online_ext, nnet.model, state.params, state.model_state, coder,
+            nnet.blank_id, cmvn=cmvn, beam_width=beam_width,
+            fusion_scorer=fusion, endpoint_config=endpoint_config,
+        )
+    if nnet.loss_type == "rnnt":
+        if endpoint_config is not None:
+            raise ValueError(
+                "endpointing rides the CTC blank stream; the transducer "
+                "transcriber does not support endpoint_config"
+            )
+        return StreamingTransducerTranscriber(
+            online_ext, nnet.model, state.params, state.model_state, coder,
+            cmvn=cmvn,
+            max_symbols_per_frame=int(nnet.conf.get("max_symbols_per_frame", 4)),
+        )
+    raise ValueError(
+        f"loss_type {nnet.loss_type!r} has no streaming transcriber "
+        "(hybrid/attention decoding needs the full utterance; use the "
+        "spool DecodeService)"
+    )
+
+
 # ----------------------------------------------------------------------
 # Low-latency streaming service (socket, partial transcripts per chunk)
 # ----------------------------------------------------------------------
