@@ -175,6 +175,73 @@ def test_multistream_server_oversized_chunk_rejected():
         t.join(timeout=5)
 
 
+def test_multistream_server_transducer():
+    """The production serving config — streaming conformer-s2 transducer —
+    through the shared-batch server: concurrent finals equal batch-1."""
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+    from tfkaldi_tpu.models.transducer import Transducer, TransducerConfig
+
+    ext = FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256),
+        RATE,
+    )
+    extra = {
+        "num_blocks": "2", "d_model": "16", "num_heads": "2",
+        "ffn_dim": "24", "conv_kernel": "3", "subsample": "2",
+        "attention_left_context": "4", "attention_right_context": "0",
+        "causal_conv": "True",
+    }
+    model = Transducer(TransducerConfig(
+        input_dim=10, num_labels=4, enc_type="conformer",
+        pred_layers=1, pred_units=8, embed_dim=4, joint_units=12,
+        joint_chunk_t=3, enc_extra=tuple(extra.items()),
+    ))
+    params, state = model.init(jax.random.PRNGKey(21))
+
+    rng = np.random.default_rng(23)
+    audios = [
+        rng.standard_normal(int(n)).astype(np.float32) for n in (3500, 5200)
+    ]
+
+    def batch1(a):
+        tx = StreamingTransducerTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(),
+        )
+        tx.reset(1)
+        for pos in range(0, len(a), CHUNK):
+            c = a[pos : pos + CHUNK][None, :]
+            tx.push(c, np.asarray([c.shape[1]]))
+        return tx.finish()[0]
+
+    expected = [batch1(a) for a in audios]
+    server = MultiStreamServer(
+        StreamingTransducerTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(),
+        ),
+        num_slots=2,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    finals = [None] * len(audios)
+
+    def client(i):
+        _, finals[i] = _collect(server.host, server.port, audios[i])
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(len(audios))
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert finals == expected
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
 def test_multistream_server_endpoint_early_final():
     """A max-utterance-length endpoint rule finishes the stream
     server-side: the client gets an early MSG_FINAL (fewer partials than
