@@ -1,0 +1,283 @@
+"""Streaming label timestamps (CTC and transducer).
+
+``StreamingTranscriber.timestamps()`` (greedy CTC) reports each
+committed label's emission time: the start of the decoder output frame
+whose argmax first produced it. ``StreamingTransducerTranscriber``
+exposes the same surface off the transducer lattice's own alignment
+(the encoder frame whose joint step emitted the label). Contracts under
+test: equality to the offline alignment, invariance to audio chunking,
+subsample-factor frame scaling, and the per-slot lifecycle (timestamps
+restart at zero after ``reset_rows``).
+
+(Beyond the reference: its decoder emits likelihood matrices only,
+neuralNetworks/decoder.py:50-77 — no alignment surface exists there.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfkaldi_tpu.decode import StreamingTranscriber
+from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+from tfkaldi_tpu.models import GRU, RNNConfig, Transformer, TransformerConfig
+
+RATE = 8000
+BLANK = 7
+
+
+class _IdCoder:
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def _extractor():
+    return FeatureExtractor(
+        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=10, nfft=256),
+        RATE,
+    )
+
+
+def _gru():
+    model = GRU(
+        RNNConfig(input_dim=10, num_labels=8, num_layers=1, hidden_units=16,
+                  bidirectional=False, scan_unroll=1)
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["out"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(1), params["out"]["w"].shape) * 0.5
+    )
+    return model, params, state
+
+
+def _offline_alignment(model, params, state, feats, blank):
+    """Oracle: offline argmax path -> (label ids, first frame of each
+    emitted run) with the streaming collapse semantics (prev = -1)."""
+    logits, _ = model.apply(
+        params, state, jnp.asarray(feats[None, :]),
+        jnp.asarray([feats.shape[0]], jnp.int32), train=False,
+    )
+    p = np.asarray(jnp.argmax(logits[0], axis=-1))
+    keep = np.ones(p.shape[0], bool)
+    keep[1:] = p[1:] != p[:-1]
+    idx = np.flatnonzero(keep)
+    collapsed = p[idx]
+    nonblank = collapsed != blank
+    return collapsed[nonblank].astype(np.int32), idx[nonblank]
+
+
+def _stream(model, params, state, audio, chunk):
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state,
+        _IdCoder(), BLANK,
+    )
+    tx.reset(1)
+    for pos in range(0, len(audio), chunk):
+        c = audio[pos : pos + chunk][None, :]
+        tx.push(c, np.asarray([c.shape[1]]))
+    final = tx.finish()[0]
+    return tx, final
+
+
+def test_timestamps_match_offline_alignment_and_chunking_invariant():
+    model, params, state = _gru()
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(7000).astype(np.float32)
+
+    ext = _extractor()
+    feats, n = map(np.asarray, ext(audio[None, :], np.asarray([len(audio)])))
+    ids, frames = _offline_alignment(
+        model, params, state, feats[0, : int(n[0])], BLANK
+    )
+
+    tx_a, final_a = _stream(model, params, state, audio, 1000)
+    tx_b, final_b = _stream(model, params, state, audio, 333)
+    assert final_a == final_b == _IdCoder().decode(ids)
+    times_a = tx_a.timestamps()[0]
+    times_b = tx_b.timestamps()[0]
+    expected = frames * tx_a.frame_seconds
+    np.testing.assert_allclose(times_a, expected, rtol=0, atol=0)
+    np.testing.assert_allclose(times_b, expected, rtol=0, atol=0)
+    assert len(times_a) == len(final_a.split()) if final_a else True
+    # winstep 0.01 s, subsample 1
+    assert tx_a.frame_seconds == pytest.approx(0.01)
+
+
+def test_timestamps_subsampled_conformer_frame_scaling():
+    """Under a subsample-2 causal conformer each decoder frame spans two
+    feature frames: frame_seconds doubles and timestamps stay
+    chunking-invariant (the finish() flush emits the ceil tail group)."""
+    extra = dict(
+        num_blocks=2, d_model=16, num_heads=2, ffn_dim=24, conv_kernel=3,
+        subsample=2, left_context=4, right_context=0, causal_conv=True,
+        conformer=True,
+    )
+    model = Transformer(TransformerConfig(
+        input_dim=10, num_labels=8, **extra,
+    ))
+    params, state = model.init(jax.random.PRNGKey(11))
+
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(6000).astype(np.float32)
+    tx_a, final_a = _stream(model, params, state, audio, 900)
+    tx_b, final_b = _stream(model, params, state, audio, 250)
+    assert final_a == final_b
+    assert tx_a.frame_seconds == pytest.approx(0.02)
+    np.testing.assert_allclose(tx_a.timestamps()[0], tx_b.timestamps()[0])
+    t = tx_a.timestamps()[0]
+    # every timestamp sits on a decoder-frame boundary
+    np.testing.assert_allclose(t / 0.02, np.round(t / 0.02), atol=1e-9)
+
+
+def test_timestamps_per_slot_lifecycle():
+    """finish_rows leaves the finished row's timestamps readable;
+    reset_rows restarts its clock at zero while the other row's
+    accumulated alignment is untouched."""
+    model, params, state = _gru()
+    rng = np.random.default_rng(9)
+    a0 = rng.standard_normal(4000).astype(np.float32)
+    a1 = rng.standard_normal(8000).astype(np.float32)
+
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state,
+        _IdCoder(), BLANK,
+    )
+    tx.reset(2)
+    for pos in range(0, len(a1), 1000):
+        chunk = np.zeros((2, 1000), np.float32)
+        ln = np.zeros((2,), np.int64)
+        if pos < len(a0):
+            p0 = a0[pos : pos + 1000]
+            chunk[0, : len(p0)] = p0
+            ln[0] = len(p0)
+        p1 = a1[pos : pos + 1000]
+        chunk[1, : len(p1)] = p1
+        ln[1] = len(p1)
+        tx.push(chunk, ln)
+        if pos + 1000 >= len(a0) and pos < len(a0):
+            tx.finish_rows([0])
+            t_row0 = tx.timestamps()[0]
+            # equals an independent batch-1 run of the same audio
+            solo, _ = _stream(model, params, state, a0, 1000)
+            np.testing.assert_allclose(t_row0, solo.timestamps()[0])
+            tx.reset_rows([0])
+            assert tx.timestamps()[0].size == 0
+    tx.finish_rows([1])
+    solo1, _ = _stream(model, params, state, a1, 1000)
+    np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])
+
+
+def test_timestamps_beam_mode_raises():
+    model, params, state = _gru()
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state,
+        _IdCoder(), BLANK, beam_width=4,
+    )
+    tx.reset(1)
+    with pytest.raises(RuntimeError, match="greedy"):
+        tx.timestamps()
+
+
+# -- transducer -----------------------------------------------------------
+
+
+def _transducer(input_dim=10, subsample=1):
+    from tfkaldi_tpu.models.transducer import Transducer, TransducerConfig
+
+    if subsample == 1:
+        cfg = TransducerConfig(
+            input_dim=input_dim, num_labels=4, enc_layers=1, enc_units=16,
+            pred_layers=1, pred_units=12, embed_dim=6, joint_units=12,
+            scan_unroll=1,
+        )
+    else:
+        extra = {
+            "num_blocks": "2", "d_model": "16", "num_heads": "2",
+            "ffn_dim": "24", "conv_kernel": "3", "subsample": str(subsample),
+            "attention_left_context": "4", "attention_right_context": "0",
+            "causal_conv": "True",
+        }
+        cfg = TransducerConfig(
+            input_dim=input_dim, num_labels=4, enc_type="conformer",
+            pred_layers=1, pred_units=8, embed_dim=4, joint_units=12,
+            enc_extra=tuple(extra.items()),
+        )
+    model = Transducer(cfg)
+    params, state = model.init(jax.random.PRNGKey(21))
+    return model, params, state
+
+
+def _stream_transducer(model, params, state, audio, chunk):
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+
+    tx = StreamingTransducerTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state, _IdCoder()
+    )
+    tx.reset(1)
+    for pos in range(0, len(audio), chunk):
+        c = audio[pos : pos + chunk][None, :]
+        tx.push(c, np.asarray([c.shape[1]]))
+    return tx, tx.finish()[0]
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+def test_transducer_timestamps_match_offline_and_chunking(subsample):
+    """Streamed transducer timestamps == the offline lattice alignment
+    (TransducerDecoder.last_label_frames × frame seconds), at any audio
+    chunking; under subsample-2 each encoder frame spans two winsteps."""
+    from tfkaldi_tpu.decode.transducer import TransducerDecoder
+
+    model, params, state = _transducer(subsample=subsample)
+    rng = np.random.default_rng(31 + subsample)
+    audio = (rng.standard_normal(7000) * 100).astype(np.float32)
+
+    ext = _extractor()
+    feats, n = map(np.asarray, ext(audio[None, :], np.asarray([len(audio)])))
+    dec = TransducerDecoder(model, params, state, _IdCoder())
+    offline_ids = dec.decode_batch(feats, n)[0]
+    offline_frames = dec.last_label_frames[0]
+
+    tx_a, final_a = _stream_transducer(model, params, state, audio, 1000)
+    tx_b, final_b = _stream_transducer(model, params, state, audio, 317)
+    assert final_a == final_b == _IdCoder().decode(offline_ids)
+    assert tx_a.frame_seconds == pytest.approx(0.01 * subsample)
+    expected = offline_frames * tx_a.frame_seconds
+    np.testing.assert_allclose(tx_a.timestamps()[0], expected, rtol=0, atol=0)
+    np.testing.assert_allclose(tx_b.timestamps()[0], expected, rtol=0, atol=0)
+
+
+def test_transducer_timestamps_per_slot_lifecycle():
+    """finish_rows leaves the finished slot's timestamps readable and
+    equal to an independent batch-1 run; reset_rows restarts its clock."""
+    model, params, state = _transducer()
+    rng = np.random.default_rng(41)
+    a0 = (rng.standard_normal(4000) * 100).astype(np.float32)
+    a1 = (rng.standard_normal(8000) * 100).astype(np.float32)
+
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+
+    tx = StreamingTransducerTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state, _IdCoder()
+    )
+    tx.reset(2)
+    for pos in range(0, len(a1), 1000):
+        chunk = np.zeros((2, 1000), np.float32)
+        ln = np.zeros((2,), np.int64)
+        if pos < len(a0):
+            p0 = a0[pos : pos + 1000]
+            chunk[0, : len(p0)] = p0
+            ln[0] = len(p0)
+        p1 = a1[pos : pos + 1000]
+        chunk[1, : len(p1)] = p1
+        ln[1] = len(p1)
+        tx.push(chunk, ln)
+        if pos + 1000 >= len(a0) and pos < len(a0):
+            tx.finish_rows([0])
+            solo, _ = _stream_transducer(model, params, state, a0, 1000)
+            np.testing.assert_allclose(tx.timestamps()[0], solo.timestamps()[0])
+            tx.reset_rows([0])
+            assert tx.timestamps()[0].size == 0
+    tx.finish_rows([1])
+    solo1, _ = _stream_transducer(model, params, state, a1, 1000)
+    np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])

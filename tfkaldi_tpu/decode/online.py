@@ -124,10 +124,16 @@ class OnlineCTCDecoder:
         self.blank_id = int(blank_id)
         self._carry = None
         self._prev = None  # last raw frame label per row (cross-chunk dedupe)
+        # global decoder-output-frame counter per row: the base for the
+        # per-label frame indices in ``last_label_frames``
+        self._frame_base = None
         # last chunk's raw per-frame argmax labels [B, T] + valid counts
         # [B] — consumed by decode/endpoint.py::Endpointer
         self.last_frame_labels = None
         self.last_n_out = None
+        # per-row frame index (decoder output frames since reset) of each
+        # label the last step()/finish() emitted — aligned with its return
+        self.last_label_frames = None
 
         def compute(chunk, lengths, carry, params, model_state):
             # under a subsampling front-end the emitted-position count
@@ -156,20 +162,29 @@ class OnlineCTCDecoder:
     def reset(self, batch_size: int) -> None:
         self._carry = self.model.init_stream_carry(batch_size)
         self._prev = np.full((batch_size,), -1, np.int64)
+        self._frame_base = np.zeros((batch_size,), np.int64)
 
     def _collapse(self, paths, n_out):
         out = []
+        frames = []
         for row in range(paths.shape[0]):
             p = paths[row, : int(n_out[row])]
             if p.size == 0:
                 out.append(np.zeros((0,), np.int32))
+                frames.append(np.zeros((0,), np.int64))
                 continue
             keep = np.ones(p.shape[0], dtype=bool)
             keep[0] = p[0] != self._prev[row]
             keep[1:] = p[1:] != p[:-1]
-            collapsed = p[keep]
-            out.append(collapsed[collapsed != self.blank_id].astype(np.int32))
+            idx = np.flatnonzero(keep)
+            collapsed = p[idx]
+            nonblank = collapsed != self.blank_id
+            out.append(collapsed[nonblank].astype(np.int32))
+            # frame of each emitted label = the first frame of its run
+            frames.append(idx[nonblank] + self._frame_base[row])
             self._prev[row] = p[-1]
+            self._frame_base[row] += p.shape[0]
+        self.last_label_frames = frames
         return out
 
     def step(self, chunk, lengths) -> list[np.ndarray]:
@@ -184,6 +199,7 @@ class OnlineCTCDecoder:
             b = chunk.shape[0]
             self.last_frame_labels = np.zeros((b, 0), np.int32)
             self.last_n_out = np.zeros((b,), np.int32)
+            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
             return [np.zeros((0,), np.int32) for _ in range(b)]
         paths, n_out, self._carry = self._fn(
             jnp.asarray(chunk, jnp.float32),
@@ -206,6 +222,7 @@ class OnlineCTCDecoder:
         if self._flush_fn is None:
             self.last_frame_labels = np.zeros((b, 0), np.int32)
             self.last_n_out = np.zeros((b,), np.int32)
+            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
             return [np.zeros((0,), np.int32) for _ in range(b)]
         logits, n, self._carry = self._flush_fn(
             self._carry, self.params, self.model_state
@@ -231,6 +248,7 @@ class OnlineCTCDecoder:
         if self._flush_fn is None:
             self.last_frame_labels = np.zeros((b, 0), np.int32)
             self.last_n_out = np.zeros((b,), np.int32)
+            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
             return [np.zeros((0,), np.int32) for _ in range(b)]
         old_carry = self._carry
         logits, n, flushed = self._flush_fn(
@@ -258,6 +276,7 @@ class OnlineCTCDecoder:
             jnp.asarray(sel), self.model.init_stream_carry(b), self._carry
         )
         self._prev[idx] = -1
+        self._frame_base[idx] = 0
 
 
 class OnlineCTCBeamDecoder:
@@ -489,6 +508,13 @@ class StreamingTranscriber:
         self.coder = coder
         self.cmvn = None if cmvn is None else np.asarray(cmvn)
         self.beam_width = int(beam_width)
+        # seconds per DECODER OUTPUT frame: the feature winstep times the
+        # model's subsample factor — converts the greedy decoder's
+        # per-label frame indices into wall-clock timestamps
+        sub = int(getattr(model, "subsample_factor", 1) or 1)
+        ext = online_extractor.extractor
+        self.frame_seconds = ext.frame_step / ext.rate * sub
+        self._frames = None  # per-row committed label frame indices
         # optional endpointing (decode/endpoint.py): per-row blank-silence
         # rules over the decoder's per-frame argmax stream
         self._endpointer = None
@@ -530,6 +556,7 @@ class StreamingTranscriber:
         if self._endpointer is not None:
             self._endpointer.reset(batch_size)
         self._ids = [[] for _ in range(batch_size)]
+        self._frames = [[] for _ in range(batch_size)]
 
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
         if self.cmvn is not None:
@@ -543,6 +570,9 @@ class StreamingTranscriber:
         else:
             for row, new_ids in enumerate(self._dec.step(feats, n_new)):
                 self._ids[row].extend(new_ids.tolist())
+                self._frames[row].extend(
+                    self._dec.last_label_frames[row].tolist()
+                )
             out = [
                 self.coder.decode(np.asarray(row, np.int32))
                 for row in self._ids
@@ -571,11 +601,14 @@ class StreamingTranscriber:
         else:
             for row, new_ids in enumerate(self._dec.finish()):
                 self._ids[row].extend(new_ids.tolist())
+                self._frames[row].extend(
+                    self._dec.last_label_frames[row].tolist()
+                )
             out = [
                 self.coder.decode(np.asarray(row, np.int32))
                 for row in self._ids
             ]
-        self._ids = None
+        self._ids = None  # _frames survives so timestamps() stays readable
         return out
 
     def finish_rows(self, rows) -> list[str]:
@@ -595,6 +628,9 @@ class StreamingTranscriber:
         else:
             for row, new_ids in enumerate(self._dec.finish_rows(rows)):
                 self._ids[row].extend(new_ids.tolist())
+                self._frames[row].extend(
+                    self._dec.last_label_frames[row].tolist()
+                )
             out = [
                 self.coder.decode(np.asarray(row, np.int32))
                 for row in self._ids
@@ -612,6 +648,29 @@ class StreamingTranscriber:
             self._endpointer.reset_rows(rows)
         for row in rows:
             self._ids[int(row)] = []
+            self._frames[int(row)] = []
+
+    def timestamps(self) -> list[np.ndarray]:
+        """Per-row emission time in SECONDS of every committed label, in
+        audio-stream time since that row's reset (aligned with the greedy
+        transcript's labels). A label's time is the start of the decoder
+        output frame whose argmax first emitted it — CTC's usual peaky
+        alignment means this lands at or slightly after the sound itself.
+        Greedy only: beam hypotheses are re-ranked in hindsight, so they
+        carry no committed frame alignment. Remains readable after
+        ``finish()`` (the final alignment); per-slot streams read it
+        after ``finish_rows`` and before the slot's ``reset_rows``."""
+        if self.beam_width > 1:
+            raise RuntimeError(
+                "timestamps need greedy decoding (beam_width 1): beam "
+                "hypotheses have no committed frame alignment"
+            )
+        if self._frames is None:
+            raise RuntimeError("call reset(batch_size) before timestamps()")
+        return [
+            np.asarray(row, np.float64) * self.frame_seconds
+            for row in self._frames
+        ]
 
     def endpointed(self) -> np.ndarray:
         """Latched per-row endpoint flags (requires ``endpoint_config``).

@@ -34,18 +34,22 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
                  proj, carry):
     """Greedy-emit over ``enc [B, T, J]`` frames (``frame_valid [B, T]``),
     starting from prediction projection ``proj [B, J]`` and carry.
-    Returns ``(tokens [B, T*max_symbols], counts [B], proj, carry)``."""
+    Returns ``(tokens [B, T*max_symbols], frames [B, T*max_symbols],
+    counts [B], proj, carry)`` — ``frames[i, k]`` is the chunk-relative
+    encoder frame that emitted token ``k`` (the alignment the transducer
+    lattice gives for free; timestamps ride it)."""
     b, t, _ = enc.shape
     buf_len = t * max_symbols
     buf = jnp.zeros((b, buf_len), jnp.int32)
+    frame_buf = jnp.zeros((b, buf_len), jnp.int32)
     counts = jnp.zeros((b,), jnp.int32)
 
     def frame(state, xs):
-        proj, carry, buf, counts = state
-        enc_t, valid_t = xs  # [B, J], [B]
+        proj, carry, buf, frame_buf, counts = state
+        enc_t, valid_t, t_idx = xs  # [B, J], [B], scalar
 
         def sym(_, st):
-            proj, carry, buf, counts, active = st
+            proj, carry, buf, frame_buf, counts, active = st
             logits = model.joint_step(params, enc_t, proj)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emit = active & (tok != model.blank_id) & valid_t
@@ -56,10 +60,11 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
             pos = jnp.where(emit, counts, buf_len)
             slot = jnp.arange(buf_len)[None, :] == pos[:, None]
             buf = jnp.where(slot, tok[:, None], buf)
+            frame_buf = jnp.where(slot, t_idx, frame_buf)
             counts = counts + emit.astype(jnp.int32)
             new_proj, carry = model.predict_step(params, tok, emit, carry)
             proj = jnp.where(emit[:, None], new_proj, proj)
-            return proj, carry, buf, counts, emit
+            return proj, carry, buf, frame_buf, counts, emit
 
         # fori, deliberately NOT an early-exit while_loop: iterations after
         # every row goes blank ARE no-ops, but an in-process forced-readback
@@ -67,18 +72,19 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
         # emissions and only parity (0.97×) at zero emission density — the
         # per-iteration `any(active)` cond costs as much as the tiny bodies
         # it could skip
-        proj, carry, buf, counts, _ = jax.lax.fori_loop(
+        proj, carry, buf, frame_buf, counts, _ = jax.lax.fori_loop(
             0, max_symbols, sym,
-            (proj, carry, buf, counts, jnp.ones((b,), bool)),
+            (proj, carry, buf, frame_buf, counts, jnp.ones((b,), bool)),
         )
-        return (proj, carry, buf, counts), None
+        return (proj, carry, buf, frame_buf, counts), None
 
-    (proj, carry, buf, counts), _ = jax.lax.scan(
+    (proj, carry, buf, frame_buf, counts), _ = jax.lax.scan(
         frame,
-        (proj, carry, buf, counts),
-        (jnp.transpose(enc, (1, 0, 2)), jnp.transpose(frame_valid)),
+        (proj, carry, buf, frame_buf, counts),
+        (jnp.transpose(enc, (1, 0, 2)), jnp.transpose(frame_valid),
+         jnp.arange(t, dtype=jnp.int32)),
     )
-    return buf, counts, proj, carry
+    return buf, frame_buf, counts, proj, carry
 
 
 class TransducerDecoder:
@@ -101,6 +107,9 @@ class TransducerDecoder:
         self.model_state = model_state
         self.coder = coder
         self.max_symbols = int(max_symbols_per_frame)
+        # per-row encoder-frame index of each label the last decode_batch
+        # emitted (the transducer alignment), aligned with its return
+        self.last_label_frames = None
         self._fn = jax.jit(self._greedy)
 
     def _greedy(self, params, inputs, lengths):
@@ -115,17 +124,27 @@ class TransducerDecoder:
         )
         enc_lengths = model.output_lengths(lengths)
         frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]
-        buf, counts, _, _ = _scan_frames(
+        buf, frame_buf, counts, _, _ = _scan_frames(
             model, self.max_symbols, params, enc, frame_valid, proj, carry
         )
-        return buf, counts
+        return buf, frame_buf, counts
 
     def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
-        """``[B, T, F]`` padded features → list of label-id arrays."""
-        buf, counts = self._fn(
+        """``[B, T, F]`` padded features → list of label-id arrays.
+
+        Side effect: ``self.last_label_frames`` holds the per-row ENCODER
+        frame index of each emitted label (the transducer alignment),
+        aligned with the returned ids; multiply by ``winstep *
+        model.subsample_factor`` for seconds."""
+        buf, frame_buf, counts = self._fn(
             self.params, jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32)
         )
         buf, counts = np.asarray(buf), np.asarray(counts)
+        frame_buf = np.asarray(frame_buf)
+        self.last_label_frames = [
+            frame_buf[i, : int(counts[i])].astype(np.int64)
+            for i in range(buf.shape[0])
+        ]
         return [buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])]
 
     def decode_to_file(
@@ -185,20 +204,20 @@ class OnlineTransducerDecoder:
                 params, model_state, chunk, lengths, enc_carry
             )
             valid = jnp.arange(enc.shape[1])[None, :] < n_out[:, None]
-            buf, counts, proj, pred_carry = _scan_frames(
+            buf, frames, counts, proj, pred_carry = _scan_frames(
                 model, self.max_symbols, params, enc, valid, proj, pred_carry
             )
-            return buf, counts, enc_carry, proj, pred_carry
+            return buf, frames, counts, n_out, enc_carry, proj, pred_carry
 
         def flush(params, enc_carry, proj, pred_carry):
             enc, n, enc_carry = model.encode_stream_flush(
                 params, model_state, enc_carry
             )
             valid = jnp.arange(enc.shape[1])[None, :] < n[:, None]
-            buf, counts, proj, pred_carry = _scan_frames(
+            buf, frames, counts, proj, pred_carry = _scan_frames(
                 model, self.max_symbols, params, enc, valid, proj, pred_carry
             )
-            return buf, counts, enc_carry, proj, pred_carry
+            return buf, frames, counts, n, enc_carry, proj, pred_carry
 
         self._fn = jax.jit(compute)
         self._flush_fn = jax.jit(flush)
@@ -220,17 +239,40 @@ class OnlineTransducerDecoder:
             proj,
             pred_carry,
         )
+        # global encoder-frame counter per row: the base for the per-label
+        # frame indices in ``last_label_frames``
+        self._frame_base = np.zeros((batch_size,), np.int64)
+        self.last_label_frames = None
+
+    def _unpack(self, buf, frames, counts, n_out):
+        """Host-side: slice per-row emissions, globalize frame indices,
+        advance the per-row frame base by the chunk's valid frames."""
+        buf, counts = np.asarray(buf), np.asarray(counts)
+        frames = np.asarray(frames)
+        n_out = np.asarray(n_out)
+        self.last_label_frames = [
+            (frames[i, : int(counts[i])] + self._frame_base[i]).astype(np.int64)
+            for i in range(buf.shape[0])
+        ]
+        self._frame_base += n_out.astype(np.int64)
+        return [
+            buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
+        ]
 
     def step(self, chunk, lengths) -> list[np.ndarray]:
         """``[B, Tc, F]`` feature chunk (``lengths`` valid frames per row)
-        → per-row arrays of NEWLY emitted label ids."""
+        → per-row arrays of NEWLY emitted label ids. Side effect:
+        ``last_label_frames`` holds each new label's global encoder-frame
+        index (frames since reset), aligned with the return."""
         if self._state is None:
             raise RuntimeError("call reset(batch_size) before step()")
         chunk = np.asarray(chunk, np.float32)
         if chunk.shape[1] == 0:
-            return [np.zeros((0,), np.int32) for _ in range(chunk.shape[0])]
+            b = chunk.shape[0]
+            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
+            return [np.zeros((0,), np.int32) for _ in range(b)]
         enc_carry, proj, pred_carry = self._state
-        buf, counts, enc_carry, proj, pred_carry = self._fn(
+        buf, frames, counts, n_out, enc_carry, proj, pred_carry = self._fn(
             self.params,
             jnp.asarray(chunk),
             jnp.asarray(lengths, jnp.int32),
@@ -239,10 +281,7 @@ class OnlineTransducerDecoder:
             pred_carry,
         )
         self._state = (enc_carry, proj, pred_carry)
-        buf, counts = np.asarray(buf), np.asarray(counts)
-        return [
-            buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
-        ]
+        return self._unpack(buf, frames, counts, n_out)
 
     def finish(self) -> list[np.ndarray]:
         """End the utterances: under a subsampling encoder front-end this
@@ -252,14 +291,11 @@ class OnlineTransducerDecoder:
         if self._state is None:
             raise RuntimeError("call reset(batch_size) before finish()")
         enc_carry, proj, pred_carry = self._state
-        buf, counts, enc_carry, proj, pred_carry = self._flush_fn(
+        buf, frames, counts, n_out, enc_carry, proj, pred_carry = self._flush_fn(
             self.params, enc_carry, proj, pred_carry
         )
         self._state = (enc_carry, proj, pred_carry)
-        buf, counts = np.asarray(buf), np.asarray(counts)
-        return [
-            buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])
-        ]
+        return self._unpack(buf, frames, counts, n_out)
 
     # -- per-slot lifecycle (multi-stream serving) ----------------------
 
@@ -287,17 +323,16 @@ class OnlineTransducerDecoder:
         b = proj.shape[0]
         sel = np.zeros((b,), bool)
         sel[np.asarray(list(rows), np.int64)] = True
-        buf, counts, enc2, proj2, pred2 = self._flush_fn(
+        buf, frames, counts, n_out, enc2, proj2, pred2 = self._flush_fn(
             self.params, enc_carry, proj, pred_carry
         )
         self._state = self._merge_state(
             sel, (enc2, proj2, pred2), (enc_carry, proj, pred_carry)
         )
-        buf = np.asarray(buf)
+        # unselected rows emit nothing and their frame clock stands still
         counts = np.where(sel, np.asarray(counts), 0)
-        return [
-            buf[i, : int(counts[i])].astype(np.int32) for i in range(b)
-        ]
+        n_out = np.where(sel, np.asarray(n_out), 0)
+        return self._unpack(buf, frames, counts, n_out)
 
     def reset_rows(self, rows) -> None:
         """Re-arm a subset of rows for new utterances: zero their encoder
@@ -316,6 +351,7 @@ class OnlineTransducerDecoder:
         )
         fresh = (self.model.encoder.init_stream_carry(b), proj0, pred0)
         self._state = self._merge_state(sel, fresh, self._state)
+        self._frame_base[sel] = 0
 
 
 class StreamingTransducerTranscriber:
@@ -360,12 +396,24 @@ class StreamingTransducerTranscriber:
             model, params, model_state,
             max_symbols_per_frame=max_symbols_per_frame,
         )
+        # seconds per ENCODER frame: feature winstep × subsample factor —
+        # converts the transducer alignment's frame indices to timestamps
+        ext = online_extractor.extractor
+        self.frame_seconds = (
+            ext.frame_step / ext.rate * int(model.subsample_factor or 1)
+        )
         self._ids = None
+        self._frames = None  # per-row committed label frame indices
 
     def reset(self, batch_size: int) -> None:
         self.extractor.reset(batch_size)
         self._dec.reset(batch_size)
         self._ids = [[] for _ in range(batch_size)]
+        self._frames = [[] for _ in range(batch_size)]
+
+    def _take_frames(self) -> None:
+        for row, fr in enumerate(self._dec.last_label_frames):
+            self._frames[row].extend(fr.tolist())
 
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
         if self.cmvn is not None:
@@ -374,6 +422,7 @@ class StreamingTransducerTranscriber:
             feats = np.asarray(apply_cmvn(feats, self.cmvn))
         for row, ids in enumerate(self._dec.step(feats.astype(np.float32), n_new)):
             self._ids[row].extend(ids.tolist())
+        self._take_frames()
         return [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
@@ -393,10 +442,11 @@ class StreamingTransducerTranscriber:
         # encoder-level flush (subsampling front-end's final partial group)
         for row, ids in enumerate(self._dec.finish()):
             self._ids[row].extend(ids.tolist())
+        self._take_frames()
         out = [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
-        self._ids = None
+        self._ids = None  # _frames survives so timestamps() stays readable
         return out
 
     def finish_rows(self, rows) -> list[str]:
@@ -410,6 +460,7 @@ class StreamingTransducerTranscriber:
         self._feed(*self.extractor.flush_rows(rows))
         for row, ids in enumerate(self._dec.finish_rows(rows)):
             self._ids[row].extend(ids.tolist())
+        self._take_frames()
         return [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
@@ -423,3 +474,18 @@ class StreamingTransducerTranscriber:
         self._dec.reset_rows(rows)
         for row in rows:
             self._ids[int(row)] = []
+            self._frames[int(row)] = []
+
+    def timestamps(self) -> list[np.ndarray]:
+        """Per-row emission time in SECONDS of every committed label, in
+        audio-stream time since that row's reset (aligned with the
+        transcript's labels). A label's time is the start of the encoder
+        frame whose joint step emitted it — the alignment the transducer
+        lattice defines. Remains readable after ``finish()``; per-slot
+        streams read it after ``finish_rows`` and before ``reset_rows``."""
+        if self._frames is None:
+            raise RuntimeError("call reset(batch_size) before timestamps()")
+        return [
+            np.asarray(row, np.float64) * self.frame_seconds
+            for row in self._frames
+        ]
