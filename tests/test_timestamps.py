@@ -281,3 +281,127 @@ def test_transducer_timestamps_per_slot_lifecycle():
     tx.finish_rows([1])
     solo1, _ = _stream_transducer(model, params, state, a1, 1000)
     np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])
+
+
+# -- over the socket protocol ----------------------------------------------
+
+
+def _collect_timed(host, port, audio, chunk):
+    from tfkaldi_tpu.serve import stream_transcribe
+
+    gen = stream_transcribe(host, port, audio, chunk, timestamps=True)
+    partials = []
+    try:
+        while True:
+            partials.append(next(gen))
+    except StopIteration as stop:
+        final, times = stop.value
+        return partials, final, times
+
+
+def test_streaming_server_timestamps_over_socket():
+    """MSG_TIMES_REQ after the final returns the committed alignment as
+    float64 seconds, equal to a direct library-level run."""
+    import threading
+
+    from tfkaldi_tpu.serve import StreamingServer
+
+    model, params, state = _gru()
+    rng = np.random.default_rng(17)
+    audio = rng.standard_normal(6000).astype(np.float32)
+    solo, solo_final = _stream(model, params, state, audio, 1000)
+
+    server = StreamingServer(
+        lambda: StreamingTranscriber(
+            OnlineFeatureExtractor(_extractor()), model, params, state,
+            _IdCoder(), BLANK,
+        ),
+        pool_size=1,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        _, final, times = _collect_timed(server.host, server.port, audio, 1000)
+        assert final == solo_final
+        np.testing.assert_allclose(times, solo.timestamps()[0])
+    finally:
+        server.close()
+
+
+def test_streaming_server_timestamps_beam_is_an_error():
+    import threading
+
+    from tfkaldi_tpu.serve import StreamingServer
+
+    model, params, state = _gru()
+    rng = np.random.default_rng(18)
+    audio = rng.standard_normal(3000).astype(np.float32)
+    server = StreamingServer(
+        lambda: StreamingTranscriber(
+            OnlineFeatureExtractor(_extractor()), model, params, state,
+            _IdCoder(), BLANK, beam_width=4,
+        ),
+        pool_size=1,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(RuntimeError, match="greedy"):
+            _collect_timed(server.host, server.port, audio, 1000)
+    finally:
+        server.close()
+
+
+def test_multistream_server_timestamps_concurrent():
+    """Concurrent clients on shared slots each get THEIR stream's
+    alignment (routed through the engine thread), equal to undisturbed
+    batch-1 runs — even with slot reuse (3 clients through 2 slots)."""
+    import threading
+
+    from tfkaldi_tpu.serve import MultiStreamServer
+
+    model, params, state = _gru()
+    rng = np.random.default_rng(19)
+    audios = [
+        rng.standard_normal(int(n)).astype(np.float32)
+        for n in (4000, 7000, 5000)
+    ]
+    want = [_stream(model, params, state, a, 1000) for a in audios]
+
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(_extractor()), model, params, state,
+            _IdCoder(), BLANK,
+        ),
+        num_slots=2,
+        chunk_size=1000,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    got = [None] * len(audios)
+    errors = []
+
+    def client(i):
+        try:
+            _, final, times = _collect_timed(
+                server.host, server.port, audios[i], 1000
+            )
+            got[i] = (final, times)
+        except Exception as exc:  # noqa: BLE001 — re-raised on the main thread
+            errors.append((i, exc))
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(len(audios))
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors
+        for i, (solo, solo_final) in enumerate(want):
+            final, times = got[i]
+            assert final == solo_final, i
+            np.testing.assert_allclose(times, solo.timestamps()[0])
+    finally:
+        server.close()

@@ -304,6 +304,8 @@ MSG_FINISH = b"F"  # client -> server: end of utterance
 MSG_PARTIAL = b"P"  # server -> client: partial transcript (UTF-8)
 MSG_FINAL = b"T"  # server -> client: final transcript (UTF-8)
 MSG_ERROR = b"E"  # server -> client: error text (UTF-8), then close
+MSG_TIMES_REQ = b"S"  # client -> server: request committed-label timestamps
+MSG_TIMES = b"M"  # server -> client: float64 LE seconds, one per label
 
 _HDR = 5  # 1-byte type + 4-byte big-endian payload length
 
@@ -354,6 +356,13 @@ class StreamingServer:
     bounds concurrent utterances (further connections queue on accept).
     Keep the client's audio chunk size fixed — each distinct chunk length
     compiles its own device program (static shapes under jit).
+
+    Timestamps: a client may send ``S`` at any point (mid-stream for the
+    labels committed so far, or after the final transcript — the
+    connection stays open after ``T`` until the client hangs up); the
+    server answers ``M`` with one float64 LE seconds value per committed
+    label, aligned with the transcript (greedy decoders only — beam
+    transcribers answer ``E``).
     """
 
     def __init__(
@@ -394,7 +403,14 @@ class StreamingServer:
                 elif mtype == MSG_FINISH:
                     final = tx.finish()
                     _send_msg(conn, MSG_FINAL, final[0].encode())
-                    return
+                    # stay open: the client may still request timestamps
+                    # (readable after finish); it hangs up when done
+                elif mtype == MSG_TIMES_REQ:
+                    times = tx.timestamps()[0]
+                    _send_msg(
+                        conn, MSG_TIMES,
+                        np.ascontiguousarray(times, "<f8").tobytes(),
+                    )
                 else:
                     raise ValueError(f"unknown message type {mtype!r}")
         except Exception as exc:  # noqa: BLE001 — surfaced to the client
@@ -428,16 +444,28 @@ class StreamingServer:
 
 
 def stream_transcribe(
-    host: str, port: int, samples: np.ndarray, chunk_size: int
+    host: str, port: int, samples: np.ndarray, chunk_size: int,
+    *, timestamps: bool = False,
 ):
     """Client helper: stream ``samples`` (float32 PCM) in fixed-size
     chunks; yields each partial transcript, then returns the final via
     StopIteration.value (use ``yield from`` or collect the generator).
+    With ``timestamps=True`` the return is ``(final, times)`` where
+    ``times`` is a float64 seconds array, one entry per committed label
+    (greedy servers only).
 
     An early ``MSG_FINAL`` in reply to an audio chunk (the server
     endpointed the utterance mid-stream) ends the generator immediately
     with that final."""
     import socket as socketlib
+
+    def _times(sock):
+        _send_msg(sock, MSG_TIMES_REQ, b"")
+        mtype, payload = _recv_msg(sock)
+        if mtype == MSG_ERROR:
+            raise RuntimeError(payload.decode())
+        assert mtype == MSG_TIMES, mtype
+        return np.frombuffer(payload, "<f8")
 
     samples = np.ascontiguousarray(samples, dtype="<f4")
     with socketlib.create_connection((host, port)) as sock:
@@ -447,7 +475,8 @@ def stream_transcribe(
             if mtype == MSG_ERROR:
                 raise RuntimeError(payload.decode())
             if mtype == MSG_FINAL:  # server-side endpoint
-                return payload.decode()
+                final = payload.decode()
+                return (final, _times(sock)) if timestamps else final
             assert mtype == MSG_PARTIAL, mtype
             yield payload.decode()
         _send_msg(sock, MSG_FINISH, b"")
@@ -455,7 +484,8 @@ def stream_transcribe(
         if mtype == MSG_ERROR:
             raise RuntimeError(payload.decode())
         assert mtype == MSG_FINAL, mtype
-        return payload.decode()
+        final = payload.decode()
+        return (final, _times(sock)) if timestamps else final
 
 
 class MultiStreamServer:
@@ -567,6 +597,7 @@ class MultiStreamServer:
             # 2) gather at most one pending message per slot
             audio_rows: dict[int, np.ndarray] = {}
             finish_slots: list[int] = []
+            times_slots: list[int] = []
             for s in range(self.num_slots):
                 try:
                     mtype, samples = self._inbox[s].get_nowait()
@@ -574,15 +605,17 @@ class MultiStreamServer:
                     continue
                 if mtype == MSG_AUDIO:
                     audio_rows[s] = samples
+                elif mtype == MSG_TIMES_REQ:
+                    times_slots.append(s)
                 else:
                     finish_slots.append(s)
-            if not audio_rows and not finish_slots:
+            if not audio_rows and not finish_slots and not times_slots:
                 continue
             try:
-                self._tick(audio_rows, finish_slots)
+                self._tick(audio_rows, finish_slots, times_slots)
             except Exception as exc:  # noqa: BLE001 — fail the streams, not the engine
                 log.exception("engine tick failed")
-                for s in list(audio_rows) + finish_slots:
+                for s in list(audio_rows) + finish_slots + times_slots:
                     self._outbox[s].put((MSG_ERROR, str(exc)))
             # small coalescing window: let concurrent clients' next chunks
             # land so the following tick batches them together
@@ -590,7 +623,7 @@ class MultiStreamServer:
                 time.sleep(self._tick_seconds)
             self._work.set()  # re-check inboxes once more before sleeping
 
-    def _tick(self, audio_rows, finish_slots) -> None:
+    def _tick(self, audio_rows, finish_slots, times_slots=()) -> None:
         if audio_rows:
             chunk = np.zeros((self.num_slots, self.chunk_size), np.float32)
             lengths = np.zeros((self.num_slots,), np.int64)
@@ -618,6 +651,20 @@ class MultiStreamServer:
             finals = self.tx.finish_rows(finish_slots)
             for s in finish_slots:
                 self._outbox[s].put((MSG_FINAL, finals[s]))
+        if times_slots:
+            # slot timestamps stay readable after finish_rows — reset_rows
+            # only happens when the next connection claims the slot
+            try:
+                times = self.tx.timestamps()
+            except RuntimeError as exc:  # beam transcriber: no alignment
+                for s in times_slots:
+                    self._outbox[s].put((MSG_ERROR, str(exc)))
+                return
+            for s in times_slots:
+                self._outbox[s].put((
+                    MSG_TIMES,
+                    np.ascontiguousarray(times[s], "<f8").tobytes(),
+                ))
 
     # -- connection threads ---------------------------------------------
 
@@ -642,17 +689,21 @@ class MultiStreamServer:
                             f"server chunk_size {self.chunk_size}"
                         )
                     self._inbox[slot].put((MSG_AUDIO, samples))
-                elif mtype == MSG_FINISH:
-                    self._inbox[slot].put((MSG_FINISH, None))
+                elif mtype in (MSG_FINISH, MSG_TIMES_REQ):
+                    self._inbox[slot].put((mtype, None))
                 else:
                     raise ValueError(f"unknown message type {mtype!r}")
                 self._work.set()
-                rtype, text = self._outbox[slot].get()
+                rtype, data = self._outbox[slot].get()
                 if rtype == MSG_ERROR:
-                    raise RuntimeError(text)
-                _send_msg(conn, rtype, text.encode())
-                if rtype == MSG_FINAL:
-                    return
+                    raise RuntimeError(data)
+                _send_msg(
+                    conn, rtype,
+                    data if isinstance(data, bytes) else data.encode(),
+                )
+                # after MSG_FINAL the connection stays open: the client may
+                # still request the finished stream's timestamps (readable
+                # until the next claim's reset_rows); it hangs up when done
         except Exception as exc:  # noqa: BLE001 — surfaced to the client
             log.exception("multi-stream session failed")
             try:
