@@ -25,13 +25,23 @@ from tfkaldi_tpu.models.dnn import DNN
 def collapse_ctc_path(path: np.ndarray, blank_id: int) -> np.ndarray:
     """Collapse a frame-level CTC path: merge consecutive repeats, then
     drop blanks. ``path`` is a 1-D int array of per-frame label ids."""
+    return collapse_ctc_path_aligned(path, blank_id)[0]
+
+
+def collapse_ctc_path_aligned(
+    path: np.ndarray, blank_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """``collapse_ctc_path`` plus the alignment: also returns each emitted
+    label's frame index (the first frame of its argmax run)."""
     path = np.asarray(path)
     if path.size == 0:
-        return path.astype(np.int32)
+        return path.astype(np.int32), np.zeros((0,), np.int64)
     keep = np.ones(path.shape[0], dtype=bool)
     keep[1:] = path[1:] != path[:-1]
-    collapsed = path[keep]
-    return collapsed[collapsed != blank_id].astype(np.int32)
+    idx = np.flatnonzero(keep)
+    collapsed = path[idx]
+    nonblank = collapsed != blank_id
+    return collapsed[nonblank].astype(np.int32), idx[nonblank].astype(np.int64)
 
 
 class CTCDecoder:
@@ -63,6 +73,12 @@ class CTCDecoder:
         # fused search runs the Python beam (the native C++ beam scores
         # acoustics only)
         self.fusion_scorer = fusion_scorer
+        # greedy decode_batch side effects (None for beam): the per-row
+        # frame index of each emitted label (first frame of its argmax
+        # run) and its softmax posterior at that frame — the same
+        # alignment surface the streaming twin and the transducer expose
+        self.last_label_frames = None
+        self.last_label_confs = None
         self._fn = jax.jit(self._compute_argmax)
         self._logprob_fn = jax.jit(self._compute_logprobs)
 
@@ -72,7 +88,11 @@ class CTCDecoder:
 
     def _compute_argmax(self, inputs, lengths, params, model_state):
         logits = self._forward(inputs, lengths, params, model_state)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            jnp.exp(jnp.max(lp, axis=-1)),
+        )
 
     def _compute_logprobs(self, inputs, lengths, params, model_state):
         logits = self._forward(inputs, lengths, params, model_state)
@@ -91,12 +111,21 @@ class CTCDecoder:
         if out_fn is not None:
             lengths = np.asarray(out_fn(np.asarray(lengths)))
         if self.beam_width <= 1:
-            paths = np.asarray(self._fn(*args))
-            return [
-                collapse_ctc_path(paths[i, : int(lengths[i])], self.blank_id)
-                for i in range(paths.shape[0])
-            ]
+            paths, conf = map(np.asarray, self._fn(*args))
+            out, frames, confs = [], [], []
+            for i in range(paths.shape[0]):
+                ids, idx = collapse_ctc_path_aligned(
+                    paths[i, : int(lengths[i])], self.blank_id
+                )
+                out.append(ids)
+                frames.append(idx)
+                confs.append(conf[i, idx].astype(np.float64))
+            self.last_label_frames = frames
+            self.last_label_confs = confs
+            return out
 
+        self.last_label_frames = None  # beam: no committed alignment
+        self.last_label_confs = None
         log_probs = np.asarray(self._logprob_fn(*args))
         from tfkaldi_tpu.decode import native_beam
 

@@ -133,7 +133,18 @@ class OnlineCTCDecoder:
         self.last_n_out = None
         # per-row frame index (decoder output frames since reset) of each
         # label the last step()/finish() emitted — aligned with its return
+        # — and that label's softmax posterior at the emission frame
         self.last_label_frames = None
+        self.last_label_confs = None
+
+        def path_conf(logits):
+            """Per-frame argmax label + its softmax posterior (the greedy
+            path's frame confidence: exp of the max log-softmax)."""
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return (
+                jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                jnp.exp(jnp.max(lp, axis=-1)),
+            )
 
         def compute(chunk, lengths, carry, params, model_state):
             # under a subsampling front-end the emitted-position count
@@ -143,13 +154,11 @@ class OnlineCTCDecoder:
             logits, new_carry = model.apply_stream(
                 params, model_state, chunk, lengths, carry
             )
-            return (
-                jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                n_out,
-                new_carry,
-            )
+            paths, conf = path_conf(logits)
+            return paths, conf, n_out, new_carry
 
         self._fn = jax.jit(compute)
+        self._path_conf = jax.jit(path_conf)
         flush_fn = getattr(model, "apply_stream_flush", None)
         self._flush_fn = None
         if flush_fn is not None:
@@ -164,14 +173,16 @@ class OnlineCTCDecoder:
         self._prev = np.full((batch_size,), -1, np.int64)
         self._frame_base = np.zeros((batch_size,), np.int64)
 
-    def _collapse(self, paths, n_out):
+    def _collapse(self, paths, n_out, confs=None):
         out = []
         frames = []
+        label_confs = []
         for row in range(paths.shape[0]):
             p = paths[row, : int(n_out[row])]
             if p.size == 0:
                 out.append(np.zeros((0,), np.int32))
                 frames.append(np.zeros((0,), np.int64))
+                label_confs.append(np.zeros((0,), np.float64))
                 continue
             keep = np.ones(p.shape[0], dtype=bool)
             keep[0] = p[0] != self._prev[row]
@@ -180,11 +191,20 @@ class OnlineCTCDecoder:
             collapsed = p[idx]
             nonblank = collapsed != self.blank_id
             out.append(collapsed[nonblank].astype(np.int32))
-            # frame of each emitted label = the first frame of its run
+            # frame of each emitted label = the first frame of its run;
+            # its confidence = the posterior AT that frame (deterministic
+            # and chunking-invariant, unlike a run maximum — a run can
+            # straddle a chunk boundary)
             frames.append(idx[nonblank] + self._frame_base[row])
+            if confs is not None:
+                label_confs.append(
+                    confs[row, idx[nonblank]].astype(np.float64)
+                )
             self._prev[row] = p[-1]
             self._frame_base[row] += p.shape[0]
         self.last_label_frames = frames
+        if confs is not None:
+            self.last_label_confs = label_confs
         return out
 
     def step(self, chunk, lengths) -> list[np.ndarray]:
@@ -196,12 +216,8 @@ class OnlineCTCDecoder:
         lengths = np.asarray(lengths, np.int32)
         if chunk.shape[1] == 0:
             # empty chunk (e.g. a feature flush that added no frames)
-            b = chunk.shape[0]
-            self.last_frame_labels = np.zeros((b, 0), np.int32)
-            self.last_n_out = np.zeros((b,), np.int32)
-            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
-            return [np.zeros((0,), np.int32) for _ in range(b)]
-        paths, n_out, self._carry = self._fn(
+            return self._empty_step(chunk.shape[0])
+        paths, conf, n_out, self._carry = self._fn(
             jnp.asarray(chunk, jnp.float32),
             jnp.asarray(lengths, jnp.int32),
             self._carry,
@@ -210,7 +226,16 @@ class OnlineCTCDecoder:
         )
         self.last_frame_labels = np.asarray(paths)
         self.last_n_out = np.asarray(n_out)
-        return self._collapse(self.last_frame_labels, self.last_n_out)
+        return self._collapse(
+            self.last_frame_labels, self.last_n_out, np.asarray(conf)
+        )
+
+    def _empty_step(self, b: int) -> list[np.ndarray]:
+        self.last_frame_labels = np.zeros((b, 0), np.int32)
+        self.last_n_out = np.zeros((b,), np.int32)
+        self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
+        self.last_label_confs = [np.zeros((0,), np.float64) for _ in range(b)]
+        return [np.zeros((0,), np.int32) for _ in range(b)]
 
     def finish(self) -> list[np.ndarray]:
         """End the utterances: decode the subsampling front-end's final
@@ -220,18 +245,16 @@ class OnlineCTCDecoder:
             raise RuntimeError("call reset(batch_size) before finish()")
         b = self._prev.shape[0]
         if self._flush_fn is None:
-            self.last_frame_labels = np.zeros((b, 0), np.int32)
-            self.last_n_out = np.zeros((b,), np.int32)
-            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
-            return [np.zeros((0,), np.int32) for _ in range(b)]
+            return self._empty_step(b)
         logits, n, self._carry = self._flush_fn(
             self._carry, self.params, self.model_state
         )
-        self.last_frame_labels = np.asarray(
-            jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        )
+        paths, conf = self._path_conf(logits)
+        self.last_frame_labels = np.asarray(paths)
         self.last_n_out = np.asarray(n)
-        return self._collapse(self.last_frame_labels, self.last_n_out)
+        return self._collapse(
+            self.last_frame_labels, self.last_n_out, np.asarray(conf)
+        )
 
     def finish_rows(self, rows) -> list[np.ndarray]:
         """``finish()`` for a subset of rows: decode THEIR final partial
@@ -246,10 +269,7 @@ class OnlineCTCDecoder:
         sel = np.zeros((b,), bool)
         sel[np.asarray(list(rows), np.int64)] = True
         if self._flush_fn is None:
-            self.last_frame_labels = np.zeros((b, 0), np.int32)
-            self.last_n_out = np.zeros((b,), np.int32)
-            self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
-            return [np.zeros((0,), np.int32) for _ in range(b)]
+            return self._empty_step(b)
         old_carry = self._carry
         logits, n, flushed = self._flush_fn(
             old_carry, self.params, self.model_state
@@ -257,11 +277,12 @@ class OnlineCTCDecoder:
         self._carry = self.model.merge_stream_carry(
             jnp.asarray(sel), flushed, old_carry
         )
-        self.last_frame_labels = np.asarray(
-            jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        )
+        paths, conf = self._path_conf(logits)
+        self.last_frame_labels = np.asarray(paths)
         self.last_n_out = np.where(sel, np.asarray(n), 0).astype(np.int32)
-        return self._collapse(self.last_frame_labels, self.last_n_out)
+        return self._collapse(
+            self.last_frame_labels, self.last_n_out, np.asarray(conf)
+        )
 
     def reset_rows(self, rows) -> None:
         """Re-arm a subset of rows for new utterances (the per-slot
@@ -515,6 +536,8 @@ class StreamingTranscriber:
         ext = online_extractor.extractor
         self.frame_seconds = ext.frame_step / ext.rate * sub
         self._frames = None  # per-row committed label frame indices
+        self._confs = None  # per-row committed label confidences
+        self._committed = None  # ids again, surviving finish() for words()
         # optional endpointing (decode/endpoint.py): per-row blank-silence
         # rules over the decoder's per-frame argmax stream
         self._endpointer = None
@@ -557,6 +580,22 @@ class StreamingTranscriber:
             self._endpointer.reset(batch_size)
         self._ids = [[] for _ in range(batch_size)]
         self._frames = [[] for _ in range(batch_size)]
+        self._confs = [[] for _ in range(batch_size)]
+        self._committed = [[] for _ in range(batch_size)]
+
+    def _commit(self, per_row_ids) -> list[str]:
+        """Fold newly emitted greedy labels + their alignment into the
+        running per-row streams (``_committed``/``_frames``/``_confs``
+        survive ``finish()`` so ``timestamps``/``confidences``/``words``
+        stay readable) and render the partial transcripts."""
+        for row, new_ids in enumerate(per_row_ids):
+            self._ids[row].extend(new_ids.tolist())
+            self._committed[row].extend(new_ids.tolist())
+            self._frames[row].extend(self._dec.last_label_frames[row].tolist())
+            self._confs[row].extend(self._dec.last_label_confs[row].tolist())
+        return [
+            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
+        ]
 
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
         if self.cmvn is not None:
@@ -568,15 +607,7 @@ class StreamingTranscriber:
             ids = self._dec.step(feats, n_new)
             out = [self.coder.decode(row) for row in ids]
         else:
-            for row, new_ids in enumerate(self._dec.step(feats, n_new)):
-                self._ids[row].extend(new_ids.tolist())
-                self._frames[row].extend(
-                    self._dec.last_label_frames[row].tolist()
-                )
-            out = [
-                self.coder.decode(np.asarray(row, np.int32))
-                for row in self._ids
-            ]
+            out = self._commit(self._dec.step(feats, n_new))
         if self._endpointer is not None:
             self._endpointer.update(
                 self._dec.last_frame_labels, self._dec.last_n_out
@@ -599,16 +630,9 @@ class StreamingTranscriber:
         if self.beam_width > 1:
             out = [self.coder.decode(row) for row in self._dec.finish()]
         else:
-            for row, new_ids in enumerate(self._dec.finish()):
-                self._ids[row].extend(new_ids.tolist())
-                self._frames[row].extend(
-                    self._dec.last_label_frames[row].tolist()
-                )
-            out = [
-                self.coder.decode(np.asarray(row, np.int32))
-                for row in self._ids
-            ]
-        self._ids = None  # _frames survives so timestamps() stays readable
+            out = self._commit(self._dec.finish())
+        # _committed/_frames/_confs survive so the alignment stays readable
+        self._ids = None
         return out
 
     def finish_rows(self, rows) -> list[str]:
@@ -626,15 +650,7 @@ class StreamingTranscriber:
         if self.beam_width > 1:
             out = [self.coder.decode(r) for r in self._dec.finish_rows(rows)]
         else:
-            for row, new_ids in enumerate(self._dec.finish_rows(rows)):
-                self._ids[row].extend(new_ids.tolist())
-                self._frames[row].extend(
-                    self._dec.last_label_frames[row].tolist()
-                )
-            out = [
-                self.coder.decode(np.asarray(row, np.int32))
-                for row in self._ids
-            ]
+            out = self._commit(self._dec.finish_rows(rows))
         return out
 
     def reset_rows(self, rows) -> None:
@@ -649,6 +665,8 @@ class StreamingTranscriber:
         for row in rows:
             self._ids[int(row)] = []
             self._frames[int(row)] = []
+            self._confs[int(row)] = []
+            self._committed[int(row)] = []
 
     def timestamps(self) -> list[np.ndarray]:
         """Per-row emission time in SECONDS of every committed label, in
@@ -670,6 +688,36 @@ class StreamingTranscriber:
         return [
             np.asarray(row, np.float64) * self.frame_seconds
             for row in self._frames
+        ]
+
+    def confidences(self) -> list[np.ndarray]:
+        """Per-row confidence of every committed label (the label's
+        softmax posterior at its emission frame, in [0, 1]), aligned with
+        the greedy transcript's labels; same lifecycle and greedy-only
+        restriction as ``timestamps()``."""
+        if self.beam_width > 1:
+            raise RuntimeError(
+                "confidences need greedy decoding (beam_width 1): beam "
+                "hypotheses have no committed frame alignment"
+            )
+        if self._confs is None:
+            raise RuntimeError("call reset(batch_size) before confidences()")
+        return [np.asarray(row, np.float64) for row in self._confs]
+
+    def words(self) -> list[list]:
+        """Per-row word alignments: committed labels grouped at the
+        coder's ``<space>`` token into ``WordAlignment(word, start, end,
+        confidence)`` spans (see decode/words.py); same lifecycle and
+        greedy-only restriction as ``timestamps()``."""
+        from tfkaldi_tpu.decode.words import group_words
+
+        times, confs = self.timestamps(), self.confidences()
+        return [
+            group_words(
+                [self.coder.alphabet[i] for i in ids], times[r], confs[r],
+                self.frame_seconds,
+            )
+            for r, ids in enumerate(self._committed)
         ]
 
     def endpointed(self) -> np.ndarray:

@@ -35,23 +35,30 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
     """Greedy-emit over ``enc [B, T, J]`` frames (``frame_valid [B, T]``),
     starting from prediction projection ``proj [B, J]`` and carry.
     Returns ``(tokens [B, T*max_symbols], frames [B, T*max_symbols],
-    counts [B], proj, carry)`` — ``frames[i, k]`` is the chunk-relative
-    encoder frame that emitted token ``k`` (the alignment the transducer
-    lattice gives for free; timestamps ride it)."""
+    confs [B, T*max_symbols], counts [B], proj, carry)`` — ``frames[i,
+    k]`` is the chunk-relative encoder frame that emitted token ``k``
+    (the alignment the transducer lattice gives for free; timestamps
+    ride it) and ``confs[i, k]`` that token's softmax posterior at its
+    joint step (the greedy path's per-label confidence)."""
     b, t, _ = enc.shape
     buf_len = t * max_symbols
     buf = jnp.zeros((b, buf_len), jnp.int32)
     frame_buf = jnp.zeros((b, buf_len), jnp.int32)
+    conf_buf = jnp.zeros((b, buf_len), jnp.float32)
     counts = jnp.zeros((b,), jnp.int32)
 
     def frame(state, xs):
-        proj, carry, buf, frame_buf, counts = state
+        proj, carry, buf, frame_buf, conf_buf, counts = state
         enc_t, valid_t, t_idx = xs  # [B, J], [B], scalar
 
         def sym(_, st):
-            proj, carry, buf, frame_buf, counts, active = st
+            proj, carry, buf, frame_buf, conf_buf, counts, active = st
             logits = model.joint_step(params, enc_t, proj)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # argmax token's posterior == exp(max log-softmax)
+            tok_conf = jnp.exp(
+                jnp.max(jax.nn.log_softmax(logits.astype(jnp.float32), -1), -1)
+            )
             emit = active & (tok != model.blank_id) & valid_t
             # write each row's next slot with a masked broadcast-compare,
             # NOT a scatter (a computed-index .at[].set lowers to a
@@ -61,10 +68,11 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
             slot = jnp.arange(buf_len)[None, :] == pos[:, None]
             buf = jnp.where(slot, tok[:, None], buf)
             frame_buf = jnp.where(slot, t_idx, frame_buf)
+            conf_buf = jnp.where(slot, tok_conf[:, None], conf_buf)
             counts = counts + emit.astype(jnp.int32)
             new_proj, carry = model.predict_step(params, tok, emit, carry)
             proj = jnp.where(emit[:, None], new_proj, proj)
-            return proj, carry, buf, frame_buf, counts, emit
+            return proj, carry, buf, frame_buf, conf_buf, counts, emit
 
         # fori, deliberately NOT an early-exit while_loop: iterations after
         # every row goes blank ARE no-ops, but an in-process forced-readback
@@ -72,19 +80,19 @@ def _scan_frames(model: Transducer, max_symbols: int, params, enc, frame_valid,
         # emissions and only parity (0.97×) at zero emission density — the
         # per-iteration `any(active)` cond costs as much as the tiny bodies
         # it could skip
-        proj, carry, buf, frame_buf, counts, _ = jax.lax.fori_loop(
+        proj, carry, buf, frame_buf, conf_buf, counts, _ = jax.lax.fori_loop(
             0, max_symbols, sym,
-            (proj, carry, buf, frame_buf, counts, jnp.ones((b,), bool)),
+            (proj, carry, buf, frame_buf, conf_buf, counts, jnp.ones((b,), bool)),
         )
-        return (proj, carry, buf, frame_buf, counts), None
+        return (proj, carry, buf, frame_buf, conf_buf, counts), None
 
-    (proj, carry, buf, frame_buf, counts), _ = jax.lax.scan(
+    (proj, carry, buf, frame_buf, conf_buf, counts), _ = jax.lax.scan(
         frame,
-        (proj, carry, buf, frame_buf, counts),
+        (proj, carry, buf, frame_buf, conf_buf, counts),
         (jnp.transpose(enc, (1, 0, 2)), jnp.transpose(frame_valid),
          jnp.arange(t, dtype=jnp.int32)),
     )
-    return buf, frame_buf, counts, proj, carry
+    return buf, frame_buf, conf_buf, counts, proj, carry
 
 
 class TransducerDecoder:
@@ -108,8 +116,10 @@ class TransducerDecoder:
         self.coder = coder
         self.max_symbols = int(max_symbols_per_frame)
         # per-row encoder-frame index of each label the last decode_batch
-        # emitted (the transducer alignment), aligned with its return
+        # emitted (the transducer alignment), aligned with its return —
+        # and each label's joint-step softmax posterior (confidence)
         self.last_label_frames = None
+        self.last_label_confs = None
         self._fn = jax.jit(self._greedy)
 
     def _greedy(self, params, inputs, lengths):
@@ -124,25 +134,30 @@ class TransducerDecoder:
         )
         enc_lengths = model.output_lengths(lengths)
         frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]
-        buf, frame_buf, counts, _, _ = _scan_frames(
+        buf, frame_buf, conf_buf, counts, _, _ = _scan_frames(
             model, self.max_symbols, params, enc, frame_valid, proj, carry
         )
-        return buf, frame_buf, counts
+        return buf, frame_buf, conf_buf, counts
 
     def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
         """``[B, T, F]`` padded features → list of label-id arrays.
 
-        Side effect: ``self.last_label_frames`` holds the per-row ENCODER
+        Side effects: ``self.last_label_frames`` holds the per-row ENCODER
         frame index of each emitted label (the transducer alignment),
-        aligned with the returned ids; multiply by ``winstep *
-        model.subsample_factor`` for seconds."""
-        buf, frame_buf, counts = self._fn(
+        aligned with the returned ids — multiply by ``winstep *
+        model.subsample_factor`` for seconds; ``self.last_label_confs``
+        each label's joint-step softmax posterior."""
+        buf, frame_buf, conf_buf, counts = self._fn(
             self.params, jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32)
         )
         buf, counts = np.asarray(buf), np.asarray(counts)
-        frame_buf = np.asarray(frame_buf)
+        frame_buf, conf_buf = np.asarray(frame_buf), np.asarray(conf_buf)
         self.last_label_frames = [
             frame_buf[i, : int(counts[i])].astype(np.int64)
+            for i in range(buf.shape[0])
+        ]
+        self.last_label_confs = [
+            conf_buf[i, : int(counts[i])].astype(np.float64)
             for i in range(buf.shape[0])
         ]
         return [buf[i, : int(counts[i])].astype(np.int32) for i in range(buf.shape[0])]
@@ -204,20 +219,20 @@ class OnlineTransducerDecoder:
                 params, model_state, chunk, lengths, enc_carry
             )
             valid = jnp.arange(enc.shape[1])[None, :] < n_out[:, None]
-            buf, frames, counts, proj, pred_carry = _scan_frames(
+            buf, frames, confs, counts, proj, pred_carry = _scan_frames(
                 model, self.max_symbols, params, enc, valid, proj, pred_carry
             )
-            return buf, frames, counts, n_out, enc_carry, proj, pred_carry
+            return buf, frames, confs, counts, n_out, enc_carry, proj, pred_carry
 
         def flush(params, enc_carry, proj, pred_carry):
             enc, n, enc_carry = model.encode_stream_flush(
                 params, model_state, enc_carry
             )
             valid = jnp.arange(enc.shape[1])[None, :] < n[:, None]
-            buf, frames, counts, proj, pred_carry = _scan_frames(
+            buf, frames, confs, counts, proj, pred_carry = _scan_frames(
                 model, self.max_symbols, params, enc, valid, proj, pred_carry
             )
-            return buf, frames, counts, n, enc_carry, proj, pred_carry
+            return buf, frames, confs, counts, n, enc_carry, proj, pred_carry
 
         self._fn = jax.jit(compute)
         self._flush_fn = jax.jit(flush)
@@ -243,15 +258,20 @@ class OnlineTransducerDecoder:
         # frame indices in ``last_label_frames``
         self._frame_base = np.zeros((batch_size,), np.int64)
         self.last_label_frames = None
+        self.last_label_confs = None
 
-    def _unpack(self, buf, frames, counts, n_out):
+    def _unpack(self, buf, frames, confs, counts, n_out):
         """Host-side: slice per-row emissions, globalize frame indices,
         advance the per-row frame base by the chunk's valid frames."""
         buf, counts = np.asarray(buf), np.asarray(counts)
-        frames = np.asarray(frames)
+        frames, confs = np.asarray(frames), np.asarray(confs)
         n_out = np.asarray(n_out)
         self.last_label_frames = [
             (frames[i, : int(counts[i])] + self._frame_base[i]).astype(np.int64)
+            for i in range(buf.shape[0])
+        ]
+        self.last_label_confs = [
+            confs[i, : int(counts[i])].astype(np.float64)
             for i in range(buf.shape[0])
         ]
         self._frame_base += n_out.astype(np.int64)
@@ -270,9 +290,10 @@ class OnlineTransducerDecoder:
         if chunk.shape[1] == 0:
             b = chunk.shape[0]
             self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
+            self.last_label_confs = [np.zeros((0,), np.float64) for _ in range(b)]
             return [np.zeros((0,), np.int32) for _ in range(b)]
         enc_carry, proj, pred_carry = self._state
-        buf, frames, counts, n_out, enc_carry, proj, pred_carry = self._fn(
+        buf, frames, confs, counts, n_out, enc_carry, proj, pred_carry = self._fn(
             self.params,
             jnp.asarray(chunk),
             jnp.asarray(lengths, jnp.int32),
@@ -281,7 +302,7 @@ class OnlineTransducerDecoder:
             pred_carry,
         )
         self._state = (enc_carry, proj, pred_carry)
-        return self._unpack(buf, frames, counts, n_out)
+        return self._unpack(buf, frames, confs, counts, n_out)
 
     def finish(self) -> list[np.ndarray]:
         """End the utterances: under a subsampling encoder front-end this
@@ -291,11 +312,11 @@ class OnlineTransducerDecoder:
         if self._state is None:
             raise RuntimeError("call reset(batch_size) before finish()")
         enc_carry, proj, pred_carry = self._state
-        buf, frames, counts, n_out, enc_carry, proj, pred_carry = self._flush_fn(
-            self.params, enc_carry, proj, pred_carry
+        buf, frames, confs, counts, n_out, enc_carry, proj, pred_carry = (
+            self._flush_fn(self.params, enc_carry, proj, pred_carry)
         )
         self._state = (enc_carry, proj, pred_carry)
-        return self._unpack(buf, frames, counts, n_out)
+        return self._unpack(buf, frames, confs, counts, n_out)
 
     # -- per-slot lifecycle (multi-stream serving) ----------------------
 
@@ -323,7 +344,7 @@ class OnlineTransducerDecoder:
         b = proj.shape[0]
         sel = np.zeros((b,), bool)
         sel[np.asarray(list(rows), np.int64)] = True
-        buf, frames, counts, n_out, enc2, proj2, pred2 = self._flush_fn(
+        buf, frames, confs, counts, n_out, enc2, proj2, pred2 = self._flush_fn(
             self.params, enc_carry, proj, pred_carry
         )
         self._state = self._merge_state(
@@ -332,7 +353,7 @@ class OnlineTransducerDecoder:
         # unselected rows emit nothing and their frame clock stands still
         counts = np.where(sel, np.asarray(counts), 0)
         n_out = np.where(sel, np.asarray(n_out), 0)
-        return self._unpack(buf, frames, counts, n_out)
+        return self._unpack(buf, frames, confs, counts, n_out)
 
     def reset_rows(self, rows) -> None:
         """Re-arm a subset of rows for new utterances: zero their encoder
@@ -404,25 +425,36 @@ class StreamingTransducerTranscriber:
         )
         self._ids = None
         self._frames = None  # per-row committed label frame indices
+        self._confs = None  # per-row committed label confidences
+        self._committed = None  # ids again, surviving finish() for words()
 
     def reset(self, batch_size: int) -> None:
         self.extractor.reset(batch_size)
         self._dec.reset(batch_size)
         self._ids = [[] for _ in range(batch_size)]
         self._frames = [[] for _ in range(batch_size)]
+        self._confs = [[] for _ in range(batch_size)]
+        self._committed = [[] for _ in range(batch_size)]
 
-    def _take_frames(self) -> None:
+    def _commit(self, per_row_ids) -> None:
+        """Fold newly emitted labels + their alignment into the running
+        per-row streams (``_committed``/``_frames``/``_confs`` survive
+        ``finish()`` so ``timestamps``/``confidences``/``words`` stay
+        readable)."""
+        for row, ids in enumerate(per_row_ids):
+            self._ids[row].extend(ids.tolist())
+            self._committed[row].extend(ids.tolist())
         for row, fr in enumerate(self._dec.last_label_frames):
             self._frames[row].extend(fr.tolist())
+        for row, cf in enumerate(self._dec.last_label_confs):
+            self._confs[row].extend(cf.tolist())
 
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
         if self.cmvn is not None:
             from tfkaldi_tpu.frontend.cmvn import apply_cmvn
 
             feats = np.asarray(apply_cmvn(feats, self.cmvn))
-        for row, ids in enumerate(self._dec.step(feats.astype(np.float32), n_new)):
-            self._ids[row].extend(ids.tolist())
-        self._take_frames()
+        self._commit(self._dec.step(feats.astype(np.float32), n_new))
         return [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
@@ -440,13 +472,12 @@ class StreamingTransducerTranscriber:
             raise RuntimeError("call reset(batch_size) before finish()")
         self._feed(*self.extractor.flush())
         # encoder-level flush (subsampling front-end's final partial group)
-        for row, ids in enumerate(self._dec.finish()):
-            self._ids[row].extend(ids.tolist())
-        self._take_frames()
+        self._commit(self._dec.finish())
         out = [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
-        self._ids = None  # _frames survives so timestamps() stays readable
+        # _committed/_frames/_confs survive so the alignment stays readable
+        self._ids = None
         return out
 
     def finish_rows(self, rows) -> list[str]:
@@ -458,9 +489,7 @@ class StreamingTransducerTranscriber:
         if self._ids is None:
             raise RuntimeError("call reset(batch_size) before finish_rows()")
         self._feed(*self.extractor.flush_rows(rows))
-        for row, ids in enumerate(self._dec.finish_rows(rows)):
-            self._ids[row].extend(ids.tolist())
-        self._take_frames()
+        self._commit(self._dec.finish_rows(rows))
         return [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
@@ -475,6 +504,8 @@ class StreamingTransducerTranscriber:
         for row in rows:
             self._ids[int(row)] = []
             self._frames[int(row)] = []
+            self._confs[int(row)] = []
+            self._committed[int(row)] = []
 
     def timestamps(self) -> list[np.ndarray]:
         """Per-row emission time in SECONDS of every committed label, in
@@ -488,4 +519,30 @@ class StreamingTransducerTranscriber:
         return [
             np.asarray(row, np.float64) * self.frame_seconds
             for row in self._frames
+        ]
+
+    def confidences(self) -> list[np.ndarray]:
+        """Per-row confidence of every committed label (the emitted
+        token's joint-step softmax posterior, in [0, 1]), aligned with the
+        transcript's labels; same lifecycle as ``timestamps()``."""
+        if self._confs is None:
+            raise RuntimeError("call reset(batch_size) before confidences()")
+        return [np.asarray(row, np.float64) for row in self._confs]
+
+    def words(self) -> list[list]:
+        """Per-row word alignments: committed labels grouped at the
+        coder's ``<space>`` token into ``WordAlignment(word, start, end,
+        confidence)`` spans (see decode/words.py); same lifecycle as
+        ``timestamps()``."""
+        from tfkaldi_tpu.decode.words import group_words
+
+        if self._committed is None:
+            raise RuntimeError("call reset(batch_size) before words()")
+        times, confs = self.timestamps(), self.confidences()
+        return [
+            group_words(
+                [self.coder.alphabet[i] for i in ids], times[r], confs[r],
+                self.frame_seconds,
+            )
+            for r, ids in enumerate(self._committed)
         ]

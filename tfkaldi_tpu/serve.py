@@ -306,8 +306,34 @@ MSG_FINAL = b"T"  # server -> client: final transcript (UTF-8)
 MSG_ERROR = b"E"  # server -> client: error text (UTF-8), then close
 MSG_TIMES_REQ = b"S"  # client -> server: request committed-label timestamps
 MSG_TIMES = b"M"  # server -> client: float64 LE seconds, one per label
+MSG_CONF_REQ = b"C"  # client -> server: request committed-label confidences
+MSG_CONF = b"c"  # server -> client: float64 LE posteriors, one per label
+MSG_WORDS_REQ = b"W"  # client -> server: request word alignments
+MSG_WORDS = b"J"  # server -> client: UTF-8 JSON [{word,start,end,confidence}]
 
 _HDR = 5  # 1-byte type + 4-byte big-endian payload length
+
+#: alignment request types a greedy transcriber can answer any time
+_ALIGN_REQS = (MSG_TIMES_REQ, MSG_CONF_REQ, MSG_WORDS_REQ)
+
+
+def _alignment_reply(tx, row: int, mtype: bytes) -> tuple[bytes, bytes]:
+    """Answer one alignment request for one transcriber row: timestamps
+    and confidences as float64 LE arrays, word alignments as JSON."""
+    if mtype == MSG_TIMES_REQ:
+        return MSG_TIMES, np.ascontiguousarray(
+            tx.timestamps()[row], "<f8"
+        ).tobytes()
+    if mtype == MSG_CONF_REQ:
+        return MSG_CONF, np.ascontiguousarray(
+            tx.confidences()[row], "<f8"
+        ).tobytes()
+    import dataclasses
+    import json
+
+    return MSG_WORDS, json.dumps(
+        [dataclasses.asdict(w) for w in tx.words()[row]]
+    ).encode()
 
 
 def _send_msg(sock, mtype: bytes, payload: bytes) -> None:
@@ -403,14 +429,10 @@ class StreamingServer:
                 elif mtype == MSG_FINISH:
                     final = tx.finish()
                     _send_msg(conn, MSG_FINAL, final[0].encode())
-                    # stay open: the client may still request timestamps
+                    # stay open: the client may still request alignments
                     # (readable after finish); it hangs up when done
-                elif mtype == MSG_TIMES_REQ:
-                    times = tx.timestamps()[0]
-                    _send_msg(
-                        conn, MSG_TIMES,
-                        np.ascontiguousarray(times, "<f8").tobytes(),
-                    )
+                elif mtype in _ALIGN_REQS:
+                    _send_msg(conn, *_alignment_reply(tx, 0, mtype))
                 else:
                     raise ValueError(f"unknown message type {mtype!r}")
         except Exception as exc:  # noqa: BLE001 — surfaced to the client
@@ -486,6 +508,43 @@ def stream_transcribe(
         assert mtype == MSG_FINAL, mtype
         final = payload.decode()
         return (final, _times(sock)) if timestamps else final
+
+
+def stream_words(host: str, port: int, samples: np.ndarray, chunk_size: int):
+    """Client helper: stream an utterance and return ``(final, words)``
+    where ``words`` is the server's word alignment — a list of
+    ``decode.words.WordAlignment`` (word, start, end, confidence).
+    Partials are consumed internally; greedy servers only."""
+    import json
+    import socket as socketlib
+
+    from tfkaldi_tpu.decode.words import WordAlignment
+
+    samples = np.ascontiguousarray(samples, dtype="<f4")
+    with socketlib.create_connection((host, port)) as sock:
+        final = None
+        for pos in range(0, len(samples), chunk_size):
+            _send_msg(sock, MSG_AUDIO, samples[pos : pos + chunk_size].tobytes())
+            mtype, payload = _recv_msg(sock)
+            if mtype == MSG_ERROR:
+                raise RuntimeError(payload.decode())
+            if mtype == MSG_FINAL:  # server-side endpoint
+                final = payload.decode()
+                break
+            assert mtype == MSG_PARTIAL, mtype
+        if final is None:
+            _send_msg(sock, MSG_FINISH, b"")
+            mtype, payload = _recv_msg(sock)
+            if mtype == MSG_ERROR:
+                raise RuntimeError(payload.decode())
+            assert mtype == MSG_FINAL, mtype
+            final = payload.decode()
+        _send_msg(sock, MSG_WORDS_REQ, b"")
+        mtype, payload = _recv_msg(sock)
+        if mtype == MSG_ERROR:
+            raise RuntimeError(payload.decode())
+        assert mtype == MSG_WORDS, mtype
+        return final, [WordAlignment(**w) for w in json.loads(payload)]
 
 
 class MultiStreamServer:
@@ -597,7 +656,7 @@ class MultiStreamServer:
             # 2) gather at most one pending message per slot
             audio_rows: dict[int, np.ndarray] = {}
             finish_slots: list[int] = []
-            times_slots: list[int] = []
+            align_reqs: list[tuple[int, bytes]] = []
             for s in range(self.num_slots):
                 try:
                     mtype, samples = self._inbox[s].get_nowait()
@@ -605,17 +664,19 @@ class MultiStreamServer:
                     continue
                 if mtype == MSG_AUDIO:
                     audio_rows[s] = samples
-                elif mtype == MSG_TIMES_REQ:
-                    times_slots.append(s)
+                elif mtype in _ALIGN_REQS:
+                    align_reqs.append((s, mtype))
                 else:
                     finish_slots.append(s)
-            if not audio_rows and not finish_slots and not times_slots:
+            if not audio_rows and not finish_slots and not align_reqs:
                 continue
             try:
-                self._tick(audio_rows, finish_slots, times_slots)
+                self._tick(audio_rows, finish_slots, align_reqs)
             except Exception as exc:  # noqa: BLE001 — fail the streams, not the engine
                 log.exception("engine tick failed")
-                for s in list(audio_rows) + finish_slots + times_slots:
+                for s in list(audio_rows) + finish_slots + [
+                    s for s, _ in align_reqs
+                ]:
                     self._outbox[s].put((MSG_ERROR, str(exc)))
             # small coalescing window: let concurrent clients' next chunks
             # land so the following tick batches them together
@@ -623,7 +684,7 @@ class MultiStreamServer:
                 time.sleep(self._tick_seconds)
             self._work.set()  # re-check inboxes once more before sleeping
 
-    def _tick(self, audio_rows, finish_slots, times_slots=()) -> None:
+    def _tick(self, audio_rows, finish_slots, align_reqs=()) -> None:
         if audio_rows:
             chunk = np.zeros((self.num_slots, self.chunk_size), np.float32)
             lengths = np.zeros((self.num_slots,), np.int64)
@@ -651,20 +712,13 @@ class MultiStreamServer:
             finals = self.tx.finish_rows(finish_slots)
             for s in finish_slots:
                 self._outbox[s].put((MSG_FINAL, finals[s]))
-        if times_slots:
-            # slot timestamps stay readable after finish_rows — reset_rows
-            # only happens when the next connection claims the slot
+        # slot alignments stay readable after finish_rows — reset_rows
+        # only happens when the next connection claims the slot
+        for s, mtype in align_reqs:
             try:
-                times = self.tx.timestamps()
+                self._outbox[s].put(_alignment_reply(self.tx, s, mtype))
             except RuntimeError as exc:  # beam transcriber: no alignment
-                for s in times_slots:
-                    self._outbox[s].put((MSG_ERROR, str(exc)))
-                return
-            for s in times_slots:
-                self._outbox[s].put((
-                    MSG_TIMES,
-                    np.ascontiguousarray(times[s], "<f8").tobytes(),
-                ))
+                self._outbox[s].put((MSG_ERROR, str(exc)))
 
     # -- connection threads ---------------------------------------------
 
@@ -689,7 +743,7 @@ class MultiStreamServer:
                             f"server chunk_size {self.chunk_size}"
                         )
                     self._inbox[slot].put((MSG_AUDIO, samples))
-                elif mtype in (MSG_FINISH, MSG_TIMES_REQ):
+                elif mtype == MSG_FINISH or mtype in _ALIGN_REQS:
                     self._inbox[slot].put((mtype, None))
                 else:
                     raise ValueError(f"unknown message type {mtype!r}")
