@@ -276,3 +276,153 @@ def test_multistream_server_endpoint_early_final():
     finally:
         server.close()
         t.join(timeout=5)
+
+
+def test_multistream_server_audio_after_finish_is_protocol_error():
+    """A non-conforming client that keeps sending audio after MSG_FINAL
+    gets MSG_ERROR (the finished row must not be re-flushed), while
+    alignment requests on the finished slot still work."""
+    import socket as socketlib
+
+    from tfkaldi_tpu.serve import (
+        MSG_AUDIO, MSG_ERROR, MSG_FINAL, MSG_FINISH, MSG_TIMES, MSG_TIMES_REQ,
+        _recv_msg, _send_msg,
+    )
+
+    ext, model, params, state = _setup()
+    rng = np.random.default_rng(31)
+    audio = rng.standard_normal(CHUNK).astype(np.float32)
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+        ),
+        num_slots=1,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socketlib.create_connection((server.host, server.port)) as sock:
+            _send_msg(sock, MSG_AUDIO, audio.tobytes())
+            mtype, _ = _recv_msg(sock)
+            assert mtype != MSG_ERROR
+            _send_msg(sock, MSG_FINISH, b"")
+            mtype, _ = _recv_msg(sock)
+            assert mtype == MSG_FINAL
+            # alignment requests remain answerable on the finished slot
+            _send_msg(sock, MSG_TIMES_REQ, b"")
+            mtype, _ = _recv_msg(sock)
+            assert mtype == MSG_TIMES
+            # ...but more audio is a protocol error
+            _send_msg(sock, MSG_AUDIO, audio.tobytes())
+            mtype, payload = _recv_msg(sock)
+            assert mtype == MSG_ERROR
+            assert b"finished" in payload
+        # the slot is released and a well-behaved session works after it
+        good = rng.standard_normal(3000).astype(np.float32)
+        _, final = _collect(server.host, server.port, good)
+        assert final == _batch1_final(ext, model, params, state, good)
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
+def test_multistream_server_audio_after_endpoint_final_is_error():
+    """Same guard for SERVER-side endpoint finals: a client that ignores
+    the early MSG_FINAL and keeps pushing audio gets MSG_ERROR instead of
+    having its chunks flushed through the finished row."""
+    import socket as socketlib
+
+    from tfkaldi_tpu.decode.endpoint import EndpointConfig, EndpointRule
+    from tfkaldi_tpu.serve import (
+        MSG_AUDIO, MSG_ERROR, MSG_FINAL, _recv_msg, _send_msg,
+    )
+
+    ext, model, params, state = _setup()
+    rng = np.random.default_rng(37)
+    audio = rng.standard_normal(8000).astype(np.float32)
+    cfg = EndpointConfig(rules=(EndpointRule(False, 0.0, 0.2),))
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, state, _IdCoder(), BLANK,
+            endpoint_config=cfg,
+        ),
+        num_slots=1,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socketlib.create_connection((server.host, server.port)) as sock:
+            saw_final = False
+            for pos in range(0, len(audio), CHUNK):
+                _send_msg(
+                    sock, MSG_AUDIO, audio[pos : pos + CHUNK].tobytes()
+                )
+                mtype, payload = _recv_msg(sock)
+                if not saw_final:
+                    assert mtype != MSG_ERROR
+                    saw_final = mtype == MSG_FINAL
+                else:
+                    assert mtype == MSG_ERROR
+                    assert b"finished" in payload
+                    break
+            assert saw_final, "endpoint never fired"
+    finally:
+        server.close()
+        t.join(timeout=5)
+
+
+def test_multistream_server_engine_survives_rearm_failure():
+    """A reset_rows exception at claim time fails THAT slot with
+    MSG_ERROR instead of silently killing the engine thread: the failed
+    client sees an error, and the next claim re-arms the slot and streams
+    normally."""
+    ext, model, params, state = _setup()
+    rng = np.random.default_rng(41)
+    audio = rng.standard_normal(3000).astype(np.float32)
+    expected = _batch1_final(ext, model, params, state, audio)
+
+    class _FlakyRearm:
+        """Delegating proxy whose first reset_rows raises."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._fails = 1
+
+        def reset_rows(self, rows):
+            if self._fails:
+                self._fails -= 1
+                raise RuntimeError("injected re-arm failure")
+            return self._inner.reset_rows(rows)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    server = MultiStreamServer(
+        _FlakyRearm(
+            StreamingTranscriber(
+                OnlineFeatureExtractor(ext), model, params, state,
+                _IdCoder(), BLANK,
+            )
+        ),
+        num_slots=1,
+        chunk_size=CHUNK,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        gen = stream_transcribe(server.host, server.port, audio, CHUNK)
+        try:
+            while True:
+                next(gen)
+        except RuntimeError as exc:
+            assert "injected re-arm failure" in str(exc)
+        except StopIteration:
+            raise AssertionError("failed re-arm did not surface") from None
+        # the engine is still alive: the next session works end to end
+        _, final = _collect(server.host, server.port, audio)
+        assert final == expected
+    finally:
+        server.close()
+        t.join(timeout=5)

@@ -619,6 +619,10 @@ class MultiStreamServer:
         # chunk through the previous stream's stale state
         self._armed = [threading.Event() for _ in range(self.num_slots)]
         self._work = threading.Event()  # any inbox/claim pending
+        # slots whose stream has ended (client finish, server endpoint, or
+        # a failed re-arm): further audio/finish is a protocol error until
+        # the next claim re-arms the slot. Engine-thread only — no locks.
+        self._finished: set[int] = set()
         self._closing = False
         # occupancy stats (engine-thread only): ticks and rows-with-audio,
         # for measuring how full the shared batch runs
@@ -642,7 +646,12 @@ class MultiStreamServer:
             if not self._work.wait(timeout=0.1):
                 continue
             self._work.clear()
-            # 1) re-arm freshly claimed slots, batched
+            # 1) re-arm freshly claimed slots, batched. Stale messages a
+            # dead connection left behind are drained HERE, on the sole
+            # consumer thread, so the new stream can never consume (or be
+            # fed) the previous stream's traffic. A re-arm failure fails
+            # the claimed slots with MSG_ERROR instead of killing the
+            # engine thread (every other stream keeps running).
             claimed = []
             while True:
                 try:
@@ -650,9 +659,24 @@ class MultiStreamServer:
                 except queue.Empty:
                     break
             if claimed:
-                self.tx.reset_rows(claimed)
                 for s in claimed:
-                    self._armed[s].set()
+                    for box in (self._inbox[s], self._outbox[s]):
+                        try:
+                            while True:
+                                box.get_nowait()
+                        except queue.Empty:
+                            pass
+                try:
+                    self.tx.reset_rows(claimed)
+                    self._finished.difference_update(claimed)
+                except Exception as exc:  # noqa: BLE001 — fail the slots, not the engine
+                    log.exception("slot re-arm failed")
+                    for s in claimed:
+                        self._outbox[s].put((MSG_ERROR, str(exc)))
+                        self._finished.add(s)  # refuse audio until re-claimed
+                finally:
+                    for s in claimed:
+                        self._armed[s].set()
             # 2) gather at most one pending message per slot
             audio_rows: dict[int, np.ndarray] = {}
             finish_slots: list[int] = []
@@ -662,7 +686,17 @@ class MultiStreamServer:
                     mtype, samples = self._inbox[s].get_nowait()
                 except queue.Empty:
                     continue
-                if mtype == MSG_AUDIO:
+                if s in self._finished and mtype not in _ALIGN_REQS:
+                    # the stream ended (client finish / server endpoint /
+                    # failed re-arm); a conforming client stops sending —
+                    # pushing more audio through the finished row would
+                    # re-flush stale state, so answer a protocol error
+                    self._outbox[s].put((
+                        MSG_ERROR,
+                        "stream already finished (alignment requests only "
+                        "until the slot is re-claimed)",
+                    ))
+                elif mtype == MSG_AUDIO:
                     audio_rows[s] = samples
                 elif mtype in _ALIGN_REQS:
                     align_reqs.append((s, mtype))
@@ -703,6 +737,7 @@ class MultiStreamServer:
             ]
             if ep_rows:
                 finals = self.tx.finish_rows(ep_rows)
+                self._finished.update(ep_rows)
                 for s in ep_rows:
                     self._outbox[s].put((MSG_FINAL, finals[s]))
             for s in audio_rows:
@@ -710,6 +745,7 @@ class MultiStreamServer:
                     self._outbox[s].put((MSG_PARTIAL, partials[s]))
         if finish_slots:
             finals = self.tx.finish_rows(finish_slots)
+            self._finished.update(finish_slots)
             for s in finish_slots:
                 self._outbox[s].put((MSG_FINAL, finals[s]))
         # slot alignments stay readable after finish_rows — reset_rows
@@ -766,13 +802,18 @@ class MultiStreamServer:
                 pass
         finally:
             conn.close()
-            # drain any stale reply left by a mid-stream hangup, then
-            # release the slot (reset_rows happens on the next claim)
-            try:
-                while True:
-                    self._outbox[slot].get_nowait()
-            except queue.Empty:
-                pass
+            # drain stale traffic left by a mid-stream hangup — BOTH
+            # directions: an unconsumed inbox message would otherwise be
+            # pushed into the slot after it is freed, and an unread reply
+            # would desync the next connection by one. The engine drains
+            # both queues again at claim time (the race-free point), so
+            # this is best-effort early cleanup.
+            for box in (self._inbox[slot], self._outbox[slot]):
+                try:
+                    while True:
+                        box.get_nowait()
+                except queue.Empty:
+                    pass
             self._free.put(slot)
 
     def serve_forever(self, stop=lambda: False, poll_seconds: float = 0.2) -> None:
