@@ -271,3 +271,161 @@ def test_heldout_attention_cer(tmp_path):
     net.decode_text(_reader(test_dir, info["test"]["max_length"]), coder, hyp)
     cer = _corpus_cer(hyp, info["test"]["texts"])
     assert cer <= 0.22, f"held-out attention CER {cer:.3f} > 0.22"
+
+
+# ---------------------------------------------------------------------------
+# Conformer-s4 gates: the FLAGSHIP production recipes. The shipped configs
+# (config/config_AURORA4_{transducer,attention}.cfg, and the conformer CTC
+# family the batch-scaling docs tune) are subsample-4 conformer encoders;
+# these gates train that exact structure — causal left-context attention +
+# causal conv + subsample=4 for the streaming recipes, offline conformer +
+# rescoring decode for attention — through the production Nnet facade and
+# hold the disjoint-speaker held-out split under a CER threshold, so the
+# recipe family the framework tells users to run fails CI if it stops
+# generalizing. Reference end goal: /root/reference/main.py:160-198.
+# ---------------------------------------------------------------------------
+
+#: the production encoder structure at test scale: conformer blocks with
+#: subsample = 4, causal conv and left-context-only attention (the exact
+#: streaming shape of config_AURORA4_transducer.cfg)
+_CONFORMER_S4 = dict(
+    enc_type="conformer",
+    num_blocks=2,
+    d_model=24,
+    num_heads=2,
+    ffn_dim=48,
+    conv_kernel=3,
+    subsample=4,
+    attention_left_context=8,
+    attention_right_context=0,
+    causal_conv="True",
+)
+
+#: conformer-s4 corpus: longer per-token bursts so 4x subsampling still
+#: leaves >= 2 encoder frames per label (CTC needs T' >= U)
+_S4_CORPUS = dict(
+    train_speakers=8, test_speakers=3, utts_per_speaker=12,
+    frames_min=8, frames_max=14,
+)
+
+
+def test_heldout_conformer_ctc_cer(tmp_path):
+    """Streaming conformer-s4 CTC generalizes: held-out CER under 15%
+    for greedy and prefix-beam decoding (measured headroom ~3%)."""
+    train_dir, test_dir, info = make_class_signature_corpus(
+        tmp_path, seed=55, **_S4_CORPUS
+    )
+    cfg = _base_cfg(
+        tmp_path,
+        loss="ctc",
+        model="conformer",
+        **_CONFORMER_S4,
+        num_epochs=60,
+        initial_learning_rate=0.003,
+        batch_size=16,
+    )
+    coder = TextCoder(aurora4_normalizer)
+    dispenser = TextBatchDispenser(
+        _reader(train_dir, info["train"]["max_length"]),
+        coder,
+        16,
+        f"{train_dir}/text",
+    )
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+    net.train(dispenser)
+
+    hyp = str(tmp_path / "decoded_conformer_greedy.txt")
+    net.decode_text(_reader(test_dir, info["test"]["max_length"]), coder, hyp)
+    cer = _corpus_cer(hyp, info["test"]["texts"])
+    assert cer <= 0.15, f"held-out conformer CTC greedy CER {cer:.3f} > 0.15"
+
+    cfg["nnet"]["beam_width"] = "4"
+    net_beam = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+    hyp_beam = str(tmp_path / "decoded_conformer_beam.txt")
+    net_beam.decode_text(
+        _reader(test_dir, info["test"]["max_length"]), coder, hyp_beam
+    )
+    cer_beam = _corpus_cer(hyp_beam, info["test"]["texts"])
+    assert cer_beam <= 0.15, f"held-out conformer CTC beam CER {cer_beam:.3f} > 0.15"
+
+
+def test_heldout_conformer_transducer_cer(tmp_path):
+    """The flagship streaming recipe — causal conformer-s4 RNN-T
+    (config_AURORA4_transducer.cfg at test scale) — generalizes:
+    held-out CER under 22% (measured headroom ~12%)."""
+    train_dir, test_dir, info = make_class_signature_corpus(
+        tmp_path, seed=66, **_S4_CORPUS
+    )
+    enc = dict(_CONFORMER_S4, d_model=32, ffn_dim=64)
+    cfg = _base_cfg(
+        tmp_path,
+        loss="rnnt",
+        model="transducer",
+        **enc,
+        pred_layers=1,
+        pred_units=32,
+        embed_dim=16,
+        joint_units=32,
+        num_epochs=100,
+        initial_learning_rate=0.003,
+        batch_size=16,
+    )
+    coder = TextCoder(aurora4_normalizer)
+    dispenser = TextBatchDispenser(
+        _reader(train_dir, info["train"]["max_length"]),
+        coder,
+        16,
+        f"{train_dir}/text",
+    )
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+    net.train(dispenser)
+
+    hyp = str(tmp_path / "decoded_conformer_rnnt.txt")
+    net.decode_text(_reader(test_dir, info["test"]["max_length"]), coder, hyp)
+    cer = _corpus_cer(hyp, info["test"]["texts"])
+    assert cer <= 0.22, f"held-out conformer RNN-T CER {cer:.3f} > 0.22"
+
+
+def test_heldout_conformer_attention_cer(tmp_path):
+    """The flagship offline recipe — joint CTC-attention conformer-s4
+    with two-pass rescoring decode (config_AURORA4_attention.cfg at test
+    scale) — generalizes: held-out CER under 22% (measured headroom ~2%)."""
+    train_dir, test_dir, info = make_class_signature_corpus(
+        tmp_path, seed=77, **_S4_CORPUS
+    )
+    # offline attention: full-context conformer (no causal constraints)
+    enc = {
+        k: v for k, v in _CONFORMER_S4.items()
+        if k not in ("attention_left_context", "attention_right_context",
+                     "causal_conv")
+    }
+    cfg = _base_cfg(
+        tmp_path,
+        loss="attention",
+        model="seq2seq",
+        **enc,
+        dec_blocks=1,
+        label_smoothing=0.1,
+        ctc_weight=0.3,
+        decode_mode="rescoring",
+        beam_width=6,
+        rescore_weight=0.5,
+        max_decode_tokens=12,
+        num_epochs=40,
+        initial_learning_rate=0.003,
+        batch_size=16,
+    )
+    coder = TextCoder(aurora4_normalizer)
+    dispenser = TextBatchDispenser(
+        _reader(train_dir, info["train"]["max_length"]),
+        coder,
+        16,
+        f"{train_dir}/text",
+    )
+    net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+    net.train(dispenser)
+
+    hyp = str(tmp_path / "decoded_conformer_attn.txt")
+    net.decode_text(_reader(test_dir, info["test"]["max_length"]), coder, hyp)
+    cer = _corpus_cer(hyp, info["test"]["texts"])
+    assert cer <= 0.22, f"held-out conformer attention CER {cer:.3f} > 0.22"

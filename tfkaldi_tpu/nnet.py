@@ -232,9 +232,13 @@ class Nnet:
 
             shards = int(mesh.shape["data"]) if mesh is not None else 1
             if isinstance(self.model, Transducer):
-                self.model.encoder.config = _dc.replace(
-                    self.model.encoder.config, batch_shards=shards
-                )
+                # only RNN encoders carry the Pallas shape gate; a
+                # conformer encoder's TransformerConfig has no
+                # batch_shards field (and no kernel gate to pin)
+                if hasattr(self.model.encoder.config, "batch_shards"):
+                    self.model.encoder.config = _dc.replace(
+                        self.model.encoder.config, batch_shards=shards
+                    )
             else:
                 self.model.config = _dc.replace(self.model.config, batch_shards=shards)
 
