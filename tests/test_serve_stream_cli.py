@@ -177,3 +177,57 @@ def test_build_streaming_transcriber_rejects_hybrid(ctc_config, tmp_path):
         build_streaming_transcriber(
             hnet, coder, RATE, dict(config["dnn-features"])
         )
+
+
+def test_build_streaming_transcriber_rnnt_beam(ctc_config, tmp_path):
+    """`beam_width > 1` on an RNN-T config builds the BEAM transducer
+    transcriber (frame-synchronous beam + label-time backtrace), and its
+    finals/timestamps equal a directly constructed beam transcriber."""
+    _, featdir, config, _, coder = ctc_config
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+    from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
+    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.serve import build_streaming_transcriber
+
+    rcfg = ConfigParser()
+    rcfg["directories"] = {"expdir": str(tmp_path / "exp")}
+    rcfg["nnet"] = {
+        "name": "rnnt_beam", "model": "transducer", "loss": "rnnt",
+        "context_width": "0", "enc_type": "gru", "num_hidden_layers": "1",
+        "num_hidden_units": "12", "bidirectional": "False",
+        "pred_layers": "1", "pred_units": "8", "embed_dim": "4",
+        "joint_units": "12", "beam_width": "4", "scan_unroll": "1",
+    }
+    net = Nnet(rcfg, input_dim=FEAT_DIM, num_labels=coder.num_labels)
+    trainer = Trainer(net.model, TrainerConfig(loss_type="rnnt"))
+    state = trainer.init_state(jax.random.PRNGKey(3))
+    ckpt.save_state(os.path.join(net.savedir, "final"), state, block=True)
+
+    tx = build_streaming_transcriber(
+        net, coder, RATE, dict(config["dnn-features"])
+    )
+    assert isinstance(tx, StreamingTransducerTranscriber)
+    assert tx.beam_width == 4
+
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+
+    def run(transcriber):
+        transcriber.reset(1)
+        for pos in range(0, len(audio), CHUNK):
+            c = audio[pos : pos + CHUNK][None, :]
+            transcriber.push(c, np.asarray([c.shape[1]]))
+        final = transcriber.finish()[0]
+        return final, transcriber.timestamps()[0]
+
+    final, times = run(tx)
+    ext = FeatureExtractor(
+        FeatureOpts.from_config(dict(config["dnn-features"])), RATE
+    )
+    want = StreamingTransducerTranscriber(
+        OnlineFeatureExtractor(ext), net.model, state.params,
+        state.model_state, coder, beam_width=4,
+    )
+    want_final, want_times = run(want)
+    assert final == want_final
+    np.testing.assert_allclose(times, want_times)

@@ -168,15 +168,94 @@ def test_timestamps_per_slot_lifecycle():
     np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])
 
 
-def test_timestamps_beam_mode_raises():
+def _stream_beam(model, params, state, audio, chunk, beam_width=4):
+    tx = StreamingTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state,
+        _IdCoder(), BLANK, beam_width=beam_width,
+    )
+    tx.reset(1)
+    for pos in range(0, len(audio), chunk):
+        c = audio[pos : pos + chunk][None, :]
+        tx.push(c, np.asarray([c.shape[1]]))
+    final = tx.finish()[0]
+    return tx, final
+
+
+def test_timestamps_beam_match_offline_and_chunking_invariant():
+    """Beam-mode timestamps/confidences are the best hypothesis' label-
+    time backtrace: equal to the offline prefix-beam's alignment
+    (ctc_beam_search_py return_alignment) on the whole utterance, at any
+    chunking. Timestamps are exact (integer frame indices); confidences
+    carry f32 log-softmax noise across chunk shapes (rtol 1e-5)."""
+    from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
+
     model, params, state = _gru()
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(7000).astype(np.float32)
+
+    ext = _extractor()
+    feats, n = map(np.asarray, ext(audio[None, :], np.asarray([len(audio)])))
+    logits, _ = model.apply(
+        params, state, jnp.asarray(feats),
+        jnp.asarray(n, jnp.int32), train=False,
+    )
+    lp = np.asarray(
+        jax.nn.log_softmax(logits[0, : int(n[0])].astype(jnp.float32), axis=-1)
+    )
+    ids, frames, confs = ctc_beam_search_py(lp, BLANK, 4, return_alignment=True)
+
+    tx_a, final_a = _stream_beam(model, params, state, audio, 1000)
+    tx_b, final_b = _stream_beam(model, params, state, audio, 333)
+    assert final_a == final_b == _IdCoder().decode(ids)
+    expected = frames * tx_a.frame_seconds
+    np.testing.assert_allclose(tx_a.timestamps()[0], expected, rtol=0, atol=0)
+    np.testing.assert_allclose(tx_b.timestamps()[0], expected, rtol=0, atol=0)
+    np.testing.assert_allclose(tx_a.confidences()[0], confs, rtol=1e-5)
+    np.testing.assert_allclose(tx_b.confidences()[0], confs, rtol=1e-5)
+    # aligned label for label with the transcript, monotone, in (0, 1]
+    assert len(tx_a.timestamps()[0]) == len(final_a.split())
+    assert np.all(np.diff(tx_a.timestamps()[0]) >= 0)
+    assert np.all(tx_a.confidences()[0] > 0)
+    assert np.all(tx_a.confidences()[0] <= 1)
+
+
+def test_timestamps_beam_per_slot_lifecycle():
+    """Beam mode through the per-slot primitives: finish_rows leaves the
+    finished row's backtrace readable and equal to an independent batch-1
+    beam run; reset_rows restarts its clock."""
+    model, params, state = _gru()
+    rng = np.random.default_rng(29)
+    a0 = rng.standard_normal(4000).astype(np.float32)
+    a1 = rng.standard_normal(8000).astype(np.float32)
+
     tx = StreamingTranscriber(
         OnlineFeatureExtractor(_extractor()), model, params, state,
         _IdCoder(), BLANK, beam_width=4,
     )
-    tx.reset(1)
-    with pytest.raises(RuntimeError, match="greedy"):
-        tx.timestamps()
+    tx.reset(2)
+    for pos in range(0, len(a1), 1000):
+        chunk = np.zeros((2, 1000), np.float32)
+        ln = np.zeros((2,), np.int64)
+        if pos < len(a0):
+            p0 = a0[pos : pos + 1000]
+            chunk[0, : len(p0)] = p0
+            ln[0] = len(p0)
+        p1 = a1[pos : pos + 1000]
+        chunk[1, : len(p1)] = p1
+        ln[1] = len(p1)
+        tx.push(chunk, ln)
+        if pos + 1000 >= len(a0) and pos < len(a0):
+            tx.finish_rows([0])
+            solo, _ = _stream_beam(model, params, state, a0, 1000)
+            np.testing.assert_allclose(tx.timestamps()[0], solo.timestamps()[0])
+            np.testing.assert_allclose(
+                tx.confidences()[0], solo.confidences()[0], rtol=1e-5
+            )
+            tx.reset_rows([0])
+            assert tx.timestamps()[0].size == 0
+    tx.finish_rows([1])
+    solo1, _ = _stream_beam(model, params, state, a1, 1000)
+    np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])
 
 
 # -- transducer -----------------------------------------------------------
@@ -283,6 +362,95 @@ def test_transducer_timestamps_per_slot_lifecycle():
     np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])
 
 
+def _stream_transducer_beam(model, params, state, audio, chunk, beam_width=4):
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+
+    tx = StreamingTransducerTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state, _IdCoder(),
+        beam_width=beam_width,
+    )
+    tx.reset(1)
+    for pos in range(0, len(audio), chunk):
+        c = audio[pos : pos + chunk][None, :]
+        tx.push(c, np.asarray([c.shape[1]]))
+    return tx, tx.finish()[0]
+
+
+@pytest.mark.parametrize("subsample", [1, 2])
+def test_transducer_beam_timestamps_match_offline_and_chunking(subsample):
+    """Beam-mode transducer timestamps/confidences are the best
+    hypothesis' lattice backtrace: equal to the offline beam search's
+    (TransducerBeamDecoder.decode_batch_aligned) on the whole utterance,
+    at any chunking."""
+    from tfkaldi_tpu.decode.transducer_beam import TransducerBeamDecoder
+
+    model, params, state = _transducer(subsample=subsample)
+    rng = np.random.default_rng(51 + subsample)
+    audio = (rng.standard_normal(7000) * 100).astype(np.float32)
+
+    ext = _extractor()
+    feats, n = map(np.asarray, ext(audio[None, :], np.asarray([len(audio)])))
+    dec = TransducerBeamDecoder(
+        model, params, state, _IdCoder(), beam_width=4
+    )
+    off_ids, off_frames, off_confs = dec.decode_batch_aligned(feats, n)[0]
+
+    tx_a, final_a = _stream_transducer_beam(model, params, state, audio, 1000)
+    tx_b, final_b = _stream_transducer_beam(model, params, state, audio, 317)
+    assert final_a == final_b == _IdCoder().decode(off_ids)
+    assert tx_a.frame_seconds == pytest.approx(0.01 * subsample)
+    expected = off_frames * tx_a.frame_seconds
+    np.testing.assert_allclose(tx_a.timestamps()[0], expected, rtol=0, atol=0)
+    np.testing.assert_allclose(tx_b.timestamps()[0], expected, rtol=0, atol=0)
+    np.testing.assert_allclose(tx_a.confidences()[0], off_confs, rtol=1e-5)
+    np.testing.assert_allclose(tx_b.confidences()[0], off_confs, rtol=1e-5)
+
+
+def test_transducer_beam_timestamps_per_slot_lifecycle():
+    """Beam transducer per-slot primitives: finish_rows leaves the
+    finished slot's backtrace readable and equal to an independent
+    batch-1 beam run; reset_rows restarts its clock; the OTHER slot's
+    stream is undisturbed."""
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
+
+    model, params, state = _transducer()
+    rng = np.random.default_rng(61)
+    a0 = (rng.standard_normal(4000) * 100).astype(np.float32)
+    a1 = (rng.standard_normal(8000) * 100).astype(np.float32)
+
+    tx = StreamingTransducerTranscriber(
+        OnlineFeatureExtractor(_extractor()), model, params, state, _IdCoder(),
+        beam_width=4,
+    )
+    tx.reset(2)
+    for pos in range(0, len(a1), 1000):
+        chunk = np.zeros((2, 1000), np.float32)
+        ln = np.zeros((2,), np.int64)
+        if pos < len(a0):
+            p0 = a0[pos : pos + 1000]
+            chunk[0, : len(p0)] = p0
+            ln[0] = len(p0)
+        p1 = a1[pos : pos + 1000]
+        chunk[1, : len(p1)] = p1
+        ln[1] = len(p1)
+        tx.push(chunk, ln)
+        if pos + 1000 >= len(a0) and pos < len(a0):
+            tx.finish_rows([0])
+            solo, _ = _stream_transducer_beam(model, params, state, a0, 1000)
+            np.testing.assert_allclose(tx.timestamps()[0], solo.timestamps()[0])
+            np.testing.assert_allclose(
+                tx.confidences()[0], solo.confidences()[0], rtol=1e-5
+            )
+            tx.reset_rows([0])
+            assert tx.timestamps()[0].size == 0
+    tx.finish_rows([1])
+    solo1, _ = _stream_transducer_beam(model, params, state, a1, 1000)
+    np.testing.assert_allclose(tx.timestamps()[1], solo1.timestamps()[0])
+    np.testing.assert_allclose(
+        tx.confidences()[1], solo1.confidences()[0], rtol=1e-5
+    )
+
+
 # -- over the socket protocol ----------------------------------------------
 
 
@@ -328,14 +496,18 @@ def test_streaming_server_timestamps_over_socket():
         server.close()
 
 
-def test_streaming_server_timestamps_beam_is_an_error():
+def test_streaming_server_timestamps_beam_over_socket():
+    """MSG_TIMES_REQ on a BEAM server returns the best hypothesis' final
+    backtrace, equal to a direct library-level beam run."""
     import threading
 
     from tfkaldi_tpu.serve import StreamingServer
 
     model, params, state = _gru()
     rng = np.random.default_rng(18)
-    audio = rng.standard_normal(3000).astype(np.float32)
+    audio = rng.standard_normal(6000).astype(np.float32)
+    solo, solo_final = _stream_beam(model, params, state, audio, 1000)
+
     server = StreamingServer(
         lambda: StreamingTranscriber(
             OnlineFeatureExtractor(_extractor()), model, params, state,
@@ -346,8 +518,62 @@ def test_streaming_server_timestamps_beam_is_an_error():
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
-        with pytest.raises(RuntimeError, match="greedy"):
-            _collect_timed(server.host, server.port, audio, 1000)
+        _, final, times = _collect_timed(server.host, server.port, audio, 1000)
+        assert final == solo_final
+        np.testing.assert_allclose(times, solo.timestamps()[0])
+    finally:
+        server.close()
+
+
+def test_multistream_server_timestamps_beam_concurrent():
+    """Beam transcriber through the SHARED-batch server: concurrent
+    clients' finals and backtraces equal undisturbed batch-1 beam runs."""
+    import threading
+
+    from tfkaldi_tpu.serve import MultiStreamServer
+
+    model, params, state = _gru()
+    rng = np.random.default_rng(20)
+    audios = [
+        rng.standard_normal(int(n)).astype(np.float32) for n in (4000, 7000)
+    ]
+    want = [_stream_beam(model, params, state, a, 1000) for a in audios]
+
+    server = MultiStreamServer(
+        StreamingTranscriber(
+            OnlineFeatureExtractor(_extractor()), model, params, state,
+            _IdCoder(), BLANK, beam_width=4,
+        ),
+        num_slots=2,
+        chunk_size=1000,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    got = [None] * len(audios)
+    errors = []
+
+    def client(i):
+        try:
+            _, final, times = _collect_timed(
+                server.host, server.port, audios[i], 1000
+            )
+            got[i] = (final, times)
+        except Exception as exc:  # noqa: BLE001 — re-raised on the main thread
+            errors.append((i, exc))
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(len(audios))
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errors, errors
+        for i, (solo, solo_final) in enumerate(want):
+            final, times = got[i]
+            assert final == solo_final, i
+            np.testing.assert_allclose(times, solo.timestamps()[0])
     finally:
         server.close()
 

@@ -115,15 +115,52 @@ def test_ctc_confidences_match_offline_and_chunking_invariant():
     assert len(got_a) == len(tx_a.timestamps()[0])
 
 
-def test_ctc_confidences_beam_mode_raises():
+def test_ctc_confidences_and_words_beam_mode():
+    """Beam-mode confidences are the best hypothesis' emission-frame
+    posteriors (offline prefix-beam backtrace), and words() groups the
+    beam transcript with them — chunking-invariant."""
+    from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
+
     model, params, state = _gru()
-    tx = StreamingTranscriber(
-        OnlineFeatureExtractor(_extractor()), model, params, state,
-        _IdCoder(), BLANK, beam_width=4,
+    rng = np.random.default_rng(24)
+    audio = rng.standard_normal(7000).astype(np.float32)
+
+    ext = _extractor()
+    feats, n = map(np.asarray, ext(audio[None, :], np.asarray([len(audio)])))
+    logits, _ = model.apply(
+        params, state, jnp.asarray(feats),
+        jnp.asarray(n, jnp.int32), train=False,
     )
-    tx.reset(1)
-    with pytest.raises(RuntimeError, match="greedy"):
-        tx.confidences()
+    lp = np.asarray(
+        jax.nn.log_softmax(logits[0, : int(n[0])].astype(jnp.float32), axis=-1)
+    )
+    ids, _, confs = ctc_beam_search_py(lp, BLANK, 4, return_alignment=True)
+
+    class _AlphaCoder(_IdCoder):
+        alphabet = [str(i) for i in range(8)]  # no <space>: one word
+
+    def stream(chunk):
+        tx = StreamingTranscriber(
+            OnlineFeatureExtractor(_extractor()), model, params, state,
+            _AlphaCoder(), BLANK, beam_width=4,
+        )
+        tx.reset(1)
+        for pos in range(0, len(audio), chunk):
+            c = audio[pos : pos + chunk][None, :]
+            tx.push(c, np.asarray([c.shape[1]]))
+        return tx, tx.finish()[0]
+
+    tx_a, final_a = stream(1000)
+    tx_b, final_b = stream(333)
+    assert final_a == final_b == _IdCoder().decode(ids)
+    np.testing.assert_allclose(tx_a.confidences()[0], confs, rtol=1e-5)
+    np.testing.assert_allclose(tx_b.confidences()[0], confs, rtol=1e-5)
+    # words() runs off the same backtrace (the _IdCoder alphabet has no
+    # <space>, so the whole transcript is one word whose confidence is
+    # the weakest label)
+    words_a = tx_a.words()[0]
+    assert len(words_a) == 1
+    assert words_a[0].confidence == pytest.approx(min(confs), rel=1e-5)
 
 
 # -- transducer confidences --------------------------------------------------
@@ -335,10 +372,11 @@ def test_multistream_server_words_and_confidences():
 # -- offline CTCDecoder alignment parity -----------------------------------
 
 
-def test_offline_ctc_decoder_alignment_matches_streaming():
+def test_offline_ctc_decoder_alignment_matches_streaming(monkeypatch):
     """CTCDecoder.decode_batch (greedy) exposes last_label_frames/confs
-    equal to the streaming transcriber's committed alignment; beam mode
-    nulls them."""
+    equal to the streaming transcriber's committed alignment; the Python
+    beam exposes the best hypothesis' backtrace; the native-C++ beam
+    (transcripts only) nulls them."""
     from tfkaldi_tpu.decode.ctc import CTCDecoder
 
     model, params, state = _gru()
@@ -358,6 +396,24 @@ def test_offline_ctc_decoder_alignment_matches_streaming():
         dec.last_label_confs[0], tx.confidences()[0], rtol=1e-5
     )
 
+    from tfkaldi_tpu.decode import native_beam
+    from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
+
     beam = CTCDecoder(model, params, state, _IdCoder(), BLANK, beam_width=4)
-    beam.decode_batch(feats, n)
-    assert beam.last_label_frames is None and beam.last_label_confs is None
+    if native_beam.available():
+        beam.decode_batch(feats, n)
+        assert beam.last_label_frames is None
+        assert beam.last_label_confs is None
+    # force the Python beam: it populates the best hypothesis' backtrace
+    monkeypatch.setattr(native_beam, "available", lambda: False)
+    beam_ids = beam.decode_batch(feats, n)[0]
+    lp = np.asarray(beam._logprob_fn(
+        jnp.asarray(feats), jnp.asarray(n, jnp.int32),
+        beam.params, beam.model_state,
+    ))
+    want_ids, want_frames, want_confs = ctc_beam_search_py(
+        lp[0, : int(n[0])], BLANK, 4, return_alignment=True
+    )
+    np.testing.assert_array_equal(beam_ids, want_ids)
+    np.testing.assert_array_equal(beam.last_label_frames[0], want_frames)
+    np.testing.assert_allclose(beam.last_label_confs[0], want_confs)

@@ -73,10 +73,12 @@ class CTCDecoder:
         # fused search runs the Python beam (the native C++ beam scores
         # acoustics only)
         self.fusion_scorer = fusion_scorer
-        # greedy decode_batch side effects (None for beam): the per-row
-        # frame index of each emitted label (first frame of its argmax
-        # run) and its softmax posterior at that frame — the same
-        # alignment surface the streaming twin and the transducer expose
+        # decode_batch side effects: the per-row frame index of each
+        # emitted label (greedy: first frame of its argmax run; Python
+        # beam: the best hypothesis' backtrace) and its softmax posterior
+        # at that frame — the same alignment surface the streaming twin
+        # and the transducer expose. None on the native-C++ beam path
+        # (transcripts only).
         self.last_label_frames = None
         self.last_label_confs = None
         self._fn = jax.jit(self._compute_argmax)
@@ -124,22 +126,34 @@ class CTCDecoder:
             self.last_label_confs = confs
             return out
 
-        self.last_label_frames = None  # beam: no committed alignment
-        self.last_label_confs = None
         log_probs = np.asarray(self._logprob_fn(*args))
         from tfkaldi_tpu.decode import native_beam
 
         if self.fusion_scorer is None and native_beam.available():
+            # the native C++ beam scores transcripts only — no backtrace
+            self.last_label_frames = None
+            self.last_label_confs = None
             return native_beam.ctc_beam_search_batch_native(
                 log_probs, lengths, self.blank_id, self.beam_width
             )
         from tfkaldi_tpu.decode.ctc_beam import ctc_beam_search_py
 
-        return [
-            ctc_beam_search_py(log_probs[i, : int(lengths[i])], self.blank_id,
-                               self.beam_width, scorer=self.fusion_scorer)
-            for i in range(log_probs.shape[0])
-        ]
+        out, frames, confs = [], [], []
+        for i in range(log_probs.shape[0]):
+            ids, fr, cf = ctc_beam_search_py(
+                log_probs[i, : int(lengths[i])], self.blank_id,
+                self.beam_width, scorer=self.fusion_scorer,
+                return_alignment=True,
+            )
+            out.append(ids)
+            frames.append(fr)
+            confs.append(cf)
+        # the Python beam's label-time backtrace (the frame at which the
+        # best hypothesis' surviving path appended each label + its
+        # posterior there) — same surface as the greedy alignment
+        self.last_label_frames = frames
+        self.last_label_confs = confs
+        return out
 
     def decode_to_file(
         self,

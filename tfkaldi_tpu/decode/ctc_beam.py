@@ -36,12 +36,21 @@ def initial_beams() -> dict[tuple, list[float]]:
     return {(): [0.0, _NEG_INF]}
 
 
+def initial_alignments() -> dict[tuple, tuple]:
+    """The label-time backtrace companion of ``initial_beams``: prefix →
+    per-label ``(frame_index, posterior)`` pairs. The empty prefix has an
+    empty alignment."""
+    return {(): ()}
+
+
 def beam_step(
     beams: dict[tuple, list[float]],
     frame: np.ndarray,
     blank_id: int,
     beam_width: int,
     scorer=None,
+    align: dict[tuple, tuple] | None = None,
+    frame_index: int = 0,
 ) -> dict[tuple, list[float]]:
     """Advance the prefix-beam state by ONE frame of log-posteriors.
 
@@ -55,6 +64,17 @@ def beam_step(
     `decode/lm.py::FusionScorer`) applied each time a NEW label extends a
     prefix (repeat-collapses and blanks emit nothing, so they pay
     nothing — the standard Hannun et al. 2014 fusion points).
+
+    ``align`` (with the current global ``frame_index``) maintains the
+    label-time backtrace: a dict (from ``initial_alignments``) mapping
+    each live prefix to one ``(frame_index, posterior)`` pair per label —
+    the frame at which the surviving hypothesis appended that label, and
+    the label's softmax posterior at that frame (the same emission-frame
+    semantics the greedy decoder commits). It is updated IN PLACE to
+    cover exactly the returned beam set: a prefix carried over keeps its
+    alignment; a prefix newly created this frame extends its parent's by
+    this frame. Deterministic and chunking-invariant because this
+    function is the search's only state transition.
     """
     # prune the vocabulary to labels that could matter this frame
     order = np.argsort(frame)[::-1]
@@ -84,13 +104,27 @@ def beam_step(
             else:
                 bonus = scorer(prefix, int(v)) if scorer is not None else 0.0
                 acc(prefix + (v,), 1, p_tot + p + bonus)
-    return dict(
+    pruned = dict(
         sorted(
             nxt.items(),
             key=lambda kv: _logsumexp2(kv[1][0], kv[1][1]),
             reverse=True,
         )[:beam_width]
     )
+    if align is not None:
+        new_align = {}
+        for prefix in pruned:
+            got = align.get(prefix)
+            if got is None:
+                # created this frame from its (unique) parent, which was
+                # in the previous beam set and therefore in ``align``
+                got = align[prefix[:-1]] + (
+                    (frame_index, math.exp(float(frame[prefix[-1]]))),
+                )
+            new_align[prefix] = got
+        align.clear()
+        align.update(new_align)
+    return pruned
 
 
 def best_prefix(beams: dict[tuple, list[float]]) -> np.ndarray:
@@ -112,10 +146,22 @@ def nbest_prefixes(
     return ranked[:n]
 
 
+def alignment_of(
+    align: dict[tuple, tuple], prefix: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Look up a prefix's label-time backtrace in an alignment dict:
+    ``(frames int64, posteriors float64)``, one entry per label."""
+    pairs = align[tuple(int(i) for i in prefix)]
+    return (
+        np.asarray([p[0] for p in pairs], np.int64),
+        np.asarray([p[1] for p in pairs], np.float64),
+    )
+
+
 def ctc_beam_search_py(
     log_probs: np.ndarray, blank_id: int, beam_width: int = 16,
-    scorer=None,
-) -> np.ndarray:
+    scorer=None, return_alignment: bool = False,
+):
     """Most probable label sequence under the CTC marginal (optionally
     shallow-fused with a language model via ``scorer`` — see beam_step).
 
@@ -124,12 +170,23 @@ def ctc_beam_search_py(
         blank_id: blank class index.
         beam_width: number of prefixes kept per frame.
         scorer: optional ``(prefix, new_id) -> additive log-score``.
+        return_alignment: also return the best hypothesis' label-time
+            backtrace (see ``beam_step``'s ``align``).
 
     Returns:
-        1-D int32 array of label ids (collapsed; no blanks).
+        1-D int32 array of label ids (collapsed; no blanks); with
+        ``return_alignment``, the triple ``(ids, frames, posteriors)``.
     """
     log_probs = np.asarray(log_probs, dtype=np.float64)
     beams = initial_beams()
+    align = initial_alignments() if return_alignment else None
     for t in range(log_probs.shape[0]):
-        beams = beam_step(beams, log_probs[t], blank_id, beam_width, scorer)
-    return best_prefix(beams)
+        beams = beam_step(
+            beams, log_probs[t], blank_id, beam_width, scorer,
+            align=align, frame_index=t,
+        )
+    best = best_prefix(beams)
+    if return_alignment:
+        frames, confs = alignment_of(align, best)
+        return best, frames, confs
+    return best

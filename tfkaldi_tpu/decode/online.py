@@ -366,10 +366,14 @@ class OnlineCTCBeamDecoder:
             )
 
     def reset(self, batch_size: int) -> None:
-        from tfkaldi_tpu.decode.ctc_beam import initial_beams
+        from tfkaldi_tpu.decode.ctc_beam import initial_alignments, initial_beams
 
         self._carry = self.model.init_stream_carry(batch_size)
         self._beams = [initial_beams() for _ in range(batch_size)]
+        # per-row label-time backtraces (ctc_beam.py::beam_step align) +
+        # the global decoder-output-frame counter they are indexed in
+        self._aligns = [initial_alignments() for _ in range(batch_size)]
+        self._frame_base = np.zeros((batch_size,), np.int64)
 
     def _advance(self, log_probs, n_out):
         from tfkaldi_tpu.decode.ctc_beam import beam_step
@@ -383,7 +387,10 @@ class OnlineCTCBeamDecoder:
                 self._beams[row] = beam_step(
                     self._beams[row], log_probs[row, t],
                     self.blank_id, self.beam_width, self.fusion_scorer,
+                    align=self._aligns[row],
+                    frame_index=int(self._frame_base[row]) + t,
                 )
+            self._frame_base[row] += int(n_out[row])
 
     def step(self, chunk, lengths) -> list[np.ndarray]:
         """``[B, Tc, F]`` chunk → per-row CURRENT-BEST label ids (the full
@@ -451,7 +458,7 @@ class OnlineCTCBeamDecoder:
     def reset_rows(self, rows) -> None:
         """Re-arm a subset of rows for new utterances (the per-slot
         analog of ``reset``); other rows keep streaming."""
-        from tfkaldi_tpu.decode.ctc_beam import initial_beams
+        from tfkaldi_tpu.decode.ctc_beam import initial_alignments, initial_beams
 
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before reset_rows()")
@@ -464,6 +471,8 @@ class OnlineCTCBeamDecoder:
         )
         for row in idx:
             self._beams[int(row)] = initial_beams()
+            self._aligns[int(row)] = initial_alignments()
+            self._frame_base[int(row)] = 0
 
     def best(self) -> list[np.ndarray]:
         """Per-row highest-marginal hypothesis over all frames seen."""
@@ -472,6 +481,27 @@ class OnlineCTCBeamDecoder:
         if self._beams is None:
             raise RuntimeError("call reset(batch_size) before best()")
         return [best_prefix(b) for b in self._beams]
+
+    def best_alignment(self) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Per-row ``(ids, frames, posteriors)`` backtrace of the CURRENT
+        best hypothesis: the decoder-output frame at which the surviving
+        path appended each label, and the label's softmax posterior at
+        that frame (the emission-frame semantics the greedy decoder
+        commits). Unlike greedy commitments the whole triple can be
+        rewritten as frames arrive — the best hypothesis is re-ranked in
+        hindsight; after ``finish()`` it is the final backtrace. Equals
+        ``ctc_beam_search_py(..., return_alignment=True)`` on the
+        concatenated utterance at any chunking."""
+        from tfkaldi_tpu.decode.ctc_beam import alignment_of, best_prefix
+
+        if self._beams is None:
+            raise RuntimeError("call reset(batch_size) before best_alignment()")
+        out = []
+        for row, beams in enumerate(self._beams):
+            ids = best_prefix(beams)
+            frames, confs = alignment_of(self._aligns[row], ids)
+            out.append((ids, frames, confs))
+        return out
 
     def stable_prefixes(self) -> list[np.ndarray]:
         """Per-row committed label ids: the longest common prefix of every
@@ -597,6 +627,18 @@ class StreamingTranscriber:
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
         ]
 
+    def _sync_beam_alignment(self) -> None:
+        """Beam mode: replace the per-row committed streams WHOLESALE with
+        the current best hypothesis' label-time backtrace
+        (``OnlineCTCBeamDecoder.best_alignment``). Beam hypotheses are
+        re-ranked in hindsight, so unlike greedy commitments the
+        alignment is rewritten, not appended; after ``finish()`` it is
+        the final hypothesis' backtrace."""
+        for row, (ids, frames, confs) in enumerate(self._dec.best_alignment()):
+            self._committed[row] = ids.tolist()
+            self._frames[row] = frames.tolist()
+            self._confs[row] = confs.tolist()
+
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
         if self.cmvn is not None:
             from tfkaldi_tpu.frontend.cmvn import apply_cmvn
@@ -605,6 +647,7 @@ class StreamingTranscriber:
         feats = feats.astype(np.float32)
         if self.beam_width > 1:
             ids = self._dec.step(feats, n_new)
+            self._sync_beam_alignment()
             out = [self.coder.decode(row) for row in ids]
         else:
             out = self._commit(self._dec.step(feats, n_new))
@@ -629,6 +672,7 @@ class StreamingTranscriber:
         # encoder-level flush (subsampling front-end's final partial group)
         if self.beam_width > 1:
             out = [self.coder.decode(row) for row in self._dec.finish()]
+            self._sync_beam_alignment()
         else:
             out = self._commit(self._dec.finish())
         # _committed/_frames/_confs survive so the alignment stays readable
@@ -649,6 +693,7 @@ class StreamingTranscriber:
         self._feed(*self.extractor.flush_rows(rows))
         if self.beam_width > 1:
             out = [self.coder.decode(r) for r in self._dec.finish_rows(rows)]
+            self._sync_beam_alignment()
         else:
             out = self._commit(self._dec.finish_rows(rows))
         return out
@@ -669,20 +714,20 @@ class StreamingTranscriber:
             self._committed[int(row)] = []
 
     def timestamps(self) -> list[np.ndarray]:
-        """Per-row emission time in SECONDS of every committed label, in
-        audio-stream time since that row's reset (aligned with the greedy
-        transcript's labels). A label's time is the start of the decoder
-        output frame whose argmax first emitted it — CTC's usual peaky
+        """Per-row emission time in SECONDS of every label in the current
+        transcript, in audio-stream time since that row's reset (aligned
+        with the transcript's labels). A label's time is the start of the
+        decoder output frame that emitted it — under greedy decoding the
+        frame whose argmax first produced the label, under beam search
+        (``beam_width > 1``) the frame at which the best hypothesis'
+        surviving path appended it (its label-time backtrace,
+        ``OnlineCTCBeamDecoder.best_alignment``). CTC's usual peaky
         alignment means this lands at or slightly after the sound itself.
-        Greedy only: beam hypotheses are re-ranked in hindsight, so they
-        carry no committed frame alignment. Remains readable after
-        ``finish()`` (the final alignment); per-slot streams read it
-        after ``finish_rows`` and before the slot's ``reset_rows``."""
-        if self.beam_width > 1:
-            raise RuntimeError(
-                "timestamps need greedy decoding (beam_width 1): beam "
-                "hypotheses have no committed frame alignment"
-            )
+        Greedy commitments only grow; a beam alignment can be REWRITTEN
+        as frames arrive (hypotheses are re-ranked in hindsight) and is
+        final after ``finish()``. Remains readable after ``finish()``;
+        per-slot streams read it after ``finish_rows`` and before the
+        slot's ``reset_rows``."""
         if self._frames is None:
             raise RuntimeError("call reset(batch_size) before timestamps()")
         return [
@@ -691,24 +736,19 @@ class StreamingTranscriber:
         ]
 
     def confidences(self) -> list[np.ndarray]:
-        """Per-row confidence of every committed label (the label's
-        softmax posterior at its emission frame, in [0, 1]), aligned with
-        the greedy transcript's labels; same lifecycle and greedy-only
-        restriction as ``timestamps()``."""
-        if self.beam_width > 1:
-            raise RuntimeError(
-                "confidences need greedy decoding (beam_width 1): beam "
-                "hypotheses have no committed frame alignment"
-            )
+        """Per-row confidence of every label in the current transcript
+        (the label's softmax posterior at its emission frame, in [0, 1]),
+        aligned with the transcript's labels; same lifecycle — and, under
+        beam search, the same rewrite semantics — as ``timestamps()``."""
         if self._confs is None:
             raise RuntimeError("call reset(batch_size) before confidences()")
         return [np.asarray(row, np.float64) for row in self._confs]
 
     def words(self) -> list[list]:
-        """Per-row word alignments: committed labels grouped at the
+        """Per-row word alignments: transcript labels grouped at the
         coder's ``<space>`` token into ``WordAlignment(word, start, end,
-        confidence)`` spans (see decode/words.py); same lifecycle and
-        greedy-only restriction as ``timestamps()``."""
+        confidence)`` spans (see decode/words.py); same lifecycle as
+        ``timestamps()``."""
         from tfkaldi_tpu.decode.words import group_words
 
         times, confs = self.timestamps(), self.confidences()

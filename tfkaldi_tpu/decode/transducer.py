@@ -381,13 +381,16 @@ class StreamingTransducerTranscriber:
     The transducer counterpart of ``decode.online.StreamingTranscriber``:
     ``frontend.online.OnlineFeatureExtractor`` (frames emitted as their
     analysis windows complete) → optional CMVN (precomputed speaker stats,
-    as the offline pipeline applies them) → streaming greedy transducer
-    search. Greedy transducer decoding is strictly causal, so the final
-    transcripts equal the offline pipeline's (FeatureExtractor →
-    apply_cmvn → TransducerDecoder) on the concatenated audio — and every
-    already-emitted label is final (no beam to re-rank it), so the
-    partials are stable by construction. Plugs into
-    ``serve.StreamingServer`` via its transcriber factory.
+    as the offline pipeline applies them) → streaming transducer search
+    (greedy for ``beam_width <= 1``, the frame-synchronous beam search
+    otherwise, optionally LM-fused). Both searches are strictly causal,
+    so the final transcripts equal the offline pipeline's
+    (FeatureExtractor → apply_cmvn → TransducerDecoder /
+    TransducerBeamDecoder) on the concatenated audio. Greedy partials are
+    stable by construction (every emitted label is final); beam partials
+    are the current best hypothesis and may be rewritten as frames
+    arrive. Plugs into ``serve.StreamingServer`` via its transcriber
+    factory.
 
     Usage::
 
@@ -409,14 +412,36 @@ class StreamingTransducerTranscriber:
         *,
         cmvn: np.ndarray | None = None,
         max_symbols_per_frame: int = 4,
+        beam_width: int = 1,
+        fusion_table=None,  # decode/lm.py::DenseFusionTable (beam only)
+        max_tokens: int = 1024,
     ):
         self.extractor = online_extractor
         self.coder = coder
         self.cmvn = None if cmvn is None else np.asarray(cmvn)
-        self._dec = OnlineTransducerDecoder(
-            model, params, model_state,
-            max_symbols_per_frame=max_symbols_per_frame,
-        )
+        self.beam_width = int(beam_width)
+        if fusion_table is not None and self.beam_width <= 1:
+            raise ValueError(
+                "LM shallow fusion needs beam_width > 1 (greedy decoding "
+                "has no hypothesis set to rescore)"
+            )
+        if self.beam_width > 1:
+            from tfkaldi_tpu.decode.transducer_beam import (
+                OnlineTransducerBeamDecoder,
+            )
+
+            self._dec = OnlineTransducerBeamDecoder(
+                model, params, model_state,
+                beam_width=self.beam_width,
+                max_symbols_per_frame=max_symbols_per_frame,
+                max_tokens=max_tokens,
+                fusion_table=fusion_table,
+            )
+        else:
+            self._dec = OnlineTransducerDecoder(
+                model, params, model_state,
+                max_symbols_per_frame=max_symbols_per_frame,
+            )
         # seconds per ENCODER frame: feature winstep × subsample factor —
         # converts the transducer alignment's frame indices to timestamps
         ext = online_extractor.extractor
@@ -449,11 +474,27 @@ class StreamingTransducerTranscriber:
         for row, cf in enumerate(self._dec.last_label_confs):
             self._confs[row].extend(cf.tolist())
 
+    def _sync_beam_alignment(self) -> None:
+        """Beam mode: replace the per-row committed streams WHOLESALE with
+        the current best hypothesis' label-time backtrace
+        (``OnlineTransducerBeamDecoder.best_alignment``). Beam hypotheses
+        are re-ranked in hindsight, so unlike greedy commitments the
+        alignment is rewritten, not appended; after ``finish()`` it is
+        the final hypothesis' backtrace."""
+        for row, (ids, frames, confs) in enumerate(self._dec.best_alignment()):
+            self._committed[row] = ids.tolist()
+            self._frames[row] = frames.tolist()
+            self._confs[row] = confs.tolist()
+
     def _feed(self, feats: np.ndarray, n_new: np.ndarray) -> list[str]:
         if self.cmvn is not None:
             from tfkaldi_tpu.frontend.cmvn import apply_cmvn
 
             feats = np.asarray(apply_cmvn(feats, self.cmvn))
+        if self.beam_width > 1:
+            ids = self._dec.step(feats.astype(np.float32), n_new)
+            self._sync_beam_alignment()
+            return [self.coder.decode(r) for r in ids]
         self._commit(self._dec.step(feats.astype(np.float32), n_new))
         return [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
@@ -472,10 +513,15 @@ class StreamingTransducerTranscriber:
             raise RuntimeError("call reset(batch_size) before finish()")
         self._feed(*self.extractor.flush())
         # encoder-level flush (subsampling front-end's final partial group)
-        self._commit(self._dec.finish())
-        out = [
-            self.coder.decode(np.asarray(row, np.int32)) for row in self._ids
-        ]
+        if self.beam_width > 1:
+            out = [self.coder.decode(r) for r in self._dec.finish()]
+            self._sync_beam_alignment()
+        else:
+            self._commit(self._dec.finish())
+            out = [
+                self.coder.decode(np.asarray(row, np.int32))
+                for row in self._ids
+            ]
         # _committed/_frames/_confs survive so the alignment stays readable
         self._ids = None
         return out
@@ -489,6 +535,10 @@ class StreamingTransducerTranscriber:
         if self._ids is None:
             raise RuntimeError("call reset(batch_size) before finish_rows()")
         self._feed(*self.extractor.flush_rows(rows))
+        if self.beam_width > 1:
+            out = [self.coder.decode(r) for r in self._dec.finish_rows(rows)]
+            self._sync_beam_alignment()
+            return out
         self._commit(self._dec.finish_rows(rows))
         return [
             self.coder.decode(np.asarray(row, np.int32)) for row in self._ids

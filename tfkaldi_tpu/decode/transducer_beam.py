@@ -85,7 +85,7 @@ def _merge_equal_prefixes(scores, buf, counts, active=None):
 
 def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
                enc, frame_valid, proj, carry, buf, counts, scores, buf_len,
-               fusion=None, lm_table=None):
+               frame_buf, conf_buf, fcount, fusion=None, lm_table=None):
     """Run the frame-synchronous beam over ``enc [B, T, J]``.
 
     ``proj [B, K, J]``, ``carry`` leaves ``[B*K, ...]``, ``buf
@@ -94,6 +94,17 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
     (decode/lm.py::DenseFusionTable) — label extensions gain the fused
     LM term, the blank (a lattice move, not a label) does not, matching
     the CTC prefix-beam fusion semantics.
+
+    ``frame_buf``/``conf_buf [B, K, L]`` are the label-time backtrace: in
+    step with ``buf``, slot ``l`` records the GLOBAL encoder frame at
+    which hypothesis ``k`` emitted its ``l``-th label, and that label's
+    joint-step softmax posterior at the emission (the acoustic posterior
+    — the LM fusion term scores hypotheses, not confidences). ``fcount
+    [B]`` is the per-row global valid-frame counter the indices are based
+    on (zeros offline; carried across chunks when streaming). Prefix
+    merging leaves the canonical survivor's backtrace in place — losers
+    are true duplicates of the same lattice prefix, only their
+    probability mass is absorbed.
     """
     b, t, j = enc.shape
     k = beam
@@ -108,11 +119,12 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
         return jax.tree.map(leaf, carry)
 
     def frame(state, xs):
-        proj, carry, buf, counts, scores, _ = state
+        proj, carry, buf, frame_buf, conf_buf, counts, scores, fcount, _ = state
         enc_t, valid_t = xs  # [B, J], [B]
         active = jnp.ones((b, k), bool)
 
-        def expand(proj, carry, buf, counts, scores, active, forced):
+        def expand(proj, carry, buf, frame_buf, conf_buf, counts, scores,
+                   active, forced):
             logits = model.joint_step(
                 params,
                 jnp.broadcast_to(enc_t[:, None, :], (b, k, j)).reshape(b * k, j),
@@ -124,7 +136,7 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
             )  # finished beams carry their score unchanged
             if forced:
                 # after S expansions every active beam must take the blank
-                return (proj, carry, buf, counts, stay,
+                return (proj, carry, buf, frame_buf, conf_buf, counts, stay,
                         jnp.zeros_like(active))
             extend = scores[:, :, None] + logp  # [B, K, V]
             if fusion is not None:
@@ -149,10 +161,20 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
 
             # re-gather parent state
             new_buf = jnp.take_along_axis(buf, parent[:, :, None], axis=1)
+            new_frames = jnp.take_along_axis(frame_buf, parent[:, :, None], axis=1)
+            new_confs = jnp.take_along_axis(conf_buf, parent[:, :, None], axis=1)
             new_counts = jnp.take_along_axis(counts, parent, axis=1)
             new_proj = jnp.take_along_axis(proj, parent[:, :, None], axis=1)
             new_active = jnp.take_along_axis(active, parent, axis=1)
             carry = gather_carry(carry, parent)
+
+            # the chosen extension's ACOUSTIC posterior (pre-fusion logp)
+            lp_parent = jnp.take_along_axis(logp, parent[:, :, None], axis=1)
+            label_conf = jnp.exp(
+                jnp.take_along_axis(
+                    lp_parent.astype(jnp.float32), label[:, :, None], axis=2
+                )[:, :, 0]
+            )
 
             # append labels for extended beams — a masked broadcast-compare
             # write, NOT a scatter (a computed-index .at[].set lowers to a
@@ -162,6 +184,8 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
             pos = jnp.where(is_ext, new_counts, buf_len)
             slot = jnp.arange(buf_len)[None, None, :] == pos[:, :, None]
             new_buf = jnp.where(slot, label[:, :, None], new_buf)
+            new_frames = jnp.where(slot, fcount[:, None, None], new_frames)
+            new_confs = jnp.where(slot, label_conf[:, :, None], new_confs)
             new_counts = new_counts + is_ext.astype(jnp.int32)
             # stay-selected ACTIVE beams just took their blank → finished;
             # stay-selected finished beams remain finished
@@ -177,12 +201,15 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
             merged = _merge_equal_prefixes(
                 top_scores, new_buf, new_counts, new_active
             )
-            return new_proj, carry, new_buf, new_counts, merged, new_active
+            return (new_proj, carry, new_buf, new_frames, new_confs,
+                    new_counts, merged, new_active)
 
-        st = (proj, carry, buf, counts, scores, active)
+        st = (proj, carry, buf, frame_buf, conf_buf, counts, scores, active)
         for _ in range(max_symbols):
             st = expand(*st, forced=False)
-        proj2, carry2, buf2, counts2, scores2, _ = expand(*st, forced=True)
+        (proj2, carry2, buf2, frames2, confs2, counts2, scores2, _) = expand(
+            *st, forced=True
+        )
         scores2 = _merge_equal_prefixes(scores2, buf2, counts2)
 
         # frozen rows (past their length) keep everything
@@ -191,6 +218,8 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
         )
         proj = keep(proj2, proj)
         buf = keep(buf2, buf)
+        frame_buf = keep(frames2, frame_buf)
+        conf_buf = keep(confs2, conf_buf)
         counts = keep(counts2, counts)
         scores = keep(scores2, scores)
         carry = jax.tree.map(
@@ -200,15 +229,19 @@ def _beam_scan(model: Transducer, beam: int, max_symbols: int, params,
             ),
             carry2, carry,
         )
-        return (proj, carry, buf, counts, scores,
+        fcount = fcount + valid_t.astype(jnp.int32)
+        return (proj, carry, buf, frame_buf, conf_buf, counts, scores, fcount,
                 jnp.zeros((b, k), bool)), None
 
-    init = (proj, carry, buf, counts, scores, jnp.zeros((b, k), bool))
-    (proj, carry, buf, counts, scores, _), _ = jax.lax.scan(
-        frame, init,
-        (jnp.transpose(enc, (1, 0, 2)), jnp.transpose(frame_valid)),
+    init = (proj, carry, buf, frame_buf, conf_buf, counts, scores, fcount,
+            jnp.zeros((b, k), bool))
+    (proj, carry, buf, frame_buf, conf_buf, counts, scores, fcount, _), _ = (
+        jax.lax.scan(
+            frame, init,
+            (jnp.transpose(enc, (1, 0, 2)), jnp.transpose(frame_valid)),
+        )
     )
-    return proj, carry, buf, counts, scores
+    return proj, carry, buf, frame_buf, conf_buf, counts, scores, fcount
 
 
 class TransducerBeamDecoder:
@@ -263,22 +296,24 @@ class TransducerBeamDecoder:
         proj = proj.reshape(b, k, j)
         scores = jnp.full((b, k), _NEG, jnp.float32).at[:, 0].set(0.0)
         buf = jnp.zeros((b, k, buf_len), jnp.int32)
-        counts = jnp.zeros((b, k), jnp.int32)
+        frame_buf = jnp.zeros((b, k, buf_len), jnp.int32)
+        conf_buf = jnp.zeros((b, k, buf_len), jnp.float32)
         enc_lengths = model.output_lengths(lengths)
         frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]
-        _, _, buf, counts, scores = _beam_scan(
+        _, _, buf, frame_buf, conf_buf, counts, scores, _ = _beam_scan(
             model, k, self.max_symbols, params, enc, frame_valid,
-            proj, carry, buf, counts, scores, buf_len,
+            proj, carry, buf, jnp.zeros((b, k), jnp.int32), scores, buf_len,
+            frame_buf, conf_buf, jnp.zeros((b,), jnp.int32),
             fusion=self.fusion, lm_table=self._lm_table,
         )
-        return buf, counts, scores
+        return buf, frame_buf, conf_buf, counts, scores
 
     def decode_batch_nbest(
         self, inputs, lengths
     ) -> list[list[tuple[np.ndarray, float]]]:
         """``[B, T, F]`` padded features → per row, the surviving
         hypotheses as ``(label_ids, log_score)``, best first."""
-        buf, counts, scores = self._fn(
+        buf, _, _, counts, scores = self._fn(
             self.params, jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32)
         )
         buf, counts, scores = map(np.asarray, (buf, counts, scores))
@@ -295,6 +330,30 @@ class TransducerBeamDecoder:
     def decode_batch(self, inputs, lengths) -> list[np.ndarray]:
         """``[B, T, F]`` padded features → best-hypothesis label ids."""
         return [h[0][0] for h in self.decode_batch_nbest(inputs, lengths)]
+
+    def decode_batch_aligned(
+        self, inputs, lengths
+    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """``[B, T, F]`` padded features → per row the BEST hypothesis'
+        label-time backtrace ``(ids, frames, posteriors)``: the encoder
+        frame whose joint step emitted each label, and the label's
+        softmax posterior at that emission (acoustic, pre-fusion)."""
+        buf, frame_buf, conf_buf, counts, scores = self._fn(
+            self.params, jnp.asarray(inputs), jnp.asarray(lengths, jnp.int32)
+        )
+        buf, frame_buf, conf_buf, counts, scores = map(
+            np.asarray, (buf, frame_buf, conf_buf, counts, scores)
+        )
+        out = []
+        for bi in range(buf.shape[0]):
+            kk = int(np.argmax(scores[bi]))
+            n = int(counts[bi, kk])
+            out.append((
+                buf[bi, kk, :n].astype(np.int32),
+                frame_buf[bi, kk, :n].astype(np.int64),
+                conf_buf[bi, kk, :n].astype(np.float64),
+            ))
+        return out
 
     def decode_to_file(
         self,
@@ -349,29 +408,36 @@ class OnlineTransducerBeamDecoder:
         model_ = model
 
         def compute(params, chunk, lengths, enc_carry, proj, pred_carry,
-                    buf, counts, scores):
+                    buf, frame_buf, conf_buf, counts, scores, fcount):
             enc, n_out, enc_carry = model_.encode_stream(
                 params, model_state, chunk, lengths, enc_carry
             )
             valid = jnp.arange(enc.shape[1])[None, :] < n_out[:, None]
-            proj, pred_carry, buf, counts, scores = _beam_scan(
+            (proj, pred_carry, buf, frame_buf, conf_buf, counts, scores,
+             fcount) = _beam_scan(
                 model_, self.beam, self.max_symbols, params, enc, valid,
                 proj, pred_carry, buf, counts, scores, self.max_tokens,
+                frame_buf, conf_buf, fcount,
                 fusion=self.fusion, lm_table=lm_table,
             )
-            return enc_carry, proj, pred_carry, buf, counts, scores
+            return (enc_carry, proj, pred_carry, buf, frame_buf, conf_buf,
+                    counts, scores, fcount)
 
-        def flush(params, enc_carry, proj, pred_carry, buf, counts, scores):
+        def flush(params, enc_carry, proj, pred_carry, buf, frame_buf,
+                  conf_buf, counts, scores, fcount):
             enc, n, enc_carry = model_.encode_stream_flush(
                 params, model_state, enc_carry
             )
             valid = jnp.arange(enc.shape[1])[None, :] < n[:, None]
-            proj, pred_carry, buf, counts, scores = _beam_scan(
+            (proj, pred_carry, buf, frame_buf, conf_buf, counts, scores,
+             fcount) = _beam_scan(
                 model_, self.beam, self.max_symbols, params, enc, valid,
                 proj, pred_carry, buf, counts, scores, self.max_tokens,
+                frame_buf, conf_buf, fcount,
                 fusion=self.fusion, lm_table=lm_table,
             )
-            return enc_carry, proj, pred_carry, buf, counts, scores
+            return (enc_carry, proj, pred_carry, buf, frame_buf, conf_buf,
+                    counts, scores, fcount)
 
         self._fn = jax.jit(compute)
         self._flush_fn = jax.jit(flush)
@@ -381,7 +447,7 @@ class OnlineTransducerBeamDecoder:
             )
         )
 
-    def reset(self, batch_size: int) -> None:
+    def _fresh_state(self, batch_size: int):
         b, k = batch_size, self.beam
         j = self.model.config.joint_units
         proj, pred_carry = self._init_fn(
@@ -390,14 +456,20 @@ class OnlineTransducerBeamDecoder:
             jnp.ones((b * k,), bool),
             self.model.init_pred_carry(b * k),
         )
-        self._state = (
+        return (
             self.model.encoder.init_stream_carry(b),
             proj.reshape(b, k, j),
             pred_carry,
             jnp.zeros((b, k, self.max_tokens), jnp.int32),
+            jnp.zeros((b, k, self.max_tokens), jnp.int32),  # frame backtrace
+            jnp.zeros((b, k, self.max_tokens), jnp.float32),  # posteriors
             jnp.zeros((b, k), jnp.int32),
             jnp.full((b, k), _NEG, jnp.float32).at[:, 0].set(0.0),
+            jnp.zeros((b,), jnp.int32),  # global valid-frame counter
         )
+
+    def reset(self, batch_size: int) -> None:
+        self._state = self._fresh_state(batch_size)
 
     def step(self, chunk, lengths) -> list[np.ndarray]:
         """Consume a ``[B, Tc, F]`` feature chunk; return each row's
@@ -407,11 +479,10 @@ class OnlineTransducerBeamDecoder:
             raise RuntimeError("call reset(batch_size) before step()")
         chunk = np.asarray(chunk, np.float32)
         if chunk.shape[1] > 0:
-            enc_carry, proj, pred_carry, buf, counts, scores = self._state
             self._state = self._fn(
                 self.params, jnp.asarray(chunk),
                 jnp.asarray(lengths, jnp.int32),
-                enc_carry, proj, pred_carry, buf, counts, scores,
+                *self._state,
             )
         return self.best()
 
@@ -424,12 +495,90 @@ class OnlineTransducerBeamDecoder:
         self._state = self._flush_fn(self.params, *self._state)
         return self.best()
 
+    # -- per-slot lifecycle (multi-stream serving) ----------------------
+
+    def _merge_state(self, sel: np.ndarray, new_state, old_state):
+        """Row-wise select over the full beam state — rows where ``sel``
+        take ``new_state``."""
+        mask = jnp.asarray(sel)
+        mask_bk = mask[:, None]
+        k = self.beam
+        enc_n, proj_n, pred_n, *rest_n = new_state
+        enc_o, proj_o, pred_o, *rest_o = old_state
+        pred = jax.tree.map(
+            lambda n, o: jnp.where(
+                jnp.repeat(mask, k).reshape((n.shape[0],) + (1,) * (n.ndim - 1)),
+                n, o,
+            ),
+            pred_n, pred_o,
+        )
+        merged_rest = [
+            jnp.where(mask.reshape((mask.shape[0],) + (1,) * (n.ndim - 1)), n, o)
+            for n, o in zip(rest_n, rest_o)
+        ]
+        return (
+            self.model.encoder.merge_stream_carry(mask, enc_n, enc_o),
+            jnp.where(mask_bk[:, :, None] if proj_n.ndim == 3 else mask_bk,
+                      proj_n, proj_o),
+            pred,
+            *merged_rest,
+        )
+
+    def finish_rows(self, rows) -> list[np.ndarray]:
+        """``finish()`` for a subset of rows: decode THEIR final partial
+        group; other rows' state is untouched (the flush runs batched,
+        then unselected rows' state is restored row-wise). Returns the
+        full per-row best list — entries at ``rows`` are final."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before finish_rows()")
+        b = self._state[1].shape[0]
+        sel = np.zeros((b,), bool)
+        sel[np.asarray(list(rows), np.int64)] = True
+        old = self._state
+        new = self._flush_fn(self.params, *old)
+        self._state = self._merge_state(sel, new, old)
+        return self.best()
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for new utterances; other rows keep
+        streaming."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        b = self._state[1].shape[0]
+        sel = np.zeros((b,), bool)
+        sel[np.asarray(list(rows), np.int64)] = True
+        self._state = self._merge_state(sel, self._fresh_state(b), self._state)
+
     def best(self) -> list[np.ndarray]:
         """Current best hypothesis per row."""
-        _, _, _, buf, counts, scores = self._state
+        _, _, _, buf, _, _, counts, scores, _ = self._state
         buf, counts, scores = map(np.asarray, (buf, counts, scores))
         out = []
         for bi in range(buf.shape[0]):
             kk = int(np.argmax(scores[bi]))
             out.append(buf[bi, kk, : counts[bi, kk]].astype(np.int32))
+        return out
+
+    def best_alignment(self) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Per-row ``(ids, frames, posteriors)`` backtrace of the CURRENT
+        best hypothesis: the global encoder frame (valid frames since
+        reset) whose joint step emitted each label, and the label's
+        acoustic softmax posterior at that emission. Like ``best()``, the
+        whole triple can be rewritten as frames arrive; after ``finish()``
+        it is the final backtrace, equal to
+        ``TransducerBeamDecoder.decode_batch_aligned`` on the
+        concatenated features at any chunking."""
+        _, _, _, buf, frame_buf, conf_buf, counts, scores, _ = self._state
+        buf, frame_buf, conf_buf, counts, scores = map(
+            np.asarray, (buf, frame_buf, conf_buf, counts, scores)
+        )
+        out = []
+        for bi in range(buf.shape[0]):
+            kk = int(np.argmax(scores[bi]))
+            n = int(counts[bi, kk])
+            out.append((
+                buf[bi, kk, :n].astype(np.int32),
+                frame_buf[bi, kk, :n].astype(np.int64),
+                conf_buf[bi, kk, :n].astype(np.float64),
+            ))
         return out

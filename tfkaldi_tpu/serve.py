@@ -283,9 +283,17 @@ def build_streaming_transcriber(
                 "endpointing rides the CTC blank stream; the transducer "
                 "transcriber does not support endpoint_config"
             )
+        fusion_table = None
+        if beam_width > 1:
+            from tfkaldi_tpu.decode.lm import fusion_from_config
+
+            fusion_table = fusion_from_config(
+                nnet.conf, coder, list(coder.alphabet)
+            )
         return StreamingTransducerTranscriber(
             online_ext, nnet.model, state.params, state.model_state, coder,
-            cmvn=cmvn,
+            cmvn=cmvn, beam_width=beam_width,
+            fusion_table=fusion_table,
             max_symbols_per_frame=int(nnet.conf.get("max_symbols_per_frame", 4)),
         )
     raise ValueError(
@@ -313,7 +321,9 @@ MSG_WORDS = b"J"  # server -> client: UTF-8 JSON [{word,start,end,confidence}]
 
 _HDR = 5  # 1-byte type + 4-byte big-endian payload length
 
-#: alignment request types a greedy transcriber can answer any time
+#: alignment request types a transcriber can answer any time (greedy:
+#: the committed append-only alignment; beam: the current best
+#: hypothesis' backtrace, final after the finish)
 _ALIGN_REQS = (MSG_TIMES_REQ, MSG_CONF_REQ, MSG_WORDS_REQ)
 
 
@@ -384,11 +394,12 @@ class StreamingServer:
     compiles its own device program (static shapes under jit).
 
     Timestamps: a client may send ``S`` at any point (mid-stream for the
-    labels committed so far, or after the final transcript — the
-    connection stays open after ``T`` until the client hangs up); the
-    server answers ``M`` with one float64 LE seconds value per committed
-    label, aligned with the transcript (greedy decoders only — beam
-    transcribers answer ``E``).
+    labels so far, or after the final transcript — the connection stays
+    open after ``T`` until the client hangs up); the server answers ``M``
+    with one float64 LE seconds value per label, aligned with the
+    transcript. Greedy transcribers report their committed append-only
+    alignment; beam transcribers report the current best hypothesis'
+    label-time backtrace (rewritten as frames arrive, final after ``T``).
     """
 
     def __init__(
@@ -473,8 +484,9 @@ def stream_transcribe(
     chunks; yields each partial transcript, then returns the final via
     StopIteration.value (use ``yield from`` or collect the generator).
     With ``timestamps=True`` the return is ``(final, times)`` where
-    ``times`` is a float64 seconds array, one entry per committed label
-    (greedy servers only).
+    ``times`` is a float64 seconds array, one entry per transcript label
+    (greedy: committed alignment; beam: the final best hypothesis'
+    backtrace).
 
     An early ``MSG_FINAL`` in reply to an audio chunk (the server
     endpointed the utterance mid-stream) ends the generator immediately
@@ -514,7 +526,7 @@ def stream_words(host: str, port: int, samples: np.ndarray, chunk_size: int):
     """Client helper: stream an utterance and return ``(final, words)``
     where ``words`` is the server's word alignment — a list of
     ``decode.words.WordAlignment`` (word, start, end, confidence).
-    Partials are consumed internally; greedy servers only."""
+    Partials are consumed internally."""
     import json
     import socket as socketlib
 
