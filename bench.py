@@ -853,7 +853,10 @@ def bench_streaming_tpu() -> dict:
         StreamingTranscriber,
     )
     from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
-    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.frontend.online import (
+        FusedOnlineFeatureExtractor,
+        OnlineFeatureExtractor,
+    )
     from tfkaldi_tpu.models import (
         DNN,
         DNNConfig,
@@ -910,26 +913,45 @@ def bench_streaming_tpu() -> dict:
     ext = FeatureExtractor(opts, rate)
     res = {}
     feat_res = {}
+    unfused_res = {}
     for ms in chunk_ms:
         samples = rate * ms // 1000
+        # production path: the FUSED device-resident front-end — one
+        # dispatch per push, features never leave the device
+        # (docs/PERF_STREAMING.md; tests/test_fused_frontend.py)
+        fused_ext = FusedOnlineFeatureExtractor(ext)
         tx = StreamingTranscriber(
-            OnlineFeatureExtractor(ext), model, params, mstate, _IdCoder(),
+            fused_ext, model, params, mstate, _IdCoder(),
             num_labels, beam_width=1,
         )
         tx.reset(1)
         p50, p99, rtf = sweep(tx.push, samples)
         res[str(ms)] = {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
                         "rtf": round(rtf, 2)}
-        # stage budget: the online feature front-end alone on the same
+        # A/B: the unfused host-buffered front-end (the pre-r5 path, ~3
+        # device syncs per push) through the same transcriber
+        tx_u = StreamingTranscriber(
+            OnlineFeatureExtractor(ext), model, params, mstate, _IdCoder(),
+            num_labels, beam_width=1,
+        )
+        tx_u.reset(1)
+        up50, _, urtf = sweep(tx_u.push, samples)
+        unfused_res[str(ms)] = {"p50_ms": round(up50, 2), "rtf": round(urtf, 2)}
+        # stage budget: the fused feature front-end alone on the same
         # chunks (encoder+search = total - features)
-        fext = OnlineFeatureExtractor(ext)
+        fext = FusedOnlineFeatureExtractor(ext)
         fext.reset(1)
         fp50, _, _ = sweep(lambda c, l: fext.step(c, l), samples, warmup_pushes=4)
         feat_res[str(ms)] = round(fp50, 2)
         print(f"[bench] streaming conformer {ms}ms: p50 {p50:.1f}ms p99 {p99:.1f}ms "
-              f"rtf {rtf:.2f} (features alone p50 {fp50:.1f}ms)", file=sys.stderr)
+              f"rtf {rtf:.2f} (fused features alone p50 {fp50:.1f}ms; "
+              f"unfused path p50 {up50:.1f}ms rtf {urtf:.2f})", file=sys.stderr)
     results["conformer"] = res
     results["conformer_features_p50_ms"] = feat_res
+    results["conformer_unfused_frontend"] = unfused_res
+    # per-push device dispatches on the whole fused path: 1 (front-end)
+    # + 1 (decoder step) — the docs/PERF_STREAMING.md target
+    results["dispatches_per_push"] = 2
 
     # -- LSTM hybrid: feature chunks -> streaming likelihoods -------------
     o = 2000
@@ -1003,7 +1025,7 @@ def bench_multistream_tpu() -> dict:
 
     from tfkaldi_tpu.decode.online import StreamingTranscriber
     from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
-    from tfkaldi_tpu.frontend.online import OnlineFeatureExtractor
+    from tfkaldi_tpu.frontend.online import FusedOnlineFeatureExtractor
     from tfkaldi_tpu.models import Transformer, TransformerConfig
 
     rate = 16000
@@ -1035,8 +1057,8 @@ def bench_multistream_tpu() -> dict:
     n_chunks = max(8, int(total_audio_s * 1000 / chunk_ms))
     for n in (1, 4, 16):
         tx = StreamingTranscriber(
-            OnlineFeatureExtractor(ext), model, params, mstate, _IdCoder(),
-            num_labels, beam_width=1,
+            FusedOnlineFeatureExtractor(ext), model, params, mstate,
+            _IdCoder(), num_labels, beam_width=1,
         )
         tx.reset(n)
         chunk = (rng.standard_normal((n, chunk_samples)) * 1000).astype(np.float32)

@@ -84,7 +84,6 @@ class OnlineRecurrentDecoder:
         ``[B, Tc, O]`` log pseudo-likelihoods; advances the carry."""
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before step()")
-        chunk = np.asarray(chunk)
         if chunk.shape[1] == 0:
             # empty chunk (e.g. a feature flush that added no frames)
             return jnp.zeros(
@@ -212,7 +211,8 @@ class OnlineCTCDecoder:
         ids (repeats merged across the chunk boundary, blanks dropped)."""
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before step()")
-        chunk = np.asarray(chunk)
+        # no np.asarray on the chunk: a device array (the fused frontend's
+        # output) flows into the jitted step without a host round-trip
         lengths = np.asarray(lengths, np.int32)
         if chunk.shape[1] == 0:
             # empty chunk (e.g. a feature flush that added no frames)
@@ -397,7 +397,6 @@ class OnlineCTCBeamDecoder:
         hypothesis so far, which may still change as frames arrive)."""
         if self._carry is None:
             raise RuntimeError("call reset(batch_size) before step()")
-        chunk = np.asarray(chunk)
         lengths = np.asarray(lengths, np.int32)
         self.last_frame_labels = np.zeros((chunk.shape[0], 0), np.int32)
         self.last_n_out = np.zeros((chunk.shape[0],), np.int32)
@@ -557,6 +556,10 @@ class StreamingTranscriber:
     ):
         self.extractor = online_extractor
         self.coder = coder
+        if cmvn is not None and hasattr(online_extractor, "fuse_cmvn"):
+            # fused frontend: CMVN rides the single front-end dispatch
+            online_extractor.fuse_cmvn(np.asarray(cmvn))
+            cmvn = None
         self.cmvn = None if cmvn is None else np.asarray(cmvn)
         self.beam_width = int(beam_width)
         # seconds per DECODER OUTPUT frame: the feature winstep times the

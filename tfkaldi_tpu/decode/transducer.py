@@ -286,7 +286,8 @@ class OnlineTransducerDecoder:
         index (frames since reset), aligned with the return."""
         if self._state is None:
             raise RuntimeError("call reset(batch_size) before step()")
-        chunk = np.asarray(chunk, np.float32)
+        # no np.asarray on the chunk: a device array (the fused frontend's
+        # output) flows into the jitted step without a host round-trip
         if chunk.shape[1] == 0:
             b = chunk.shape[0]
             self.last_label_frames = [np.zeros((0,), np.int64) for _ in range(b)]
@@ -295,7 +296,7 @@ class OnlineTransducerDecoder:
         enc_carry, proj, pred_carry = self._state
         buf, frames, confs, counts, n_out, enc_carry, proj, pred_carry = self._fn(
             self.params,
-            jnp.asarray(chunk),
+            jnp.asarray(chunk, jnp.float32),
             jnp.asarray(lengths, jnp.int32),
             enc_carry,
             proj,
@@ -418,6 +419,10 @@ class StreamingTransducerTranscriber:
     ):
         self.extractor = online_extractor
         self.coder = coder
+        if cmvn is not None and hasattr(online_extractor, "fuse_cmvn"):
+            # fused frontend: CMVN rides the single front-end dispatch
+            online_extractor.fuse_cmvn(np.asarray(cmvn))
+            cmvn = None
         self.cmvn = None if cmvn is None else np.asarray(cmvn)
         self.beam_width = int(beam_width)
         if fusion_table is not None and self.beam_width <= 1:

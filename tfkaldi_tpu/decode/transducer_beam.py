@@ -477,10 +477,11 @@ class OnlineTransducerBeamDecoder:
         partials)."""
         if self._state is None:
             raise RuntimeError("call reset(batch_size) before step()")
-        chunk = np.asarray(chunk, np.float32)
+        # no np.asarray on the chunk: a device array (the fused frontend's
+        # output) flows into the jitted step without a host round-trip
         if chunk.shape[1] > 0:
             self._state = self._fn(
-                self.params, jnp.asarray(chunk),
+                self.params, jnp.asarray(chunk, jnp.float32),
                 jnp.asarray(lengths, jnp.int32),
                 *self._state,
             )

@@ -398,3 +398,261 @@ class OnlineDynamicExtractor:
             self._start[row] = 0
             self._total[row] = 0
             self._emitted[row] = 0
+
+
+class FusedOnlineFeatureExtractor:
+    """Device-resident streaming front-end: ONE device dispatch per push.
+
+    ``OnlineFeatureExtractor`` above makes ~3 device synchronizations per
+    push (preemphasis dispatch + readback, feature dispatch + readback,
+    and a CMVN dispatch in the transcriber), because its sample buffers
+    live on the host. Measured over the staging tunnel that dispatch
+    count IS the chunk latency (docs/PERF_STREAMING.md: ~80 of ~135 ms
+    p50 for the conformer path); this class keeps the buffers ON DEVICE
+    and fuses preemphasis → framing → the feature tail → optional CMVN
+    into one jitted call whose output stays on device (no readback — the
+    decoder's jitted step consumes it directly), so a transcriber push
+    costs exactly TWO dispatches and one readback end to end.
+
+    Exactness: feature outputs are bit-identical to
+    ``OnlineFeatureExtractor`` — the preemphasis is the same traced op on
+    the same values, framing is a gather of the same buffered samples,
+    and the feature tail is the extractor's own ``_frames_to_feats``. The
+    fused CMVN runs the same f32 math the unfused transcriber executes
+    but inside one program, where XLA's fusion rounds differently by up
+    to ~2 f32 ulps (tests/test_fused_frontend.py pins both bounds).
+    Host-side cursors (totals, emitted counts, buffer fill) are mirrored
+    deterministically from the pushed lengths, so no device value is
+    ever read back mid-stream.
+
+    Geometry: the device buffer holds not-yet-consumed preemphasized
+    samples (always < frame_len after a push, so capacity is
+    ``frame_len + padded_chunk``); pushes are padded to a multiple of
+    ``sample_bucket`` to bound recompiles, and the emitted frame capacity
+    is the static maximum for that padding. ``dynamic = "nodelta"`` only
+    (the delta path buffers lookahead in ``OnlineDynamicExtractor``).
+
+    Same ``reset/step/flush/flush_rows/reset_rows`` API as
+    ``OnlineFeatureExtractor``; ``step`` returns a DEVICE array.
+    """
+
+    def __init__(
+        self, extractor: FeatureExtractor, sample_bucket: int = 256,
+        cmvn: np.ndarray | None = None,
+    ):
+        if extractor.opts.dynamic != "nodelta":
+            raise ValueError(
+                "the fused online frontend streams static features only; "
+                "delta dynamics go through OnlineDynamicExtractor"
+            )
+        self.extractor = extractor
+        self.sample_bucket = int(sample_bucket)
+        high = extractor.spectrum_precision in ("high", "exact")
+        self._x64 = high
+        self._work = jnp.float64 if high else jnp.float32
+        # the unfused transcriber applies CMVN outside any x64 scope, so
+        # the f64 stats silently compute in f32 — match that exactly
+        self._cmvn32 = None if cmvn is None else np.asarray(cmvn, np.float32)
+        self._state = None
+        self._cap = 0
+        self._fns = {}  # cap -> jitted step
+        #: device dispatches made since construction (the quantity
+        #: docs/PERF_STREAMING.md tracks; tests pin <= 1 per push)
+        self.dispatch_count = 0
+
+    @property
+    def dim(self) -> int:
+        return self.extractor.opts.base_dim
+
+    def fuse_cmvn(self, stats: np.ndarray) -> None:
+        """Fold CMVN into the fused call (transcribers hand their stats
+        over so the whole front-end stays one dispatch)."""
+        self._cmvn32 = np.asarray(stats, np.float32)
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+
+    def _build_fn(self, cap: int):
+        ext = self.extractor
+        wl, ws = ext.frame_len, ext.frame_step
+        frames_cap = (cap - wl) // ws + 1
+        a = float(ext.opts.preemph)
+        work = self._work
+        cmvn32 = self._cmvn32
+
+        def step(chunk, lengths, navail, buf, nbuf, prev):
+            b, s = chunk.shape
+            x = chunk.astype(work)
+            shifted = jnp.concatenate([prev[:, None], x[:, :-1]], axis=1)
+            y = x - a * shifted  # the same op OnlineFeatureExtractor runs
+            last = jnp.take_along_axis(
+                x, jnp.clip(lengths - 1, 0, s - 1)[:, None], axis=1
+            )[:, 0]
+            prev = jnp.where(lengths > 0, last, prev)
+            # append y[:, :lengths] at offset nbuf (masked gather, no scatter)
+            i = jnp.arange(cap, dtype=jnp.int32)[None, :]
+            src = i - nbuf[:, None]
+            take = (src >= 0) & (src < lengths[:, None])
+            yg = jnp.take_along_axis(y, jnp.clip(src, 0, s - 1), axis=1)
+            buf = jnp.where(take, yg, buf)
+            nbuf = nbuf + lengths
+            # cut navail frames from the head (offline framing geometry)
+            fidx = (
+                jnp.arange(frames_cap, dtype=jnp.int32)[:, None] * ws
+                + jnp.arange(wl, dtype=jnp.int32)[None, :]
+            )
+            frames = buf[:, fidx]  # [B, frames_cap, wl]
+            tmask = jnp.arange(frames_cap, dtype=jnp.int32)[None, :] < navail[:, None]
+            frames = jnp.where(tmask[:, :, None], frames, 0.0)
+            feats, _ = ext._frames_to_feats(frames, navail)
+            if cmvn32 is not None:
+                from tfkaldi_tpu.frontend.cmvn import apply_cmvn
+
+                feats = apply_cmvn(feats, jnp.asarray(cmvn32))
+                feats = jnp.where(tmask[:, :, None], feats, 0.0)
+            # advance: drop the consumed samples, keep zeros past the fill
+            consumed = navail * ws
+            src2 = i + consumed[:, None]
+            keep = src2 < nbuf[:, None]
+            shifted_buf = jnp.take_along_axis(
+                buf, jnp.clip(src2, 0, cap - 1), axis=1
+            )
+            buf = jnp.where(keep, shifted_buf, 0.0)
+            nbuf = nbuf - consumed
+            return feats, buf, nbuf, prev
+
+        return jax.jit(step)
+
+    def _x64_scope(self):
+        import contextlib
+
+        return jax.enable_x64() if self._x64 else contextlib.nullcontext()
+
+    def _ensure_cap(self, s_pad: int) -> None:
+        need = self.extractor.frame_len + s_pad
+        if need <= self._cap:
+            return
+        old_cap = self._cap
+        self._cap = need
+        if self._state is not None and old_cap:
+            buf, nbuf, prev = self._state
+            with self._x64_scope():
+                buf = jnp.pad(buf, ((0, 0), (0, self._cap - old_cap)))
+            self._state = (buf, nbuf, prev)
+
+    def reset(self, batch_size: int) -> None:
+        self._ensure_cap(self.sample_bucket)
+        with self._x64_scope():
+            self._state = (
+                jnp.zeros((batch_size, self._cap), self._work),
+                jnp.zeros((batch_size,), jnp.int32),
+                jnp.zeros((batch_size,), self._work),
+            )
+        self._nbuf = np.zeros((batch_size,), np.int64)
+        self._total = np.zeros((batch_size,), np.int64)
+        self._emitted = np.zeros((batch_size,), np.int64)
+
+    def _run(self, chunk: np.ndarray, lengths: np.ndarray, navail: np.ndarray):
+        """One fused dispatch: returns (device feats [B, frames_cap, D],
+        counts). Skipped entirely when nothing is pushed or emitted."""
+        b = len(self._nbuf)
+        counts = navail.astype(np.int32)
+        if int(lengths.max(initial=0)) == 0 and int(navail.max(initial=0)) == 0:
+            return np.zeros((b, 0, self.dim), np.float32), counts
+        s_pad = max(
+            -(-int(chunk.shape[1]) // self.sample_bucket) * self.sample_bucket,
+            self.sample_bucket,
+        )
+        self._ensure_cap(s_pad)
+        cap = self._cap
+        fn = self._fns.get(cap)
+        if fn is None:
+            fn = self._fns[cap] = self._build_fn(cap)
+        if chunk.shape[1] < s_pad:
+            chunk = np.pad(chunk, ((0, 0), (0, s_pad - chunk.shape[1])))
+
+        def run():
+            return fn(
+                jnp.asarray(chunk.astype(np.float32 if not self._x64 else np.float64)),
+                jnp.asarray(lengths, jnp.int32),
+                jnp.asarray(navail, jnp.int32),
+                *self._state,
+            )
+
+        if self._x64:
+            with jax.enable_x64():
+                feats, buf, nbuf, prev = run()
+        else:
+            feats, buf, nbuf, prev = run()
+        self._state = (buf, nbuf, prev)
+        self.dispatch_count += 1
+        return feats, counts
+
+    def step(self, chunk, lengths):
+        """Feed ``[B, S]`` raw samples; returns ``(feats[B, T, D] on
+        DEVICE, new_frames[B])`` for every frame whose window is complete
+        — one device dispatch, no readback."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before step()")
+        chunk = np.asarray(chunk)
+        lengths = np.asarray(lengths, np.int64)
+        wl, ws = self.extractor.frame_len, self.extractor.frame_step
+        have = self._nbuf + lengths
+        navail = np.where(have < wl, 0, (have - wl) // ws + 1)
+        self._nbuf = have - navail * ws
+        self._total += lengths
+        self._emitted += navail
+        return self._run(chunk, lengths, navail)
+
+    def flush(self):
+        """End every stream: emit the remaining offline-geometry frames
+        (zero-padded tails), then require ``reset``."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before flush()")
+        out = self._flush_impl(range(len(self._nbuf)))
+        self._state = None
+        return out
+
+    def _flush_impl(self, rows):
+        b = len(self._nbuf)
+        target, _ = self.extractor.frame_geometry(self._total)
+        rem = np.zeros((b,), np.int64)
+        sel = np.asarray(list(rows), np.int64)
+        rem[sel] = np.maximum(target.astype(np.int64) - self._emitted, 0)[sel]
+        wl, ws = self.extractor.frame_len, self.extractor.frame_step
+        # tail frames read literal zeros past the buffer fill — the buffer
+        # is kept zeroed there, exactly the offline mask-then-frame pad
+        needed = np.where(rem > 0, (rem - 1) * ws + wl, 0)
+        if int(needed.max(initial=0)) > self._cap:
+            self._ensure_cap(int(needed.max()) - self.extractor.frame_len)
+        self._emitted += rem
+        self._nbuf = np.maximum(self._nbuf - rem * ws, 0)
+        return self._run(np.zeros((b, 0)), np.zeros((b,), np.int64), rem)
+
+    def flush_rows(self, rows):
+        """``flush()`` for a subset of rows; other rows emit 0 and keep
+        streaming undisturbed."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before flush_rows()")
+        return self._flush_impl(rows)
+
+    def reset_rows(self, rows) -> None:
+        """Re-arm a subset of rows for a new stream; other rows' device
+        buffers are untouched (row-masked zeroing, still one dispatch)."""
+        if self._state is None:
+            raise RuntimeError("call reset(batch_size) before reset_rows()")
+        b = len(self._nbuf)
+        sel = np.zeros((b,), bool)
+        idx = np.asarray(list(rows), np.int64)
+        sel[idx] = True
+        buf, nbuf, prev = self._state
+        with self._x64_scope():
+            mask = jnp.asarray(sel)
+            self._state = (
+                jnp.where(mask[:, None], 0.0, buf).astype(buf.dtype),
+                jnp.where(mask, 0, nbuf).astype(nbuf.dtype),
+                jnp.where(mask, 0.0, prev).astype(prev.dtype),
+            )
+        self._nbuf[idx] = 0
+        self._total[idx] = 0
+        self._emitted[idx] = 0

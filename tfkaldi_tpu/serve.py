@@ -249,8 +249,8 @@ def build_streaming_transcriber(
     from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
     from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
     from tfkaldi_tpu.frontend.online import (
+        FusedOnlineFeatureExtractor,
         OnlineDynamicExtractor,
-        OnlineFeatureExtractor,
     )
 
     trainer = Trainer(nnet.model, TrainerConfig())
@@ -259,8 +259,11 @@ def build_streaming_transcriber(
 
     opts = FeatureOpts.from_config(features_conf)
     ext = FeatureExtractor(opts, samplerate)
+    # nodelta serves through the fused device-resident frontend: ONE
+    # dispatch per push with CMVN folded in (docs/PERF_STREAMING.md);
+    # delta configs need the lookahead-buffering host extractor
     online_ext = (
-        OnlineFeatureExtractor(ext)
+        FusedOnlineFeatureExtractor(ext)
         if opts.dynamic == "nodelta"
         else OnlineDynamicExtractor(ext)
     )
