@@ -63,6 +63,12 @@ class TransducerConfig:
     # fused-loss T-chunk: the [chunk, B, U+1, V] joint block the score path
     # materializes at a time (see lattice_scores); 0 = whole-T in one block
     joint_chunk_t: int = 32
+    # pruned (banded) lattice loss: evaluate the joint only on a band of
+    # prune_s label positions per frame (k2-style; ops/rnnt_loss.py). 0 =
+    # dense. Band placement: "guided" (two-stage, occupancy-centered from a
+    # cheap rank-1 proxy) or "diagonal" (linear, zero extra compute).
+    prune_s: int = 0
+    prune_band: str = "guided"
     # self-attention encoder knobs, passed through verbatim to
     # TransformerConfig.from_config when enc_type is transformer/conformer
     # (num_blocks, d_model, num_heads, ffn_dim, conv_kernel, subsample,
@@ -87,6 +93,8 @@ class TransducerConfig:
             scan_unroll=int(conf.get("scan_unroll", 8)),
             scan_impl=str(conf.get("scan_impl", "auto")),
             joint_chunk_t=int(conf.get("joint_chunk_t", 32)),
+            prune_s=int(conf.get("rnnt_prune_s", 0)),
+            prune_band=str(conf.get("rnnt_prune_band", "guided")),
             enc_extra=tuple(
                 (k, str(conf[k]))
                 for k in (
@@ -417,6 +425,164 @@ class Transducer:
             b, t_pad, u_max
         )[:, :t_max]
         return lp_blank, lp_label, new_state
+
+    def lattice_scores_pruned(
+        self,
+        params: Params,
+        state: Params,
+        inputs: jnp.ndarray,  # [B, T, F]
+        input_lengths: jnp.ndarray,  # [B]
+        labels: jnp.ndarray,  # [B, U]
+        label_lengths: jnp.ndarray,  # [B]
+        *,
+        train: bool,
+        dropout_rng: jax.Array | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Params]:
+        """Pruned fused scores: ``(lp_blank_band [B,T',S], lp_label_band
+        [B,T',S], band_starts [B,T'], new_state)`` for
+        :func:`tfkaldi_tpu.ops.rnnt_loss.rnnt_alpha_loss_banded`.
+
+        The banded twin of :meth:`lattice_scores`: the joint network is
+        evaluated only on ``prune_s`` label positions per encoder frame —
+        the T-chunked block materializes a ``[B, c, S, J]`` activation
+        instead of ``[B, c, U+1, J]``, cutting the joint matmul FLOPs and
+        the rematerialized HBM traffic by ``(U+1)/S``. Band placement per
+        ``config.prune_band``: "guided" runs the k2-style stage-1 — a
+        rank-1 proxy lattice from separately-normalized encoder/prediction
+        projections through the SAME joint weights (no U×V tensor ever),
+        forward-backward occupancies, argmax centering (no gradients) —
+        while "diagonal" costs nothing and assumes a near-uniform
+        alignment. Exactness: whenever the band covers the posterior mass
+        the loss and its gradients match the dense path (pinned by
+        tests/test_rnnt_pruned.py); the diagonal band guarantees entry and
+        exit coverage, the guided band additionally tracks nonuniform
+        speaking rate.
+        """
+        from tfkaldi_tpu.ops.rnnt_loss import (
+            diagonal_band_starts,
+            guided_band_starts,
+            mask_band_label_scores,
+        )
+
+        cfg = self.config
+        s_range = cfg.prune_s
+        enc, new_state = self.encode(
+            params, state, inputs, input_lengths, train=train,
+            dropout_rng=dropout_rng,
+        )  # [B, T', J]
+        pred = self.predict(params, labels, label_lengths, train=train,
+                            dropout_rng=dropout_rng)  # [B, U+1, J]
+        b, t_max, j = enc.shape
+        u_max = labels.shape[1]
+        enc_lengths = self.output_lengths(input_lengths)
+        w = params["joint"]["w"]  # [J, V]
+        bias = params["joint"]["b"]  # [V]
+
+        # ---- stage 1: band starts (no gradients) -----------------------
+        if cfg.prune_band == "diagonal":
+            starts = diagonal_band_starts(
+                enc_lengths, label_lengths, t_max, u_max, s_range
+            )
+        elif cfg.prune_band == "guided":
+            enc_sg = jax.lax.stop_gradient(enc)
+            pred_sg = jax.lax.stop_gradient(pred)
+            w_sg = jax.lax.stop_gradient(w)
+            b_sg = jax.lax.stop_gradient(bias)
+            # separately-normalized halves of the joint: am[t] + lm[u] is a
+            # rank-1 stand-in for the tanh joint — O(BTV + BUV), never BTUV
+            am = jax.nn.log_softmax(enc_sg @ w_sg + b_sg, axis=-1)  # [B,T,V]
+            lm = jax.nn.log_softmax(pred_sg @ w_sg + b_sg, axis=-1)  # [B,U+1,V]
+            proxy_blank = (
+                am[..., self.blank_id][:, :, None]
+                + lm[..., self.blank_id][:, None, :]
+            )  # [B, T, U+1]
+            am_sel = jnp.take_along_axis(
+                am, labels[:, None, :], axis=2
+            )  # [B, T, U]
+            lm_sel = jnp.take_along_axis(
+                lm[:, :u_max, :], labels[:, :, None], axis=2
+            )[..., 0]  # [B, U]
+            proxy_label = am_sel + lm_sel[:, None, :]
+            starts = guided_band_starts(
+                proxy_blank, proxy_label, enc_lengths, label_lengths, s_range
+            )
+        else:
+            raise ValueError(f"unknown prune_band {cfg.prune_band!r}")
+        starts = jax.lax.stop_gradient(starts)
+
+        # ---- stage 2: exact banded scores -------------------------------
+        # target-label columns of the joint projection (as in the dense
+        # fused path), gathered once: w_sel[b, u, :] = w[:, labels[b, u]]
+        w_sel = jnp.take(w, labels, axis=1)  # [J, B, U]
+        w_sel = jnp.transpose(w_sel, (1, 2, 0)).astype(cfg.compute_dtype)
+        b_sel = bias[labels]  # [B, U]
+
+        chunk = cfg.joint_chunk_t if cfg.joint_chunk_t > 0 else t_max
+        chunk = min(chunk, t_max)
+        n_chunks = -(-t_max // chunk)
+        t_pad = n_chunks * chunk
+        if t_pad != t_max:
+            enc = jnp.pad(enc, ((0, 0), (0, t_pad - t_max), (0, 0)))
+            starts_p = jnp.pad(starts, ((0, 0), (0, t_pad - t_max)), mode="edge")
+        else:
+            starts_p = starts
+        enc_blocks = jnp.transpose(
+            enc.reshape(b, n_chunks, chunk, j), (1, 0, 2, 3)
+        )  # [n, B, c, J]
+        start_blocks = jnp.transpose(
+            starts_p.reshape(b, n_chunks, chunk), (1, 0, 2)
+        )  # [n, B, c]
+
+        s_off = jnp.arange(s_range)
+
+        def block(enc_c, p_c):
+            # global label-position indices of the block's bands
+            gidx = p_c[:, :, None] + s_off[None, None, :]  # [B, c, S]
+            gidx_u = jnp.clip(gidx, 0, u_max)  # for pred rows ([B, U+1, J])
+            pred_band = jnp.take_along_axis(
+                pred[:, None, :, :], gidx_u[..., None], axis=2
+            )  # [B, c, S, J]
+            h = jnp.tanh(enc_c[:, :, None, :] + pred_band).astype(
+                cfg.compute_dtype
+            )
+            logits = jax.lax.dot_general(
+                h,
+                w.astype(cfg.compute_dtype),
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias  # [B, c, S, V] f32, block-local
+            lse = jax.nn.logsumexp(logits, axis=-1)  # [B, c, S]
+            lp_blank_c = logits[..., self.blank_id] - lse
+            lab_idx = jnp.clip(gidx, 0, max(u_max - 1, 0))  # for w_sel [B,U,J]
+            w_band = jnp.take_along_axis(
+                w_sel[:, None, :, :], lab_idx[..., None], axis=2
+            )  # [B, c, S, J]
+            b_band = jnp.take_along_axis(
+                b_sel[:, None, :], lab_idx, axis=2
+            )  # [B, c, S]
+            lab = jnp.einsum(
+                "bcsj,bcsj->bcs", h, w_band,
+                preferred_element_type=jnp.float32,
+            ) + b_band
+            lp_label_c = lab - lse
+            return lp_blank_c, lp_label_c
+
+        def step(carry, xs):
+            del carry
+            enc_c, p_c = xs
+            return (), jax.checkpoint(block)(enc_c, p_c)
+
+        _, (lp_blank, lp_label) = jax.lax.scan(
+            step, (), (enc_blocks, start_blocks)
+        )
+        lp_blank = jnp.transpose(lp_blank, (1, 0, 2, 3)).reshape(
+            b, t_pad, s_range
+        )[:, :t_max]
+        lp_label = jnp.transpose(lp_label, (1, 0, 2, 3)).reshape(
+            b, t_pad, s_range
+        )[:, :t_max]
+        lp_label = mask_band_label_scores(lp_label, starts, label_lengths)
+        return lp_blank, lp_label, starts, new_state
 
     # -- decode-time pieces (used by decode/transducer.py) ----------------
 

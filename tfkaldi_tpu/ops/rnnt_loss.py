@@ -139,3 +139,276 @@ def rnnt_loss(
     # mask label transitions past each row's label length
     lp_label = mask_label_scores(lp_label, label_lengths)
     return rnnt_alpha_loss(lp_blank, lp_label, input_lengths, label_lengths)
+
+
+# ---------------------------------------------------------------------------
+# Pruned (banded) RNN-T — k2-style two-stage lattice restriction
+# ---------------------------------------------------------------------------
+#
+# The dense loss touches every (t, u) node: the fused score path still
+# evaluates the joint network at T·(U+1) nodes per sequence, which for long
+# label sequences / large vocabularies is almost all wasted — the posterior
+# mass of the lattice lives in a narrow monotone corridor around the true
+# alignment. Pruned RNN-T (Kuang et al., 2022 / k2) restricts the lattice to
+# a per-frame band of S label positions, so the joint evaluation and the
+# alpha recursion shrink from width U+1 to width S.
+#
+# Band geometry: row t may only occupy u ∈ [p[t], p[t]+S) with p monotone
+# non-decreasing, p[0] = 0, and p[T_b-1] ≥ U_b−S+1 so the exit node is in
+# the final band. Everything runs in band-local coordinates s = u − p[t]:
+# the in-row closed form (module docstring) is unchanged, and the only new
+# machinery is a per-step shift gather re-indexing the carry from band(t−1)
+# to band(t) coordinates. Two band constructors:
+#
+# - ``diagonal_band_starts``: p[t] linear in t from (0,0) to (T_b−1, U_b) —
+#   zero extra compute; right when the alignment is near-uniform.
+# - ``guided_band_starts``: the k2 two-stage — a cheap rank-1 proxy lattice
+#   (separately normalized encoder/prediction scores, an outer SUM, so the
+#   full [B,T,U+1] proxy never needs a V-sized logit tensor) scanned
+#   forward AND backward for node occupancies, band centered on the argmax
+#   occupancy per frame, made monotone, and floored by the diagonal band so
+#   the exit node is always covered. No gradients flow through the band.
+
+
+def diagonal_band_starts(
+    input_lengths: jnp.ndarray,  # [B] valid lattice frames (encoder frames)
+    label_lengths: jnp.ndarray,  # [B]
+    t_max: int,
+    u_max: int,
+    s_range: int,
+) -> jnp.ndarray:
+    """Linear band starts ``[B, T]``: p[t] = floor(t·(U_b+1−S)/(T_b−1)),
+    clipped so the band stays inside [0, u_max+1) and covers both the (0,0)
+    entry corner and the (T_b−1, U_b) exit corner."""
+    top = jnp.maximum(label_lengths + 1 - s_range, 0)  # [B] final start
+    denom = jnp.maximum(input_lengths - 1, 1)
+    t = jnp.minimum(jnp.arange(t_max)[None, :], (input_lengths - 1)[:, None])
+    p = (t * top[:, None]) // denom[:, None]
+    return jnp.minimum(p, max(u_max + 1 - s_range, 0)).astype(jnp.int32)
+
+
+def _proxy_betas(
+    lp_blank: jnp.ndarray,  # [B, T, U+1] proxy blank scores
+    lp_label: jnp.ndarray,  # [B, T, U] proxy label scores (length-masked)
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Backward (beta) node scores ``[B, T, U+1]`` of the dense lattice.
+
+    beta[t, u] = log P(paths (t,u) → exit). Computed by the SAME row-scan
+    as the alphas on per-row flipped scores: with t' = T_b−1−t,
+    u' = U_b−u the beta recursion is the alpha recursion over
+    blank'[a, u'] = blank[T_b−2−a, U_b−u'] and
+    label'[t', c] = label[T_b−1−t', U_b−1−c], plus the exit blank as a
+    constant offset. The flips are per-sequence (they depend on T_b, U_b),
+    realized as clipped gathers with _NEG outside the valid region.
+    """
+    b, t_max, u_plus1 = lp_blank.shape
+    u_max = u_plus1 - 1
+    bi = jnp.arange(b)[:, None, None]
+    tt = jnp.arange(t_max)[None, :, None]
+    uu = jnp.arange(u_plus1)[None, None, :]
+    t_len = input_lengths[:, None, None]
+    u_len = label_lengths[:, None, None]
+
+    # blank'[b, t', u'] = blank[b, T_b-2-t', U_b-u']: the carry addition
+    # after row t' (the source term alpha'[t'] + blank'[t'] feeding t'+1)
+    src_t = t_len - 2 - tt
+    src_u = u_len - uu
+    ok = (src_t >= 0) & (src_u >= 0) & (src_u <= u_max)
+    blank_f = jnp.where(
+        ok,
+        lp_blank[bi, jnp.clip(src_t, 0, t_max - 1), jnp.clip(src_u, 0, u_max)],
+        _NEG,
+    )
+    # label'[b, t', c] = label[b, T_b-1-t', U_b-1-c]
+    cc = jnp.arange(u_max)[None, None, :]
+    src_t2 = t_len - 1 - tt
+    src_u2 = u_len - 1 - cc
+    ok2 = (src_t2 >= 0) & (src_u2 >= 0)
+    label_f = jnp.where(
+        ok2,
+        lp_label[
+            bi, jnp.clip(src_t2, 0, t_max - 1), jnp.clip(src_u2, 0, u_max - 1)
+        ],
+        _NEG,
+    )
+
+    # alpha-form scan over the flipped scores (forward-only, no grads);
+    # identical structure to rnnt_alphas
+    blank_t = jnp.transpose(blank_f, (1, 0, 2))
+    label_t = jnp.transpose(label_f, (1, 0, 2))
+    zeros = jnp.zeros((t_max, b, 1), jnp.float32)
+    c_rows = jnp.cumsum(jnp.concatenate([zeros, label_t], axis=2), axis=2)
+    c_rows = c_rows[:, :, :u_plus1]
+    a_init = jnp.full((b, u_plus1), _NEG, jnp.float32).at[:, 0].set(0.0)
+
+    def row(a_prev, xs):
+        c_row, blank_row = xs
+        alpha = c_row + jax.lax.cumlogsumexp(a_prev - c_row, axis=1)
+        return alpha + blank_row, alpha
+
+    _, alphas_f = jax.lax.scan(row, a_init, (c_rows, blank_t))
+
+    # un-flip: beta[b, t, u] = alpha'[b, T_b-1-t, U_b-u] + exit blank
+    exit_blank = lp_blank[
+        jnp.arange(b),
+        jnp.maximum(input_lengths - 1, 0),
+        jnp.minimum(label_lengths, u_max),
+    ]  # [B]
+    alphas_f = jnp.transpose(alphas_f, (1, 0, 2))  # [B, T', U'+1]
+    dst_t = t_len - 1 - tt
+    dst_u = u_len - uu
+    ok3 = (dst_t >= 0) & (dst_u >= 0) & (dst_u <= u_max)
+    betas = jnp.where(
+        ok3,
+        alphas_f[
+            bi, jnp.clip(dst_t, 0, t_max - 1), jnp.clip(dst_u, 0, u_max)
+        ],
+        _NEG,
+    )
+    return betas + exit_blank[:, None, None]
+
+
+def guided_band_starts(
+    proxy_blank: jnp.ndarray,  # [B, T, U+1] cheap proxy blank scores
+    proxy_label: jnp.ndarray,  # [B, T, U] cheap proxy label scores
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    s_range: int,
+) -> jnp.ndarray:
+    """k2-style stage-1 band: occupancy-centered starts ``[B, T]``.
+
+    Runs the dense forward AND backward recursions on the (cheap) proxy
+    scores, centers each frame's band on the argmax node occupancy
+    ``gamma[t, u] = alpha[t, u] + beta[t, u]``, enforces monotonicity with
+    a running max, and takes an elementwise max with the minimal exit
+    ramp — a lower bound that is 0 almost everywhere and rises at S−1
+    positions/frame only over the last few frames, the weakest monotone
+    bound that still guarantees the exit node (T_b−1, U_b) is in the final
+    band (a diagonal floor would drag the band off late-aligned paths).
+    Max of two monotone sequences is monotone, and an S−1 jump keeps one
+    position of carry overlap, so connectivity is never severed. No
+    gradients flow through the band (callers pass stop_gradient'd scores).
+    """
+    b, t_max, u_plus1 = proxy_blank.shape
+    u_max = u_plus1 - 1
+    proxy_label = mask_label_scores(proxy_label, label_lengths)
+    alphas = rnnt_alphas(proxy_blank, proxy_label)  # [B, T, U+1]
+    betas = _proxy_betas(proxy_blank, proxy_label, input_lengths, label_lengths)
+    gamma = alphas + betas
+    # mask nodes outside each row's valid rectangle
+    uu = jnp.arange(u_plus1)[None, None, :]
+    tt = jnp.arange(t_max)[None, :, None]
+    valid = (uu <= label_lengths[:, None, None]) & (
+        tt < input_lengths[:, None, None]
+    )
+    gamma = jnp.where(valid, gamma, -jnp.inf)
+    center = jnp.argmax(gamma, axis=2).astype(jnp.int32)  # [B, T]
+    p = jnp.clip(
+        center - (s_range - 1) // 2,
+        0,
+        jnp.maximum(label_lengths + 1 - s_range, 0)[:, None],
+    )
+    p = jax.lax.cummax(p, axis=1)  # monotone
+    # jump-limit to ≤ S−1 per frame (a jump of S or more severs the carry
+    # overlap and disconnects the lattice): the min-plus envelope
+    # q[t] = min_{j≤t}(p[j] + (t−j)(S−1)) keeps monotonicity and is
+    # vectorizable as cummin(p − t·(S−1)) + t·(S−1)
+    rate = max(s_range - 1, 1)
+    t_ramp = jnp.arange(t_max)[None, :] * rate
+    p = jax.lax.cummin(p - t_ramp, axis=1) + t_ramp
+    # minimal exit ramp: lower[t] = clip(top − (T_b−1−t)·(S−1), 0, top)
+    top = jnp.maximum(label_lengths + 1 - s_range, 0)[:, None]  # [B, 1]
+    frames_left = jnp.maximum(
+        input_lengths[:, None] - 1 - jnp.arange(t_max)[None, :], 0
+    )
+    ramp = jnp.clip(top - frames_left * max(s_range - 1, 1), 0, top)
+    return jnp.maximum(p, ramp).astype(jnp.int32)
+
+
+def rnnt_alphas(lp_blank: jnp.ndarray, lp_label: jnp.ndarray) -> jnp.ndarray:
+    """Dense alpha table ``[B, T, U+1]`` (the rnnt_alpha_loss scan without
+    the final exit gather) — used by the guided band's stage 1."""
+    b, t_max, u_plus1 = lp_blank.shape
+    lp_blank_t = jnp.transpose(lp_blank, (1, 0, 2))
+    lp_label_t = jnp.transpose(lp_label, (1, 0, 2))
+    zeros = jnp.zeros((t_max, b, 1), jnp.float32)
+    c_rows = jnp.cumsum(jnp.concatenate([zeros, lp_label_t], axis=2), axis=2)
+    c_rows = c_rows[:, :, :u_plus1]
+    a_init = jnp.full((b, u_plus1), _NEG, jnp.float32).at[:, 0].set(0.0)
+
+    def row(a_prev, xs):
+        c_row, blank_row = xs
+        alpha = c_row + jax.lax.cumlogsumexp(a_prev - c_row, axis=1)
+        return alpha + blank_row, alpha
+
+    _, alphas = jax.lax.scan(row, a_init, (c_rows, lp_blank_t))
+    return jnp.transpose(alphas, (1, 0, 2))
+
+
+def rnnt_alpha_loss_banded(
+    lp_blank_band: jnp.ndarray,  # [B, T, S] blank scores at u = p[t]+s
+    lp_label_band: jnp.ndarray,  # [B, T, S] label scores at u = p[t]+s (masked)
+    band_starts: jnp.ndarray,  # [B, T] int32 monotone band starts p[t]
+    input_lengths: jnp.ndarray,  # [B]
+    label_lengths: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """Banded alpha recursion: per-sequence NLL ``[B]`` over the pruned
+    lattice. Identical row closed form to :func:`rnnt_alpha_loss`, in
+    band-local coordinates; the carry is re-indexed from band(t−1) to
+    band(t) by a shift gather (positions falling off the band's bottom are
+    pruned, positions above its top have no source → _NEG). Callers must
+    mask ``lp_label_band`` past each row's label length (global index) to
+    ``_NEG``. If the band fails to cover the exit node (misconstructed
+    starts) the returned loss is ~1e9 — loudly wrong, never silently.
+    """
+    b, t_max, s_range = lp_blank_band.shape
+    blank_t = jnp.transpose(lp_blank_band, (1, 0, 2))  # [T, B, S]
+    label_t = jnp.transpose(lp_label_band, (1, 0, 2))  # [T, B, S]
+    p_t = jnp.transpose(band_starts, (1, 0))  # [T, B]
+    # per-row band shifts; virtual p[-1] = 0 (the row-0 carry is the corner
+    # init in GLOBAL coordinates, so row 0's shift is p[0] − 0)
+    deltas = jnp.concatenate([p_t[:1], p_t[1:] - p_t[:-1]], axis=0)  # [T, B]
+
+    # C[s] = sum_{j<s} label_band[j] — uses the first S−1 transitions
+    zeros = jnp.zeros((t_max, b, 1), jnp.float32)
+    c_rows = jnp.cumsum(
+        jnp.concatenate([zeros, label_t[:, :, : s_range - 1]], axis=2), axis=2
+    )  # [T, B, S]
+
+    a_init = jnp.full((b, s_range), _NEG, jnp.float32).at[:, 0].set(0.0)
+    s_idx = jnp.arange(s_range)
+
+    def row(a_prev, xs):
+        c_row, blank_row, delta = xs  # [B, S], [B, S], [B]
+        idx = s_idx[None, :] + delta[:, None]  # carry index in band(t-1)
+        shifted = jnp.take_along_axis(
+            a_prev, jnp.clip(idx, 0, s_range - 1), axis=1
+        )
+        a_shift = jnp.where((idx >= 0) & (idx < s_range), shifted, _NEG)
+        alpha = c_row + jax.lax.cumlogsumexp(a_shift - c_row, axis=1)
+        return alpha + blank_row, alpha
+
+    _, alphas = jax.lax.scan(row, a_init, (c_rows, blank_t, deltas))
+
+    bi = jnp.arange(b)
+    tt = jnp.maximum(input_lengths - 1, 0)
+    ss = label_lengths - band_starts[bi, tt]  # exit node in band coords
+    in_band = (ss >= 0) & (ss < s_range)
+    ss_c = jnp.clip(ss, 0, s_range - 1)
+    loglik = alphas[tt, bi, ss_c] + lp_blank_band[bi, tt, ss_c]
+    return -jnp.where(in_band, loglik, _NEG)
+
+
+def mask_band_label_scores(
+    lp_label_band: jnp.ndarray,  # [B, T, S]
+    band_starts: jnp.ndarray,  # [B, T]
+    label_lengths: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """Banded twin of :func:`mask_label_scores`: mask band positions whose
+    GLOBAL label index ``p[t]+s`` is past the row's label length."""
+    s_range = lp_label_band.shape[-1]
+    u_global = band_starts[:, :, None] + jnp.arange(s_range)[None, None, :]
+    valid = u_global < label_lengths[:, None, None]
+    return jnp.where(valid, lp_label_band, _NEG)

@@ -129,6 +129,41 @@ class Trainer:
             # logit tensor never exists (models/transducer.py::lattice_scores;
             # equivalence with the materialized rnnt_loss is pinned by
             # tests/test_rnnt_loss.py)
+            from tfkaldi_tpu.ops.rnnt_loss import (
+                mask_label_scores,
+                rnnt_alpha_loss,
+                rnnt_alpha_loss_banded,
+            )
+
+            # a subsampling encoder front-end (conformer-transducer) emits
+            # fewer lattice frames than it reads
+            enc_lengths = getattr(
+                self.model, "output_lengths", lambda x: x
+            )(batch.input_lengths)
+            prune_s = int(getattr(self.model.config, "prune_s", 0))
+            if 0 < prune_s <= batch.targets.shape[1]:
+                # pruned (banded) lattice: joint evaluated on prune_s label
+                # positions per frame only (models/transducer.py::
+                # lattice_scores_pruned; band from config.prune_band)
+                lp_blank, lp_label, starts, new_state = (
+                    self.model.lattice_scores_pruned(
+                        params,
+                        model_state,
+                        batch.inputs,
+                        batch.input_lengths,
+                        batch.targets,
+                        batch.target_lengths,
+                        train=train,
+                        dropout_rng=rng,
+                    )
+                )
+                per_seq = rnnt_alpha_loss_banded(
+                    lp_blank, lp_label, starts,
+                    enc_lengths, batch.target_lengths,
+                )
+                loss = jnp.sum(per_seq)
+                num_frames = jnp.sum(batch.input_lengths).astype(jnp.float32)
+                return loss, (new_state, num_frames)
             lp_blank, lp_label, new_state = self.model.lattice_scores(
                 params,
                 model_state,
@@ -139,16 +174,6 @@ class Trainer:
                 train=train,
                 dropout_rng=rng,
             )
-            from tfkaldi_tpu.ops.rnnt_loss import (
-                mask_label_scores,
-                rnnt_alpha_loss,
-            )
-
-            # a subsampling encoder front-end (conformer-transducer) emits
-            # fewer lattice frames than it reads
-            enc_lengths = getattr(
-                self.model, "output_lengths", lambda x: x
-            )(batch.input_lengths)
             per_seq = rnnt_alpha_loss(
                 lp_blank,
                 mask_label_scores(lp_label, batch.target_lengths),
