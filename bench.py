@@ -698,6 +698,16 @@ def bench_e2e_train() -> dict:
     hardware (where PCIe staging overlaps fully under the same prefetcher).
     Also reports the host-side input rates (native vs Python dispenser),
     which ARE representative — disk and CPU are local.
+
+    Robustness (round-5): the r03→r04 halving of this metric (82.5k→39.2k
+    frames/s) was link noise, not a loader regression — the tunnel's
+    bandwidth swings >2x between sessions (docs/PERF_E2E.md). So the
+    metric line now carries the evidence to interpret cross-round swings:
+    a same-process link calibration (``staging_mbps``: median host→device
+    MB/s over repeated device_puts), the implied staging-bound throughput
+    (``staging_bound_fps`` = staging_mbps / bytes-per-frame — if e2e_fps
+    tracks it, the link is the binding constraint, not the framework),
+    per-trial variance (``trial_cv``), and medians alongside bests.
     """
     import shutil
     import tempfile
@@ -723,6 +733,20 @@ def bench_e2e_train() -> dict:
 
     import pathlib
 
+    # link calibration: median host→device staging bandwidth, measured in
+    # this very process so the e2e number and the calibration see the same
+    # link conditions (8 MB puts ~ the per-step batch size below)
+    cal = np.random.default_rng(3).standard_normal(2 * 1024 * 1024).astype(np.float32)
+    put_times = []
+    for i in range(6):
+        a = cal + np.float32(i)  # defeat donation/caching
+        t0 = time.perf_counter()
+        jax.device_put(a).block_until_ready()
+        put_times.append(time.perf_counter() - t0)
+    staging_mbps = float(np.median([8.0 / t for t in put_times]))
+    print(f"[bench] staging calibration: {staging_mbps:.1f} MB/s "
+          f"(host->device, median of 6x8MB)", file=sys.stderr)
+
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="bench_e2e_"))
     try:
         n_utt, feat_dim, context, batch = 64, 40, 5, 16
@@ -742,18 +766,23 @@ def bench_e2e_train() -> dict:
 
         batcher = DeviceBatcher(bucket_multiple=512)
 
-        # host-side input-only rates (no device): native vs Python dispenser
+        # host-side input-only rates (no device): native vs Python
+        # dispenser; median-of-3 windows + cv so a loaded host is visible
         def host_rate(source):
-            frames = 0
             n_calls = 12
             source.get_padded_batch(batcher)  # warm page cache
-            t0 = time.perf_counter()
-            for _ in range(n_calls):
-                b = source.get_padded_batch(batcher)
-                frames += int(np.asarray(b.input_lengths).sum())
-            return frames / (time.perf_counter() - t0)
+            rates = []
+            for _ in range(3):
+                frames = 0
+                t0 = time.perf_counter()
+                for _ in range(n_calls):
+                    b = source.get_padded_batch(batcher)
+                    frames += int(np.asarray(b.input_lengths).sum())
+                rates.append(frames / (time.perf_counter() - t0))
+            r = np.asarray(rates)
+            return float(np.median(r)), float(r.std() / r.mean())
 
-        nat_in = host_rate(make_bulk())
+        nat_in, nat_cv = host_rate(make_bulk())
         py_disp = AlignmentBatchDispenser(
             FeatureReader(
                 f"{featdir}/feats.scp", f"{featdir}/cmvn.scp", f"{featdir}/utt2spk",
@@ -762,11 +791,11 @@ def bench_e2e_train() -> dict:
             AlignmentCoder(identity_normalizer, O),
             batch, alifile,
         )
-        py_in = host_rate(py_disp)
+        py_in, py_cv = host_rate(py_disp)
         print(
             f"[bench] input path (host-side, disk->padded batch): native "
-            f"{nat_in:,.0f} frames/s, python {py_in:,.0f} frames/s "
-            f"({nat_in / py_in:.2f}x)",
+            f"{nat_in:,.0f} frames/s (cv {nat_cv:.2f}), python {py_in:,.0f} "
+            f"frames/s (cv {py_cv:.2f}) ({nat_in / py_in:.2f}x)",
             file=sys.stderr,
         )
 
@@ -793,30 +822,42 @@ def bench_e2e_train() -> dict:
                 state, loss = trainer.update(state, source.next())
             _ = float(loss)
             warm_steps = 2
-            n_steps = 10
-            best = float("inf")
-            for trial in range(3):
+            n_steps = 12
+            trial_fps = []
+            for trial in range(5):
                 t0 = time.perf_counter()
                 frames = 0
                 for k in range(n_steps):
                     state, loss = trainer.update(state, source.next())
                     frames += frames_of(warm_steps + trial * n_steps + k)
                 _ = float(loss)
-                dt = time.perf_counter() - t0
-                best = min(best, dt / frames)
-            fps = 1.0 / best
+                trial_fps.append(frames / (time.perf_counter() - t0))
+            arr = np.asarray(trial_fps)
+            fps = float(np.median(arr))
+            cv = float(arr.std() / arr.mean())
+            # bytes staged per (real) frame: spliced f32 inputs + int32
+            # targets; padding to 512-frame buckets adds <7% at this corpus
+            bytes_per_frame = feat_dim * (2 * context + 1) * 4 + 4
+            staging_bound_fps = staging_mbps * 1e6 / bytes_per_frame
             print(
                 f"[bench] e2e train (input-inclusive, native loader + prefetch): "
-                f"{fps:,.0f} frames/s (sandbox tunnel stages batches; real-host "
-                f"bound = min(input {nat_in:,.0f}, step) )",
+                f"median {fps:,.0f} frames/s (best {arr.max():,.0f}, cv {cv:.2f}; "
+                f"link calib {staging_mbps:.1f} MB/s -> staging bound "
+                f"{staging_bound_fps:,.0f} frames/s; real-host bound = "
+                f"min(input {nat_in:,.0f}, step))",
                 file=sys.stderr,
             )
         finally:
             source.close()
         return {
             "e2e_fps": fps,
+            "e2e_best_fps": float(arr.max()),
+            "e2e_cv": cv,
             "input_native_fps": nat_in,
+            "input_native_cv": nat_cv,
             "input_python_fps": py_in,
+            "staging_mbps": staging_mbps,
+            "staging_bound_fps": staging_bound_fps,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1003,6 +1044,131 @@ def bench_streaming_tpu() -> dict:
               f"p99 {p99:.1f}ms rtf {rtf:.2f}", file=sys.stderr)
     results["dnn_hybrid"] = res
     return results
+
+
+def bench_heldout_tpu() -> dict:
+    """Held-out accuracy as a driver-visible metric (compact twin of
+    tests/test_heldout_accuracy.py, which takes 10+ min in the full suite).
+
+    Trains two small models through the production ``Nnet`` facade on the
+    deterministic class-signature corpus (disjoint train/test speakers,
+    tests/synthetic.py) and decodes the HELD-OUT split:
+
+    - hybrid CE: framewise state accuracy from the log(post/prior) ark —
+      the exact artifact Kaldi's WFST decode would consume (chance 20%)
+    - character CTC: greedy CER (chance ~100%)
+
+    A regression in any loss/decode/data seam shows up here as an accuracy
+    drop in the round artifact, not just in CI. Thresholds mirror the CI
+    gates (0.85 framewise / 0.15 CER)."""
+    import pathlib
+    import shutil
+    import tempfile
+    from configparser import ConfigParser
+
+    from tests.synthetic import make_class_signature_corpus
+    from tfkaldi_tpu.data import (
+        AlignmentBatchDispenser,
+        AlignmentCoder,
+        FeatureReader,
+        TextBatchDispenser,
+        TextCoder,
+    )
+    from tfkaldi_tpu.data.target_normalizers import (
+        aurora4_normalizer,
+        identity_normalizer,
+    )
+    from tfkaldi_tpu.io import ArkReader, ArkWriter
+    from tfkaldi_tpu.nnet import Nnet
+    from tfkaldi_tpu.utils.wer import edit_distance
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="bench_heldout_"))
+    try:
+        train_dir, test_dir, info = make_class_signature_corpus(tmp, seed=11)
+        num_labels = info["num_classes"]
+
+        def base_cfg(**nnet_overrides):
+            cfg = ConfigParser()
+            cfg["directories"] = {"expdir": str(tmp / "exp")}
+            nnet = {
+                "name": "bench_heldout", "context_width": "0",
+                "add_layer_period": "0", "starting_step": "0",
+                "nonlin": "relu", "l2_norm": "False", "dropout": "1",
+                "batch_norm": "False", "learning_rate_decay": "1",
+                "numutterances_per_minibatch": "-1", "valid_batches": "0",
+                "valid_frequency": "1000", "valid_adapt": "False",
+                "valid_retries": "0", "check_freq": "1000",
+                "visualise": "False",
+            }
+            nnet.update({k: str(v) for k, v in nnet_overrides.items()})
+            cfg["nnet"] = nnet
+            return cfg
+
+        def reader(featdir, max_length, context_width=0):
+            return FeatureReader(
+                f"{featdir}/feats.scp", f"{featdir}/cmvn.scp",
+                f"{featdir}/utt2spk", context_width, max_length,
+            )
+
+        # ---- hybrid CE: held-out framewise accuracy ----------------------
+        ctx = 1
+        cfg = base_cfg(
+            name="bench_heldout_hybrid",
+            context_width=ctx, num_hidden_units=64, num_hidden_layers=2,
+            num_epochs=8, initial_learning_rate=0.01, batch_size=8,
+        )
+        dispenser = AlignmentBatchDispenser(
+            reader(train_dir, info["train"]["max_length"], ctx),
+            AlignmentCoder(identity_normalizer, num_labels),
+            8, info["train"]["alifile"],
+        )
+        net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=num_labels)
+        net.train(dispenser)
+        out_scp = str(tmp / "likes.scp")
+        writer = ArkWriter(out_scp, str(tmp / "likes.ark"))
+        net.decode(reader(test_dir, info["test"]["max_length"], ctx), writer)
+        prior = np.load(f"{net.savedir}/prior.npy")
+        ark = ArkReader(out_scp)
+        correct = total = 0
+        for utt, truth in info["test"]["alignments"].items():
+            log_likes = ark.read_utt(utt)
+            pred = np.argmax(log_likes + np.log(prior)[None, :], axis=1)
+            correct += int(np.sum(pred == truth))
+            total += len(truth)
+        acc = correct / total
+
+        # ---- character CTC: held-out greedy CER --------------------------
+        cfg = base_cfg(
+            name="bench_heldout_ctc",
+            loss="ctc", model="lstm", bidirectional="True",
+            num_hidden_units=64, num_hidden_layers=1, num_epochs=60,
+            initial_learning_rate=0.02, batch_size=16,
+        )
+        coder = TextCoder(aurora4_normalizer)
+        dispenser = TextBatchDispenser(
+            reader(train_dir, info["train"]["max_length"]), coder, 16,
+            f"{train_dir}/text",
+        )
+        net = Nnet(cfg, input_dim=info["feat_dim"], num_labels=coder.num_labels)
+        net.train(dispenser)
+        hyp = str(tmp / "decoded.txt")
+        net.decode_text(reader(test_dir, info["test"]["max_length"]), coder, hyp)
+        errors = total_ref = 0
+        with open(hyp) as f:
+            for line in f:
+                utt, _, text = line.rstrip("\n").partition(" ")
+                ref = list(info["test"]["texts"][utt])
+                toks = [t for t in text.split(" ")
+                        if len(t) == 1 and "a" <= t <= "z"]
+                subs, ins, dels, _ = edit_distance(ref, toks)
+                errors += subs + ins + dels
+                total_ref += len(ref)
+        cer = errors / max(total_ref, 1)
+        print(f"[bench] heldout: framewise acc {acc:.3f} (gate 0.85), "
+              f"ctc greedy CER {cer:.3f} (gate 0.15)", file=sys.stderr)
+        return {"framewise_acc": acc, "ctc_cer": cer}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_multistream_tpu() -> dict:
@@ -1409,6 +1575,34 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transient backend faults
         print(f"[bench] multistream bench failed: {e}", file=sys.stderr)
 
+    # held-out accuracy trend: the round artifact carries generalization
+    # evidence alongside throughput (compact twin of the CI gates)
+    try:
+        ho = bench_heldout_tpu()
+        print(json.dumps({
+            "metric": "heldout_framewise_acc",
+            "value": round(ho["framewise_acc"], 4),
+            "unit": "fraction correct (held-out speakers)",
+            "vs_baseline": round(ho["framewise_acc"] / 0.85, 2),
+            "baseline": {
+                "value": 0.85,
+                "source": "CI gate, tests/test_heldout_accuracy.py (chance 0.20)",
+            },
+        }))
+        print(json.dumps({
+            "metric": "heldout_cer_ctc",
+            "value": round(ho["ctc_cer"], 4),
+            "unit": "CER (held-out speakers, greedy)",
+            # <1 is better-than-gate (inverted: gate/value)
+            "vs_baseline": round(0.15 / max(ho["ctc_cer"], 1e-4), 2),
+            "baseline": {
+                "value": 0.15,
+                "source": "CI gate, tests/test_heldout_accuracy.py (chance ~1.0)",
+            },
+        }))
+    except Exception as e:  # pragma: no cover - transient backend faults
+        print(f"[bench] heldout bench failed: {e}", file=sys.stderr)
+
     ref = bench_reference_proxy()
 
     # input-inclusive end-to-end metric (the production native-loader path);
@@ -1422,11 +1616,19 @@ def main() -> None:
             "unit": "frames/sec",
             "vs_baseline": round(e2e["e2e_fps"] / ref, 2),
             "input_native_fps": round(e2e["input_native_fps"], 1),
+            "input_native_cv": round(e2e["input_native_cv"], 3),
             "input_python_fps": round(e2e["input_python_fps"], 1),
             # machine-readable caveat: in this sandbox the host<->device link
             # is a ~10 MB/s tunnel, so this number measures staging, not the
             # device. On a real TPU host it is bounded by the input pipeline.
+            # The calibration fields make cross-round swings interpretable:
+            # if value ~ staging_bound_fps, the link (not the framework) is
+            # the binding constraint that round (docs/PERF_E2E.md).
             "staging": "tunnel",
+            "staging_mbps": round(e2e["staging_mbps"], 1),
+            "staging_bound_fps": round(e2e["staging_bound_fps"], 1),
+            "trial_cv": round(e2e["e2e_cv"], 3),
+            "best_fps": round(e2e["e2e_best_fps"], 1),
         }
         print(json.dumps(e2e_line))
     except Exception as e:  # pragma: no cover - transient backend faults
