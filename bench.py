@@ -1177,28 +1177,41 @@ def bench_multistream_tpu() -> dict:
     ``serve.MultiStreamServer`` multiplexes N concurrent utterances onto
     the rows of one ``StreamingTranscriber`` (per-slot lifecycle:
     ``finish_rows``/``reset_rows``); this measures its device path —
-    batched ``push`` on the flagship causal subsampled conformer-CTC at
-    occupancy N = 1 / 4 / 16 with 160 ms chunks — and reports aggregate
-    RTF (audio seconds across ALL streams per wall second). Near-flat
-    per-tick latency as N grows is the serving win over the reference's
-    one-batch-1-graph-per-utterance structure (decoder.py:8-47): one
-    compiled program amortizes dispatch and fills the MXU. Per-tick
-    latencies cross the sandbox's host<->device tunnel (metric tagged
-    ``staging: tunnel``); the N=16 vs N=1 ratio remains meaningful.
+    batched ``push`` on the flagship causal subsampled conformer-CTC,
+    occupancy N = 1..64 with 160 ms chunks, plus the production
+    conformer-s4 transducer at N = 16/64 — and reports aggregate RTF
+    (audio seconds across ALL streams per wall second) and per-tick
+    latency. The derived numbers (docs/PERF_STREAMING.md knee table):
+
+    - ``realtime_ceiling``: the largest measured N whose tick p50 stays
+      under the chunk period — past it the engine cannot keep N live
+      streams fed, whatever the RTF says. This is what sizes
+      ``MultiStreamServer.DEFAULT_SLOTS``.
+    - aggregate RTF keeps growing past the ceiling (per-tick cost is a
+      fixed dispatch floor + a staging term linear in N, not device
+      compute), so batch-oriented callers can run N≫ceiling.
+
+    Per-tick latencies cross the sandbox's host<->device tunnel (metric
+    tagged ``staging: tunnel``): the floor is the tunnel RTT and the
+    slope the tunnel MB/s, so the ceiling here is a LOWER bound on real
+    hardware. ``aggregate_rtf_p50`` (n·chunk/p50) is reported alongside
+    the wall-clock RTF because shared-sandbox stalls contaminate the
+    mean but not the median.
     """
     import jax
     import jax.numpy as jnp
 
     from tfkaldi_tpu.decode.online import StreamingTranscriber
+    from tfkaldi_tpu.decode.transducer import StreamingTransducerTranscriber
     from tfkaldi_tpu.frontend.features import FeatureExtractor, FeatureOpts
     from tfkaldi_tpu.frontend.online import FusedOnlineFeatureExtractor
     from tfkaldi_tpu.models import Transformer, TransformerConfig
+    from tfkaldi_tpu.models.transducer import Transducer, TransducerConfig
 
     rate = 16000
     nfilt = 40
     chunk_ms = 160
     chunk_samples = rate * chunk_ms // 1000
-    total_audio_s = 16.0  # per-stream audio per measurement window
     rng = np.random.default_rng(0)
 
     class _IdCoder:
@@ -1206,47 +1219,88 @@ def bench_multistream_tpu() -> dict:
             return " ".join(str(i) for i in ids)
 
     num_labels = 29
-    model = Transformer(TransformerConfig(
-        input_dim=nfilt, num_labels=num_labels + 1, num_blocks=12, d_model=256,
-        num_heads=4, ffn_dim=1024, conformer=True, conv_kernel=15,
-        causal_conv=True, left_context=64, right_context=0, subsample=4,
-        compute_dtype=jnp.bfloat16,
-    ))
-    params, mstate = model.init(jax.random.PRNGKey(0))
-    ext = FeatureExtractor(
-        FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=nfilt,
-                    nfft=512),
-        rate,
-    )
 
-    results: dict[str, dict] = {}
-    n_chunks = max(8, int(total_audio_s * 1000 / chunk_ms))
-    for n in (1, 4, 16):
-        tx = StreamingTranscriber(
-            FusedOnlineFeatureExtractor(ext), model, params, mstate,
+    def make_ext():
+        return FeatureExtractor(
+            FeatureOpts(feature_type="fbank", dynamic="nodelta", nfilt=nfilt,
+                        nfft=512),
+            rate,
+        )
+
+    def make_ctc():
+        model = Transformer(TransformerConfig(
+            input_dim=nfilt, num_labels=num_labels + 1, num_blocks=12,
+            d_model=256, num_heads=4, ffn_dim=1024, conformer=True,
+            conv_kernel=15, causal_conv=True, left_context=64,
+            right_context=0, subsample=4, compute_dtype=jnp.bfloat16,
+        ))
+        params, mstate = model.init(jax.random.PRNGKey(0))
+        return StreamingTranscriber(
+            FusedOnlineFeatureExtractor(make_ext()), model, params, mstate,
             _IdCoder(), num_labels, beam_width=1,
         )
-        tx.reset(n)
-        chunk = (rng.standard_normal((n, chunk_samples)) * 1000).astype(np.float32)
-        lens = np.full((n,), chunk_samples)
-        for _ in range(8):  # compile all bucket shapes
-            tx.push(chunk, lens)
-        lat = np.empty(n_chunks)
-        t_start = time.perf_counter()
-        for i in range(n_chunks):
-            t0 = time.perf_counter()
-            tx.push(chunk, lens)
-            lat[i] = time.perf_counter() - t0
-        wall = time.perf_counter() - t_start
-        agg_rtf = n * (n_chunks * chunk_samples / rate) / wall
-        results[str(n)] = {
-            "aggregate_rtf": round(float(agg_rtf), 2),
-            "p50_ms": round(float(np.percentile(lat, 50) * 1e3), 2),
-            "p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
+
+    def make_rnnt():
+        # config_AURORA4_transducer.cfg [nnet], greedy decode
+        extra = {
+            "num_blocks": "12", "d_model": "256", "num_heads": "4",
+            "ffn_dim": "1024", "conv_kernel": "15", "subsample": "4",
+            "attention_left_context": "64", "attention_right_context": "0",
+            "causal_conv": "True", "compute_dtype": "bfloat16",
         }
-        print(f"[bench] multistream conformer n={n}: aggregate rtf "
-              f"{agg_rtf:.1f} p50 {results[str(n)]['p50_ms']:.1f}ms",
-              file=sys.stderr)
+        model = Transducer(TransducerConfig(
+            input_dim=nfilt, num_labels=num_labels, enc_type="conformer",
+            pred_layers=1, pred_units=320, embed_dim=128, joint_units=320,
+            enc_extra=tuple(extra.items()),
+        ))
+        params, state = model.init(jax.random.PRNGKey(1))
+        return StreamingTransducerTranscriber(
+            FusedOnlineFeatureExtractor(make_ext()), model, params, state,
+            _IdCoder(),
+        )
+
+    def sweep(tag, make_tx, occupancies, n_chunks=48):
+        out: dict[str, dict] = {}
+        for n in occupancies:
+            tx = make_tx()
+            tx.reset(n)
+            chunk = (rng.standard_normal((n, chunk_samples)) * 1000).astype(
+                np.float32)
+            lens = np.full((n,), chunk_samples)
+            for _ in range(8):  # compile all bucket shapes
+                tx.push(chunk, lens)
+            lat = np.empty(n_chunks)
+            t_start = time.perf_counter()
+            for i in range(n_chunks):
+                t0 = time.perf_counter()
+                tx.push(chunk, lens)
+                lat[i] = time.perf_counter() - t0
+            wall = time.perf_counter() - t_start
+            agg_rtf = n * (n_chunks * chunk_samples / rate) / wall
+            p50 = float(np.percentile(lat, 50) * 1e3)
+            out[str(n)] = {
+                "aggregate_rtf": round(float(agg_rtf), 2),
+                "aggregate_rtf_p50": round(n * chunk_ms / p50, 2),
+                "p50_ms": round(p50, 2),
+                "p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
+                "realtime_ok": bool(p50 < chunk_ms),
+            }
+            print(f"[bench] multistream {tag} n={n}: aggregate rtf "
+                  f"{agg_rtf:.1f} p50 {p50:.1f}ms",
+                  file=sys.stderr)
+        return out
+
+    def ceiling(table):
+        ok = [int(k) for k, v in table.items() if v["realtime_ok"]]
+        return max(ok) if ok else 0
+
+    ctc = sweep("conformer", make_ctc, (1, 4, 16, 32, 64))
+    rnnt = sweep("transducer", make_rnnt, (16, 64))
+    results = dict(ctc)
+    results["transducer"] = rnnt
+    results["realtime_ceiling"] = ceiling(ctc)
+    results["realtime_ceiling_transducer"] = ceiling(rnnt)
+    results["chunk_ms"] = chunk_ms
     return results
 
 
@@ -1557,6 +1611,7 @@ def main() -> None:
     # over one-utterance-per-program serving). Non-fatal.
     try:
         ms = bench_multistream_tpu()
+        occ = {k: v for k, v in ms.items() if k.isdigit()}
         line = {
             "metric": "multistream_serving_rtf",
             "value": ms["16"]["aggregate_rtf"],
@@ -1568,7 +1623,15 @@ def main() -> None:
                 "value": ms["1"]["aggregate_rtf"],
                 "source": "same transcriber at occupancy 1 (the reference serves one utterance per batch-1 graph, decoder.py:8-47)",
             },
-            "occupancy": ms,
+            "occupancy": occ,
+            "occupancy_transducer": ms["transducer"],
+            "chunk_ms": ms["chunk_ms"],
+            # largest measured N whose tick p50 beats the chunk period —
+            # sizes serve.MultiStreamServer.DEFAULT_SLOTS (knee table in
+            # docs/PERF_STREAMING.md); tunnel-bound, so a LOWER bound on
+            # real hardware
+            "realtime_ceiling": ms["realtime_ceiling"],
+            "realtime_ceiling_transducer": ms["realtime_ceiling_transducer"],
             "staging": "tunnel",
         }
         print(json.dumps(line))

@@ -54,8 +54,11 @@ def main(argv=None, stop=None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=0)
     parser.add_argument(
-        "--slots", type=int, default=8,
-        help="concurrent streams sharing the batched device program",
+        "--slots", type=int, default=None,
+        help="concurrent streams sharing the batched device program "
+             "(default: MultiStreamServer.DEFAULT_SLOTS = the measured "
+             "real-time occupancy ceiling, docs/PERF_STREAMING.md; raise "
+             "toward 64+ for batch-oriented transcription pools)",
     )
     parser.add_argument(
         "--chunk-size", type=int, default=1600,
@@ -122,6 +125,8 @@ def main(argv=None, stop=None) -> int:
             cmvn=cmvn, beam_width=args.beam_width,
             endpoint_config=endpoint_config,
         )
+        if args.slots is None:
+            args.slots = MultiStreamServer.DEFAULT_SLOTS
         server = MultiStreamServer(
             transcriber,
             num_slots=args.slots,

@@ -597,15 +597,36 @@ class MultiStreamServer:
     (``MSG_ERROR``) — every tick pushes a fixed ``[num_slots,
     chunk_size]`` batch so exactly one device program is compiled.
 
+    Choosing ``num_slots`` (measured, docs/PERF_STREAMING.md knee table):
+    per-tick latency is a fixed dispatch floor plus a term linear in
+    occupancy, so the largest N whose tick p50 stays under the chunk
+    period is the REAL-TIME ceiling — beyond it every stream falls
+    behind its own audio. On this sandbox's staging tunnel that ceiling
+    at 160 ms chunks is N≥64 for the flagship conformer-CTC (p50 still
+    120 ms at 64; 128 crosses) and N=16 for the conformer-transducer
+    (32 crosses); the default is the measured safe value for BOTH
+    production stacks. Aggregate throughput keeps scaling past the
+    ceiling (the linear term is audio staging, not device compute), so
+    BATCH-oriented callers (offline transcription pools, lattice
+    re-scoring) should raise ``num_slots`` toward 64-128 and accept
+    per-tick latency above the chunk period. On a real PCIe host both
+    the floor (~100 µs dispatches) and the slope (GB/s staging) shrink
+    ~100×, putting the real-time ceiling past any per-chip batch a
+    16 GB HBM budget allows — there, size ``num_slots`` to traffic.
+
     No reference counterpart: the reference rebuilds a batch-1 TF graph
     per decode run (neuralNetworks/decoder.py:8-47).
     """
+
+    #: measured real-time occupancy ceiling on the staging tunnel
+    #: (tick p50 < 160 ms chunk period; docs/PERF_STREAMING.md)
+    DEFAULT_SLOTS = 16
 
     def __init__(
         self,
         transcriber,  # StreamingTranscriber or StreamingTransducerTranscriber
         *,
-        num_slots: int = 8,
+        num_slots: int = DEFAULT_SLOTS,
         chunk_size: int = 1600,
         host: str = "127.0.0.1",
         port: int = 0,
