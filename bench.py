@@ -553,7 +553,15 @@ def bench_rnnt_tpu() -> dict:
     The reference has no transduction path at all, so the recorded ratio is
     vs the SAME unidirectional encoder trained with CTC in the SAME
     process, interleaved — i.e. the relative cost of the lattice
-    loss + prediction/joint networks over the CTC recipe."""
+    loss + prediction/joint networks over the CTC recipe.
+
+    Also A/Bs the pruned (banded) lattice loss (ops/rnnt_loss.py,
+    ``rnnt_prune_s``): the joint and the alpha recursion evaluated on a
+    band of S label positions per frame instead of the full U+1 — the
+    k2-style answer to the dense ``[B,T,U+1,V]`` joint that makes RNN-T
+    flat in batch (docs/PERF_BATCH_SCALING.md). Both band placements are
+    measured: "diagonal" (zero-cost linear band) and "guided" (two-stage:
+    rank-1 proxy lattice → occupancy-centered band)."""
     import jax
     import jax.numpy as jnp
 
@@ -596,11 +604,34 @@ def bench_rnnt_tpu() -> dict:
             best = min(best, (time.perf_counter() - t0) / 10)
         return best
 
+    s_band = 16  # prune_s: band width vs U+1 = 65 dense label positions
+    td_diag = Transducer(TransducerConfig(
+        input_dim=f, num_labels=num_chars, enc_layers=2, enc_units=h,
+        pred_layers=1, pred_units=320, embed_dim=128, joint_units=320,
+        compute_dtype=jnp.bfloat16, prune_s=s_band, prune_band="diagonal",
+    ))
+    td_guided = Transducer(TransducerConfig(
+        input_dim=f, num_labels=num_chars, enc_layers=2, enc_units=h,
+        pred_layers=1, pred_units=320, embed_dim=128, joint_units=320,
+        compute_dtype=jnp.bfloat16, prune_s=s_band, prune_band="guided",
+    ))
+
+    def timed(tag, model, loss):
+        t0 = time.perf_counter()
+        ms = measure(model, loss)
+        print(f"[bench] rnnt arm {tag}: {ms * 1000:.1f} ms/step "
+              f"(arm wall {time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+        return ms
+
     # interleaved arms (in-process A/B policy)
-    rnnt_ms = measure(td, "rnnt")
-    ctc_ms = measure(ctc_model, "ctc")
-    rnnt_ms = min(rnnt_ms, measure(td, "rnnt"))
-    ctc_ms = min(ctc_ms, measure(ctc_model, "ctc"))
+    rnnt_ms = timed("dense", td, "rnnt")
+    ctc_ms = timed("ctc", ctc_model, "ctc")
+    diag_ms = timed("diag", td_diag, "rnnt")
+    guided_ms = timed("guided", td_guided, "rnnt")
+    rnnt_ms = min(rnnt_ms, timed("dense2", td, "rnnt"))
+    ctc_ms = min(ctc_ms, timed("ctc2", ctc_model, "ctc"))
+    diag_ms = min(diag_ms, timed("diag2", td_diag, "rnnt"))
+    guided_ms = min(guided_ms, timed("guided2", td_guided, "rnnt"))
     fps = b * t / rnnt_ms
     print(
         f"[bench] rnnt train: {rnnt_ms * 1000:.1f} ms/step -> {fps:,.0f} frames/s "
@@ -608,7 +639,22 @@ def bench_rnnt_tpu() -> dict:
         f"{(rnnt_ms / ctc_ms - 1) * 100:.0f}%)",
         file=sys.stderr,
     )
-    return {"rnnt_fps": fps, "ctc_fps": b * t / ctc_ms}
+    print(
+        f"[bench] rnnt pruned S={s_band} (of U+1=65): diagonal "
+        f"{diag_ms * 1000:.1f} ms/step ({rnnt_ms / diag_ms:.2f}x dense), "
+        f"guided {guided_ms * 1000:.1f} ms/step "
+        f"({rnnt_ms / guided_ms:.2f}x dense)",
+        file=sys.stderr,
+    )
+    return {
+        "rnnt_fps": fps,
+        "ctc_fps": b * t / ctc_ms,
+        "pruned_s": s_band,
+        "pruned_diagonal_fps": b * t / diag_ms,
+        "pruned_guided_fps": b * t / guided_ms,
+        "pruned_diagonal_speedup": rnnt_ms / diag_ms,
+        "pruned_guided_speedup": rnnt_ms / guided_ms,
+    }
 
 
 def bench_features_tpu() -> float:
@@ -1557,6 +1603,15 @@ def main() -> None:
             "baseline": {
                 "value": round(rn["ctc_fps"], 1),
                 "source": "same-process CTC step on the same unidirectional 2xLSTM-512 encoder (no reference transducer exists)",
+            },
+            # pruned (banded) lattice loss A/B (rnnt_prune_s,
+            # ops/rnnt_loss.py; docs/PERF_RNNT_STEP.md)
+            "pruned": {
+                "s": rn["pruned_s"],
+                "diagonal_fps": round(rn["pruned_diagonal_fps"], 1),
+                "guided_fps": round(rn["pruned_guided_fps"], 1),
+                "diagonal_speedup": round(rn["pruned_diagonal_speedup"], 2),
+                "guided_speedup": round(rn["pruned_guided_speedup"], 2),
             },
         }
         print(json.dumps(rnnt_line))

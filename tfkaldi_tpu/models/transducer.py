@@ -538,12 +538,21 @@ class Transducer:
         def block(enc_c, p_c):
             # global label-position indices of the block's bands
             gidx = p_c[:, :, None] + s_off[None, None, :]  # [B, c, S]
-            gidx_u = jnp.clip(gidx, 0, u_max)  # for pred rows ([B, U+1, J])
-            pred_band = jnp.take_along_axis(
-                pred[:, None, :, :], gidx_u[..., None], axis=2
+            # Band extraction as ONE-HOT MATMULS, not take_along_axis: a
+            # generic [B,c,S,J] gather lowers to a slow TPU gather forward
+            # and a scatter-add backward, which measured 2.5x SLOWER than
+            # the dense path it was meant to beat. A one-hot [B,c,S,U+1]
+            # (bf16, tiny) contracted against pred/w_sel rides the MXU in
+            # both passes: 2·B·c·S·(U+1)·J FLOPs ≪ the (U+1−S)·J·V joint
+            # FLOPs + h-tensor traffic the band saves.
+            oh = jax.nn.one_hot(
+                jnp.clip(gidx, 0, u_max), u_max + 1, dtype=cfg.compute_dtype
+            )  # [B, c, S, U+1]
+            pred_band = jnp.einsum(
+                "bcsu,buj->bcsj", oh, pred.astype(cfg.compute_dtype)
             )  # [B, c, S, J]
-            h = jnp.tanh(enc_c[:, :, None, :] + pred_band).astype(
-                cfg.compute_dtype
+            h = jnp.tanh(
+                enc_c.astype(cfg.compute_dtype)[:, :, None, :] + pred_band
             )
             logits = jax.lax.dot_general(
                 h,
@@ -553,13 +562,15 @@ class Transducer:
             ) + bias  # [B, c, S, V] f32, block-local
             lse = jax.nn.logsumexp(logits, axis=-1)  # [B, c, S]
             lp_blank_c = logits[..., self.blank_id] - lse
-            lab_idx = jnp.clip(gidx, 0, max(u_max - 1, 0))  # for w_sel [B,U,J]
-            w_band = jnp.take_along_axis(
-                w_sel[:, None, :, :], lab_idx[..., None], axis=2
+            # label transition at band slot s targets label index p+s
+            # (defined for p+s < U; masked afterwards where p+s >= U_b)
+            oh_lab = oh[..., :u_max]  # one_hot(gidx, U) ≡ oh minus col U
+            w_band = jnp.einsum(
+                "bcsu,buj->bcsj", oh_lab, w_sel
             )  # [B, c, S, J]
-            b_band = jnp.take_along_axis(
-                b_sel[:, None, :], lab_idx, axis=2
-            )  # [B, c, S]
+            b_band = jnp.einsum(
+                "bcsu,bu->bcs", oh_lab, b_sel.astype(cfg.compute_dtype)
+            ).astype(jnp.float32)
             lab = jnp.einsum(
                 "bcsj,bcsj->bcs", h, w_band,
                 preferred_element_type=jnp.float32,
