@@ -205,11 +205,30 @@ def _proxy_betas(
     """
     b, t_max, u_plus1 = lp_blank.shape
     u_max = u_plus1 - 1
-    bi = jnp.arange(b)[:, None, None]
     tt = jnp.arange(t_max)[None, :, None]
     uu = jnp.arange(u_plus1)[None, None, :]
     t_len = input_lengths[:, None, None]
     u_len = label_lengths[:, None, None]
+
+    # The per-sequence double flips (they depend on T_b, U_b) are realized
+    # as SELECTION-MATRIX MATMULS, not clipped 3D gathers: a generic
+    # [B,T,U] gather with indices varying in both t and u lowers to a slow
+    # element-wise TPU gather (this function measured 28 ms standalone —
+    # 4x the two scans it wraps). Each flip axis becomes a batched matmul
+    # against a 0/1 equality mask (one 1 per output row), which IS the
+    # gather, on the MXU; out-of-range outputs get all-zero mask rows and
+    # are overwritten by the existing _NEG masks.
+    def flip_t(x, t_src):  # x [B, T, C]; out[b, t', c] = x[b, t_src[b, t'], c]
+        mask = (
+            jnp.arange(t_max)[None, :, None] == t_src[:, None, :]
+        )  # [B, T(src), T(dst)]
+        return jnp.einsum("bac,bat->btc", x, mask.astype(x.dtype))
+
+    def flip_u(x, u_src, n_src):  # out[b, t, u'] = x[b, t, u_src[b, u']]
+        mask = (
+            jnp.arange(n_src)[None, :, None] == u_src[:, None, :]
+        )  # [B, C(src), C(dst)]
+        return jnp.einsum("btc,bcu->btu", x, mask.astype(x.dtype))
 
     # blank'[b, t', u'] = blank[b, T_b-2-t', U_b-u']: the carry addition
     # after row t' (the source term alpha'[t'] + blank'[t'] feeding t'+1)
@@ -218,7 +237,11 @@ def _proxy_betas(
     ok = (src_t >= 0) & (src_u >= 0) & (src_u <= u_max)
     blank_f = jnp.where(
         ok,
-        lp_blank[bi, jnp.clip(src_t, 0, t_max - 1), jnp.clip(src_u, 0, u_max)],
+        flip_u(
+            flip_t(lp_blank, (input_lengths[:, None] - 2) - jnp.arange(t_max)),
+            (label_lengths[:, None] - jnp.arange(u_plus1)),
+            u_plus1,
+        ),
         _NEG,
     )
     # label'[b, t', c] = label[b, T_b-1-t', U_b-1-c]
@@ -228,9 +251,11 @@ def _proxy_betas(
     ok2 = (src_t2 >= 0) & (src_u2 >= 0)
     label_f = jnp.where(
         ok2,
-        lp_label[
-            bi, jnp.clip(src_t2, 0, t_max - 1), jnp.clip(src_u2, 0, u_max - 1)
-        ],
+        flip_u(
+            flip_t(lp_label, (input_lengths[:, None] - 1) - jnp.arange(t_max)),
+            (label_lengths[:, None] - 1) - jnp.arange(u_max),
+            u_max,
+        ),
         _NEG,
     )
 
@@ -262,9 +287,13 @@ def _proxy_betas(
     ok3 = (dst_t >= 0) & (dst_u >= 0) & (dst_u <= u_max)
     betas = jnp.where(
         ok3,
-        alphas_f[
-            bi, jnp.clip(dst_t, 0, t_max - 1), jnp.clip(dst_u, 0, u_max)
-        ],
+        flip_u(
+            flip_t(
+                alphas_f, (input_lengths[:, None] - 1) - jnp.arange(t_max)
+            ),
+            (label_lengths[:, None] - jnp.arange(u_plus1)),
+            u_plus1,
+        ),
         _NEG,
     )
     return betas + exit_blank[:, None, None]
@@ -383,9 +412,17 @@ def rnnt_alpha_loss_banded(
     def row(a_prev, xs):
         c_row, blank_row, delta = xs  # [B, S], [B, S], [B]
         idx = s_idx[None, :] + delta[:, None]  # carry index in band(t-1)
-        shifted = jnp.take_along_axis(
-            a_prev, jnp.clip(idx, 0, s_range - 1), axis=1
-        )
+        # carry re-index as an equality-mask contraction, NOT
+        # take_along_axis: a per-step gather pays a scatter-add backward
+        # on every one of the T scan iterations, which measured the banded
+        # scan 2.3x SLOWER than the dense scan it replaces. The [B, S, S]
+        # selection mask has exactly one 1 per output slot, so a plain sum
+        # contraction IS the gather — and its backward is the transposed
+        # contraction, no scatter anywhere.
+        sel = (idx[:, None, :] == s_idx[None, :, None]).astype(
+            a_prev.dtype
+        )  # [B, S(src), S(dst)]
+        shifted = jnp.einsum("bk,bks->bs", a_prev, sel)
         a_shift = jnp.where((idx >= 0) & (idx < s_range), shifted, _NEG)
         alpha = c_row + jax.lax.cumlogsumexp(a_shift - c_row, axis=1)
         return alpha + blank_row, alpha
