@@ -633,6 +633,50 @@ def bench_rnnt_tpu() -> dict:
     diag_ms = min(diag_ms, timed("diag2", td_diag, "rnnt"))
     guided_ms = min(guided_ms, timed("guided2", td_guided, "rnnt"))
     fps = b * t / rnnt_ms
+
+    # b=128 A/B: the shape where the [B,T,U+1,V]-proportional lattice work
+    # dominates the step and pruning's FLOP cut pays fully — dense RNN-T is
+    # flat in batch (docs/PERF_BATCH_SCALING.md) precisely because of that
+    # term, so the pruned loss is what UNLOCKS batch scaling for RNN-T.
+    b_big = 128
+    inputs_big = jnp.asarray(
+        rng.standard_normal((b_big, t, f)).astype(np.float32))
+    labels_big = jnp.asarray(
+        rng.integers(0, num_chars, (b_big, l_max)).astype(np.int32))
+    lab_len_big = jnp.asarray(
+        rng.integers(l_max // 2, l_max + 1, (b_big,)).astype(np.int32))
+    batch_big = PaddedBatch(
+        inputs_big, labels_big, jnp.full((b_big,), t, jnp.int32), lab_len_big)
+
+    def measure_big(model):
+        trainer = Trainer(model, TrainerConfig(
+            num_steps=1000, loss_type="rnnt", ctc_blank_id=num_chars))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, loss = trainer.update(state, batch_big)
+        _ = float(loss)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                state, loss = trainer.update(state, batch_big)
+            _ = float(loss)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        return best
+
+    dense_big_ms = measure_big(td)
+    diag_big_ms = measure_big(td_diag)
+    guided_big_ms = measure_big(td_guided)
+    dense_big_ms = min(dense_big_ms, measure_big(td))
+    diag_big_ms = min(diag_big_ms, measure_big(td_diag))
+    guided_big_ms = min(guided_big_ms, measure_big(td_guided))
+    print(
+        f"[bench] rnnt b=128: dense {dense_big_ms * 1000:.1f} ms "
+        f"({b_big * t / dense_big_ms:,.0f} fps), pruned-diag "
+        f"{diag_big_ms * 1000:.1f} ms ({dense_big_ms / diag_big_ms:.2f}x), "
+        f"pruned-guided {guided_big_ms * 1000:.1f} ms "
+        f"({dense_big_ms / guided_big_ms:.2f}x)",
+        file=sys.stderr,
+    )
     print(
         f"[bench] rnnt train: {rnnt_ms * 1000:.1f} ms/step -> {fps:,.0f} frames/s "
         f"(same-encoder CTC step {ctc_ms * 1000:.1f} ms; transducer overhead "
@@ -654,6 +698,11 @@ def bench_rnnt_tpu() -> dict:
         "pruned_guided_fps": b * t / guided_ms,
         "pruned_diagonal_speedup": rnnt_ms / diag_ms,
         "pruned_guided_speedup": rnnt_ms / guided_ms,
+        "b128_dense_fps": b_big * t / dense_big_ms,
+        "b128_pruned_diagonal_fps": b_big * t / diag_big_ms,
+        "b128_pruned_guided_fps": b_big * t / guided_big_ms,
+        "b128_pruned_diagonal_speedup": dense_big_ms / diag_big_ms,
+        "b128_pruned_guided_speedup": dense_big_ms / guided_big_ms,
     }
 
 
@@ -1612,6 +1661,16 @@ def main() -> None:
                 "guided_fps": round(rn["pruned_guided_fps"], 1),
                 "diagonal_speedup": round(rn["pruned_diagonal_speedup"], 2),
                 "guided_speedup": round(rn["pruned_guided_speedup"], 2),
+                # b=128: the batch where the lattice term dominates and the
+                # band's FLOP cut pays fully (dense RNN-T is flat in batch,
+                # docs/PERF_BATCH_SCALING.md — pruning unlocks the scaling)
+                "b128_dense_fps": round(rn["b128_dense_fps"], 1),
+                "b128_diagonal_fps": round(rn["b128_pruned_diagonal_fps"], 1),
+                "b128_guided_fps": round(rn["b128_pruned_guided_fps"], 1),
+                "b128_diagonal_speedup": round(
+                    rn["b128_pruned_diagonal_speedup"], 2),
+                "b128_guided_speedup": round(
+                    rn["b128_pruned_guided_speedup"], 2),
             },
         }
         print(json.dumps(rnnt_line))

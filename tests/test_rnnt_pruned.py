@@ -198,8 +198,67 @@ def test_guided_band_recovers_peaky_lattice():
     assert np.all(diag > dense + 1.0)
 
 
+def test_guided_band_strided_recovers_peaky_lattice():
+    """proxy_stride > 1: the block-pooled stage 1 still finds a late-burst
+    alignment (loss ≈ dense), where a diagonal band of the same width
+    provably fails (test_guided_band_recovers_peaky_lattice)."""
+    rng = np.random.default_rng(21)
+    b, t, u, v, blank = 2, 24, 6, 7, 0
+    labels = rng.integers(1, v, (b, u)).astype(np.int32)
+    t_lens = np.array([24, 19], np.int32)
+    u_lens = np.array([6, 5], np.int32)
+    peak = np.full((b, t, u + 1, v), -6.0, np.float32)
+    for i in range(b):
+        tl, ul = int(t_lens[i]), int(u_lens[i])
+        peak[i, :, :, blank] = 4.0
+        for j in range(ul):
+            peak[i, tl - ul + j, j, labels[i, j]] = 10.0
+    dense = np.asarray(rnnt_loss(peak, labels, t_lens, u_lens, blank))
+    lp_blank, lp_label = dense_scores(peak, labels, u_lens, blank)
+    # Band-width floor under striding: block pooling blurs an alignment
+    # step across the block, so a strided band tracks at most ~S−1 label
+    # advances per k frames. This burst advances 1 label/frame — the
+    # worst case — so k=4 needs S=4 where frame-rate placement needs 3.
+    # Production settings (S=16, k=4) have 4× that margin.
+    for stride, s in ((2, 3), (4, 4)):
+        gst = guided_band_starts(
+            lp_blank, lp_label, jnp.asarray(t_lens), jnp.asarray(u_lens), s,
+            proxy_stride=stride,
+        )
+        bb = gather_band(lp_blank, gst, s)
+        ll = mask_band_label_scores(
+            gather_band(lp_label, gst, s), gst, jnp.asarray(u_lens)
+        )
+        got = np.asarray(
+            rnnt_alpha_loss_banded(
+                bb, ll, gst, jnp.asarray(t_lens), jnp.asarray(u_lens)
+            )
+        )
+        np.testing.assert_allclose(got, dense, rtol=1e-3, atol=1e-3)
+
+
+def test_guided_band_entry_guaranteed_adversarial_proxy():
+    """p[0] = 0 is enforced by the entry envelope even when the proxy's
+    occupancy argmax at early frames is large (label scores dwarfing
+    blanks everywhere — every center lands at U_b)."""
+    b, t, u = 2, 10, 6
+    t_lens = jnp.asarray([10, 8], jnp.int32)
+    u_lens = jnp.asarray([6, 5], jnp.int32)
+    lp_blank = jnp.full((b, t, u + 1), -20.0)
+    lp_label = jnp.full((b, t, u), 0.0)
+    for stride in (1, 2):
+        p = np.asarray(
+            guided_band_starts(lp_blank, lp_label, t_lens, u_lens, 3,
+                               proxy_stride=stride)
+        )
+        assert np.all(p[:, 0] == 0), (stride, p)
+        assert np.all(np.diff(p, axis=1) >= 0)
+        assert np.all(np.diff(p, axis=1) <= 2)  # jump ≤ S−1
+
+
 def test_band_monotone_and_corners():
-    """Both constructors: p[0]=0, monotone, exit node always in band."""
+    """Both constructors (guided at stride 1 AND strided): p[0]=0,
+    monotone, exit node always in band."""
     rng = np.random.default_rng(3)
     logits, labels, t_lens, u_lens, blank = random_case(rng, b=5, t=11, u=6)
     t_max, u = logits.shape[1], labels.shape[1]
@@ -211,6 +270,10 @@ def test_band_monotone_and_corners():
             ),
             guided_band_starts(
                 lp_blank, lp_label, jnp.asarray(t_lens), jnp.asarray(u_lens), s
+            ),
+            guided_band_starts(
+                lp_blank, lp_label, jnp.asarray(t_lens), jnp.asarray(u_lens),
+                s, proxy_stride=4,
             ),
         ):
             p = np.asarray(starts)

@@ -69,6 +69,11 @@ class TransducerConfig:
     # cheap rank-1 proxy) or "diagonal" (linear, zero extra compute).
     prune_s: int = 0
     prune_band: str = "guided"
+    # time stride of the guided band's stage-1 proxy lattice: the occupancy
+    # scans run at 1/k frame resolution (band placement only needs to track
+    # the alignment to within the band width S; the scans are latency-bound
+    # on their T sequential steps, so stage 1 shrinks ~k×). 1 = frame rate.
+    prune_proxy_stride: int = 4
     # self-attention encoder knobs, passed through verbatim to
     # TransformerConfig.from_config when enc_type is transformer/conformer
     # (num_blocks, d_model, num_heads, ffn_dim, conv_kernel, subsample,
@@ -95,6 +100,7 @@ class TransducerConfig:
             joint_chunk_t=int(conf.get("joint_chunk_t", 32)),
             prune_s=int(conf.get("rnnt_prune_s", 0)),
             prune_band=str(conf.get("rnnt_prune_band", "guided")),
+            prune_proxy_stride=int(conf.get("rnnt_prune_stride", 4)),
             enc_extra=tuple(
                 (k, str(conf[k]))
                 for k in (
@@ -504,7 +510,8 @@ class Transducer:
             )[..., 0]  # [B, U]
             proxy_label = am_sel + lm_sel[:, None, :]
             starts = guided_band_starts(
-                proxy_blank, proxy_label, enc_lengths, label_lengths, s_range
+                proxy_blank, proxy_label, enc_lengths, label_lengths, s_range,
+                proxy_stride=cfg.prune_proxy_stride,
             )
         else:
             raise ValueError(f"unknown prune_band {cfg.prune_band!r}")
