@@ -352,7 +352,11 @@ def test_heldout_conformer_ctc_cer(tmp_path):
 def test_heldout_conformer_transducer_cer(tmp_path):
     """The flagship streaming recipe — causal conformer-s4 RNN-T
     (config_AURORA4_transducer.cfg at test scale) — generalizes:
-    held-out CER under 22% (measured headroom ~12%)."""
+    held-out CER under 22% (measured headroom ~12%).
+
+    Trains through the PRUNED lattice loss the shipped recipe enables
+    (rnnt_prune_s, scaled to the test corpus's label lengths) so the
+    gate exercises the exact production loss path, band and all."""
     train_dir, test_dir, info = make_class_signature_corpus(
         tmp_path, seed=66, **_S4_CORPUS
     )
@@ -366,6 +370,8 @@ def test_heldout_conformer_transducer_cer(tmp_path):
         pred_units=32,
         embed_dim=16,
         joint_units=32,
+        rnnt_prune_s=4,
+        rnnt_prune_band="diagonal",
         num_epochs=100,
         initial_learning_rate=0.003,
         batch_size=16,
