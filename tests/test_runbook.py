@@ -35,7 +35,7 @@ def test_runbook_full_protocol_with_gate(workspace):  # noqa: F811
         env={**os.environ, "KALDI_ROOT": ""},
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1800,  # generous: the pipeline runs its own JAX subprocess and CI may be under heavy load (observed 210s idle, >600s loaded)
     )
     assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
     assert "best WER: 5.55" in result.stdout
@@ -48,7 +48,7 @@ def test_runbook_full_protocol_with_gate(workspace):  # noqa: F811
         env={**os.environ, "KALDI_ROOT": ""},
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1800,  # generous: the pipeline runs its own JAX subprocess and CI may be under heavy load (observed 210s idle, >600s loaded)
     )
     assert result.returncode == 1, result.stdout[-2000:]
     assert "FAIL" in result.stdout
